@@ -1,0 +1,34 @@
+"""titan_spark — a PySpark-native property-graph analytics engine.
+
+Re-expresses the query and data-processing capabilities of the Titan
+graph database (thinkaurelius/titan, reference at /root/reference) as
+idiomatic Spark DataFrame plans: graphs are ``vertices`` / ``edges`` /
+``vertex_properties`` DataFrames, traversals compile to joins, OLAP
+vertex-programs run as a DataFrame Pregel loop, and all physical
+optimization (pushdown, pruning, join strategy) is delegated to
+Catalyst.
+
+See SURVEY.md for the structural analysis of the reference that this
+package implements.
+"""
+
+from titan_spark.graph import PropertyGraph
+from titan_spark.operators.traversal import GraphTraversal, P
+from titan_spark.schema import (
+    Cardinality,
+    GraphSchema,
+    Multiplicity,
+)
+from titan_spark.session import get_spark
+
+__all__ = [
+    "PropertyGraph",
+    "GraphTraversal",
+    "P",
+    "GraphSchema",
+    "Cardinality",
+    "Multiplicity",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,188 @@
+"""PropertyGraph: the vertices/edges/vertex_properties DataFrame triple.
+
+Titan stores a property graph as row-oriented adjacency lists over a
+BigTable model (reference ``docs/datamodel.txt:5-46``); the idiomatic
+Spark encoding is two columnar DataFrames —
+
+    vertices(id: long, label: string, <property columns>)
+    edges(edge_id: long, src: long, dst: long, label: string, <props>)
+
+plus an optional long-format ``vertex_properties(vertex_id, key,
+value, prop_id, <meta columns>)`` for LIST/SET-cardinality properties
+and meta-properties (SURVEY.md §1.1).
+
+Titan's doubled edge storage (each edge stored at both endpoints,
+``docs/datamodel.txt:7``) becomes a *view* — :meth:`both_adjacency`
+unions the two orientations when a query must see edges from either
+endpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from titan_spark.schema import GraphSchema
+
+VERTEX_COLS = ("id", "label")
+EDGE_COLS = ("edge_id", "src", "dst", "label")
+
+
+class PropertyGraph:
+    """A property graph over DataFrames with Titan's query surface."""
+
+    def __init__(
+        self,
+        vertices: DataFrame,
+        edges: DataFrame,
+        vertex_properties: DataFrame | None = None,
+        schema: GraphSchema | None = None,
+    ):
+        for c in VERTEX_COLS:
+            if c not in vertices.columns:
+                raise ValueError(f"vertices missing required column {c!r}")
+        for c in EDGE_COLS:
+            if c not in edges.columns:
+                raise ValueError(f"edges missing required column {c!r}")
+        self.vertices = vertices
+        self.edges = edges
+        self.vertex_properties = vertex_properties
+        self.schema = schema or GraphSchema()
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.vertices.sparkSession
+
+    # -- traversal entry points (Titan: g.V() / g.E() / tx.query()) --
+    def V(self, *ids: int):
+        """Global vertex traversal; with ids = point fetch
+        (StandardTitanTx.java:383 getVertices)."""
+        from titan_spark.operators.traversal import GraphTraversal
+
+        t = GraphTraversal._vertices(self)
+        if ids:
+            t = t.has_id(*ids)
+        return t
+
+    def E(self, *ids: int):
+        from titan_spark.operators.traversal import GraphTraversal
+
+        t = GraphTraversal._edges(self)
+        if ids:
+            t = t.has_id(*ids)
+        return t
+
+    # -- adjacency views --
+    def both_adjacency(self) -> DataFrame:
+        """Edges seen from both endpoints: union of the two orientations
+        with a direction marker. Self-loops appear twice — Titan's BOTH
+        semantics (StandardTitanTx.java:1053-1071, SURVEY §2.7 U4)."""
+        e = self.edges
+        out = e.withColumn("_dir", F.lit("OUT")).withColumn("_origin", F.col("src")).withColumn(
+            "_other", F.col("dst")
+        )
+        inn = e.withColumn("_dir", F.lit("IN")).withColumn("_origin", F.col("dst")).withColumn(
+            "_other", F.col("src")
+        )
+        return out.unionByName(inn)
+
+    def degrees(self, direction: str = "both") -> DataFrame:
+        """Per-vertex degree (SURVEY §2.5 A4 degree counting).
+
+        Map-side-combinable groupBy on the edge table; BOTH counts
+        self-loops twice by construction of the union.
+        """
+        if direction == "out":
+            return self.edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
+        if direction == "in":
+            return self.edges.groupBy(F.col("dst").alias("id")).agg(
+                F.count(F.lit(1)).alias("degree")
+            )
+        return (
+            self.both_adjacency()
+            .groupBy(F.col("_origin").alias("id"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    # -- DML (batch; SURVEY §2.7 U3) --
+    def add_vertices(self, new_vertices: DataFrame) -> "PropertyGraph":
+        return PropertyGraph(
+            self.vertices.unionByName(new_vertices, allowMissingColumns=True),
+            self.edges,
+            self.vertex_properties,
+            self.schema,
+        )
+
+    def add_edges(self, new_edges: DataFrame, validate: bool = False) -> "PropertyGraph":
+        edges = self.edges.unionByName(new_edges, allowMissingColumns=True)
+        if validate:
+            bad = self.schema.multiplicity_violations(edges)
+            if bad.limit(1).count() > 0:
+                rows = bad.limit(5).collect()
+                raise ValueError(f"SchemaViolation: multiplicity violated: {rows}")
+        return PropertyGraph(self.vertices, edges, self.vertex_properties, self.schema)
+
+    def remove_vertices(self, ids: DataFrame | list[int]) -> "PropertyGraph":
+        """Remove vertices and their incident edges (anti-join; Titan
+        remove() cascades to incident relations)."""
+        if isinstance(ids, list):
+            ids = self.spark.createDataFrame([(i,) for i in ids], "id long")
+        ids = ids.select(F.col(ids.columns[0]).alias("id"))
+        vertices = self.vertices.join(ids, "id", "left_anti")
+        edges = (
+            self.edges.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select(self.edges.columns)
+        )
+        vp = self.vertex_properties
+        if vp is not None:
+            vp = vp.join(ids.withColumnRenamed("id", "vertex_id"), "vertex_id", "left_anti")
+        return PropertyGraph(vertices, edges, vp, self.schema)
+
+    def remove_edges(self, edge_ids: DataFrame | list[int]) -> "PropertyGraph":
+        if isinstance(edge_ids, list):
+            edge_ids = self.spark.createDataFrame([(i,) for i in edge_ids], "edge_id long")
+        edge_ids = edge_ids.select(F.col(edge_ids.columns[0]).alias("edge_id"))
+        return PropertyGraph(
+            self.vertices,
+            self.edges.join(edge_ids, "edge_id", "left_anti"),
+            self.vertex_properties,
+            self.schema,
+        )
+
+    # -- persistence --
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        """Persist as parquet, edges sorted within partitions by
+        (src, label) — the columnar analog of Titan's sorted adjacency
+        lists (docs/datamodel.txt:21,42-46): parquet row-group min/max
+        stats then skip on src/label exactly like a sort-key slice."""
+        self.vertices.write.mode(mode).parquet(f"{path}/vertices")
+        (
+            self.edges.repartition("label")
+            .sortWithinPartitions("src", "label")
+            .write.mode(mode)
+            .parquet(f"{path}/edges")
+        )
+        if self.vertex_properties is not None:
+            self.vertex_properties.write.mode(mode).parquet(f"{path}/vertex_properties")
+
+    @staticmethod
+    def read(spark: SparkSession, path: str, schema: GraphSchema | None = None) -> "PropertyGraph":
+        import os
+
+        vp = None
+        if os.path.isdir(f"{path}/vertex_properties"):
+            vp = spark.read.parquet(f"{path}/vertex_properties")
+        return PropertyGraph(
+            spark.read.parquet(f"{path}/vertices"),
+            spark.read.parquet(f"{path}/edges"),
+            vp,
+            schema,
+        )
+
+    def cache(self) -> "PropertyGraph":
+        self.vertices.cache()
+        self.edges.cache()
+        return self

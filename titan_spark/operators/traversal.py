@@ -1,0 +1,375 @@
+"""GraphTraversal — the traversal→DataFrame compiler.
+
+This is the engine's product: Titan folds Gremlin steps into logical
+queries (``TitanGraphStepStrategy.java:29-55``, ``HasStepFolder.java:
+65-133``, ``TitanVertexStep.java:34-100``) and runs them against KCVS
+slices; here every step *declares* a DataFrame transformation and
+Catalyst performs the physical optimization Titan hand-rolled:
+
+- has/hasLabel folding            → filter pushdown to the parquet scan
+- index selection (set-cover)     → Catalyst scan planning + file skipping
+- MultiQuery batching (de-N+1)    → a hop IS a set-oriented join
+- smart-limit escalation          → exact limits, nothing to escalate
+
+Traverser semantics are bag semantics: joins preserve multiplicity, no
+implicit dedup (Gremlin contract; SURVEY §7 "hard parts"). A traversal
+holds:
+
+- a frontier DataFrame whose columns are the *current element's*
+  columns (vertex: id/label/props; edge: edge_id/src/dst/label/props
+  plus ``_origin``/``_other``/``_dir`` hop metadata),
+- tag columns ``_t_<name>`` (structs) recorded by ``as_()`` for
+  path back-reference (``select``) — SURVEY §2.10.
+
+Hop compilation (SURVEY §2.4): ``out(l)`` is
+``frontier ⋈ edges[label=l] ⋈ vertices`` — when the frontier is small
+Catalyst/AQE broadcasts it, reproducing Titan's point-slice reads;
+when it is large the join hash-partitions on vertex id, which is the
+100-TB-safe plan.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from titan_spark.functions.predicates import P, Pred, as_pred
+from titan_spark.operators.topk import _order_cols, top_k_per_group
+
+_NOTSET = object()
+
+_META_COLS = ("_origin", "_other", "_dir")
+
+
+class GraphTraversal:
+    """Immutable traversal; every step returns a new GraphTraversal."""
+
+    def __init__(self, graph, df: DataFrame, kind: str, order_specs=()):
+        self.graph = graph
+        self._df = df
+        self.kind = kind  # 'V' | 'E'
+        self._order_specs = tuple(order_specs)
+
+    # ------------------------------------------------------------------ ctor
+    @staticmethod
+    def _vertices(graph) -> "GraphTraversal":
+        return GraphTraversal(graph, graph.vertices, "V")
+
+    @staticmethod
+    def _edges(graph) -> "GraphTraversal":
+        e = graph.edges.withColumn("_origin", F.col("src")).withColumn(
+            "_other", F.col("dst")
+        ).withColumn("_dir", F.lit("OUT"))
+        return GraphTraversal(graph, e, "E")
+
+    # ------------------------------------------------------------- utilities
+    def _with(self, df: DataFrame, kind: str | None = None, order_specs=None) -> "GraphTraversal":
+        return GraphTraversal(
+            self.graph,
+            df,
+            kind or self.kind,
+            self._order_specs if order_specs is None else order_specs,
+        )
+
+    def _tag_cols(self) -> list[str]:
+        return [c for c in self._df.columns if c.startswith("_t_")]
+
+    def _id_col(self) -> str:
+        return "id" if self.kind == "V" else "edge_id"
+
+    def col(self, key: str) -> Column:
+        """Column of the current element; 'id' on an edge frontier means
+        the edge id (RelationIdentifier analog); missing keys are NULL
+        (Titan: querying an undefined key matches nothing)."""
+        if key == "id":
+            return F.col(self._id_col())
+        if key in self._df.columns:
+            return F.col(key)
+        return F.lit(None)
+
+    def tag(self, name: str, field: str) -> Column:
+        """Back-reference a field of an ``as_()``-tagged element."""
+        return F.col(f"_t_{name}.{field}")
+
+    @property
+    def df(self) -> DataFrame:
+        """Escape hatch: the frontier as a plain DataFrame."""
+        return self._df
+
+    def to_df(self, *cols: Column | str) -> DataFrame:
+        """Terminal projection (``values``/``select`` analog)."""
+        if not cols:
+            return self._df
+        return self._df.select(*cols)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+    # ------------------------------------------------------------ filter ops
+    def has(self, key: str, value: Any = _NOTSET) -> "GraphTraversal":
+        """``has(k)`` = key present; ``has(k, v)`` = EQUAL (null → absent);
+        ``has(k, P.xx(...))`` = predicate. SURVEY §2.2 P1/P4."""
+        if value is _NOTSET:
+            return self._with(self._df.filter(self.col(key).isNotNull()))
+        pred: Pred = as_pred(value)
+        return self._with(self._df.filter(pred(self.col(key))))
+
+    def has_not(self, key: str) -> "GraphTraversal":
+        return self._with(self._df.filter(self.col(key).isNull()))
+
+    def has_label(self, *labels: str) -> "GraphTraversal":
+        """Label restriction — OR over types (P7)."""
+        if len(labels) == 1:
+            return self._with(self._df.filter(F.col("label") == labels[0]))
+        return self._with(self._df.filter(F.col("label").isin(list(labels))))
+
+    def has_id(self, *ids: int) -> "GraphTraversal":
+        idc = F.col(self._id_col())
+        if len(ids) == 1:
+            return self._with(self._df.filter(idc == ids[0]))
+        return self._with(self._df.filter(idc.isin(list(ids))))
+
+    def filter_(self, condition: Column) -> "GraphTraversal":
+        """Raw Column condition (And/Or/Not trees, text/geo predicates)."""
+        return self._with(self._df.filter(condition))
+
+    def is_(self, value: Any) -> "GraphTraversal":
+        """Gremlin ``is``: predicate on the current element id."""
+        pred = as_pred(value)
+        return self._with(self._df.filter(pred(F.col(self._id_col()))))
+
+    def adjacent(self, vertex_id: int) -> "GraphTraversal":
+        """Restrict edges to those whose other endpoint is the given
+        vertex — the ``~adjacent`` implicit key (P6/J4,
+        BaseVertexQuery.java:34-40). Edge frontier only."""
+        self._require("E", "adjacent")
+        return self._with(self._df.filter(F.col("_other") == vertex_id))
+
+    def simple_path_excluding(self, *tag_names: str) -> "GraphTraversal":
+        """Drop traversers whose current vertex equals a tagged vertex
+        (cycle guard for multi-hop walks)."""
+        self._require("V", "simple_path_excluding")
+        cond = F.lit(True)
+        for t in tag_names:
+            cond = cond & (F.col("id") != F.col(f"_t_{t}.id"))
+        return self._with(self._df.filter(cond))
+
+    # --------------------------------------------------------------- hop ops
+    def _require(self, kind: str, op: str) -> None:
+        if self.kind != kind:
+            raise ValueError(f"{op}() requires a {kind} frontier, have {self.kind}")
+
+    def _edge_expand(self, direction: str, labels: tuple[str, ...]) -> DataFrame:
+        """frontier(V) ⋈ edges → edge frontier with _origin/_other/_dir.
+
+        The batched-adjacency read (MultiQuery, SURVEY §2.4 J3) is this
+        join's set-orientation; Titan needed ``query.batch`` to avoid
+        N+1 backend calls, a join is batched by construction.
+        """
+        self._require("V", direction)
+        tags = self._tag_cols()
+        fr = self._df.select(F.col("id").alias("_origin"), *tags).alias("f")
+        e = self.graph.edges
+        if labels:
+            if len(labels) == 1:
+                e = e.filter(F.col("label") == labels[0])
+            else:
+                e = e.filter(F.col("label").isin(list(labels)))
+        e = e.alias("e")
+        parts = []
+        if direction in ("out", "both"):
+            parts.append(
+                fr.join(e, F.col("f._origin") == F.col("e.src"))
+                .select("e.*", "f._origin", *[F.col(f"f.{t}") for t in tags])
+                .withColumn("_other", F.col("dst"))
+                .withColumn("_dir", F.lit("OUT"))
+            )
+        if direction in ("in", "both"):
+            parts.append(
+                fr.join(e, F.col("f._origin") == F.col("e.dst"))
+                .select("e.*", "f._origin", *[F.col(f"f.{t}") for t in tags])
+                .withColumn("_other", F.col("src"))
+                .withColumn("_dir", F.lit("IN"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def outE(self, *labels: str) -> "GraphTraversal":
+        return self._with(self._edge_expand("out", labels), "E")
+
+    def inE(self, *labels: str) -> "GraphTraversal":
+        return self._with(self._edge_expand("in", labels), "E")
+
+    def bothE(self, *labels: str) -> "GraphTraversal":
+        """Self-loops appear once per orientation → twice total (U4)."""
+        return self._with(self._edge_expand("both", labels), "E")
+
+    def _vertex_join(self, endpoint_col: str) -> DataFrame:
+        self._require("E", endpoint_col)
+        tags = self._tag_cols()
+        ef = self._df.select(F.col(endpoint_col).alias("_vid"), *tags).alias("e")
+        v = self.graph.vertices.alias("v")
+        return ef.join(v, F.col("e._vid") == F.col("v.id")).select(
+            "v.*", *[F.col(f"e.{t}") for t in tags]
+        )
+
+    def inV(self) -> "GraphTraversal":
+        return self._with(self._vertex_join("dst"), "V")
+
+    def outV(self) -> "GraphTraversal":
+        return self._with(self._vertex_join("src"), "V")
+
+    def otherV(self) -> "GraphTraversal":
+        return self._with(self._vertex_join("_other"), "V")
+
+    def originV(self) -> "GraphTraversal":
+        """Back to the hop's origin vertex (Titan keeps the incident
+        vertex implicitly; useful after edge-level filtering)."""
+        return self._with(self._vertex_join("_origin"), "V")
+
+    def bothV(self) -> "GraphTraversal":
+        self._require("E", "bothV")
+        return self._with(
+            self._vertex_join("src").unionByName(self._vertex_join("dst")), "V"
+        )
+
+    def out(self, *labels: str) -> "GraphTraversal":
+        return self.outE(*labels).inV()
+
+    def in_(self, *labels: str) -> "GraphTraversal":
+        return self.inE(*labels).outV()
+
+    def both(self, *labels: str) -> "GraphTraversal":
+        return self.bothE(*labels).otherV()
+
+    def repeat(self, step: Callable[["GraphTraversal"], "GraphTraversal"], times: int) -> "GraphTraversal":
+        """``repeat(...).times(n)`` with a static loop count — unrolled
+        into n joins (one Catalyst plan, no driver iteration)."""
+        t = self
+        for _ in range(times):
+            t = step(t)
+        return t
+
+    # ------------------------------------------------------------- tags/path
+    def as_(self, name: str) -> "GraphTraversal":
+        """Tag the current element for later back-reference (§2.10
+        as/select). The tag is a struct column carried through hops."""
+        cols = [c for c in self._df.columns if not c.startswith("_t_") and c not in _META_COLS]
+        return self._with(
+            self._df.withColumn(f"_t_{name}", F.struct(*[F.col(c) for c in cols]))
+        )
+
+    def select_(self, *items) -> DataFrame:
+        """Terminal select of tagged fields and/or current columns.
+
+        Items: ``(tag, field)`` tuples, ``(tag, field, alias)``, or
+        plain current-frontier column names.
+        """
+        cols = []
+        for it in items:
+            if isinstance(it, tuple):
+                if len(it) == 3:
+                    cols.append(self.tag(it[0], it[1]).alias(it[2]))
+                else:
+                    cols.append(self.tag(it[0], it[1]).alias(f"{it[0]}_{it[1]}"))
+            else:
+                cols.append(self.col(it).alias(it))
+        return self._df.select(*cols)
+
+    # ------------------------------------------------------- order/limit ops
+    def order_by(self, *specs) -> "GraphTraversal":
+        """Global order (O1). Specs: "col", "-col", ("col","desc"), Column."""
+        return self._with(self._df.orderBy(*_order_cols(specs)), order_specs=specs)
+
+    def limit(self, n: int) -> "GraphTraversal":
+        return self._with(self._df.limit(n))
+
+    def range_(self, lo: int, hi: int, *specs) -> "GraphTraversal":
+        """RangeGlobalStep [lo, hi) — needs an order; uses the last
+        ``order_by`` specs unless given explicitly (O4)."""
+        specs = specs or self._order_specs
+        if not specs:
+            raise ValueError("range_() requires order specs for determinism")
+        w = Window.orderBy(*_order_cols(specs))
+        df = (
+            self._df.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > lo) & (F.col("_rn") <= hi))
+            .drop("_rn")
+        )
+        return self._with(df)
+
+    def local_top_k(self, k: int, *specs, by: str = "_origin") -> "GraphTraversal":
+        """Per-origin-vertex order+limit — ``local(order().limit(k))``
+        (O5, TitanGraphTest.java:3393-3398)."""
+        if by not in self._df.columns:
+            raise ValueError(f"local_top_k needs hop metadata column {by!r}")
+        return self._with(top_k_per_group(self._df, [by], list(specs), k))
+
+    def dedup(self, *cols: str) -> "GraphTraversal":
+        """Dedup traversers by current element id (U1/U2)."""
+        keys = list(cols) if cols else [self._id_col()]
+        return self._with(self._df.dropDuplicates(keys))
+
+    # ------------------------------------------------------------- terminals
+    def values(self, *keys: str) -> DataFrame:
+        """Project property values (P10). LIST/SET-cardinality keys are
+        served from the long-format vertex_properties table (explode
+        semantics) when one key is requested."""
+        card_keys = [
+            k
+            for k in keys
+            if self.graph.schema.cardinality_of(k).value != "single"
+            and self.graph.vertex_properties is not None
+        ]
+        if card_keys:
+            if len(keys) != 1:
+                raise ValueError("multi-cardinality values(): one key at a time")
+            key = keys[0]
+            self._require("V", "values(multi-cardinality)")
+            vp = self.graph.vertex_properties.filter(F.col("key") == key)
+            ids = self._df.select(F.col("id").alias("vertex_id"))
+            return ids.join(vp, "vertex_id").select(F.col("value").alias(key))
+        return self._df.select(*[self.col(k).alias(k) for k in keys])
+
+    def value_map(self, *keys: str) -> DataFrame:
+        keys = keys or tuple(
+            c for c in self._df.columns if not c.startswith("_") and c not in ("id", "edge_id")
+        )
+        return self._df.select(self.col("id").alias("id"), *[self.col(k).alias(k) for k in keys])
+
+    def count(self) -> DataFrame:
+        """Traverser count (A1/A2) as a 1-row DataFrame."""
+        return self._df.agg(F.count(F.lit(1)).alias("count"))
+
+    def count_value(self) -> int:
+        return self.count().collect()[0][0]
+
+    def group_count(self, *keys) -> DataFrame:
+        """``groupCount().by(key)`` → groupBy + count (§2.10)."""
+        cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+        return self._df.groupBy(*cols).agg(F.count(F.lit(1)).alias("count"))
+
+    def agg(self, *exprs: Column, group_by: Iterable = ()) -> DataFrame:
+        gb = [F.col(g) if isinstance(g, str) else g for g in group_by]
+        if gb:
+            return self._df.groupBy(*gb).agg(*exprs)
+        return self._df.agg(*exprs)
+
+    def sum_(self, key: str) -> DataFrame:
+        return self._df.agg(F.sum(self.col(key)).alias("sum"))
+
+    def min_(self, key: str) -> DataFrame:
+        return self._df.agg(F.min(self.col(key)).alias("min"))
+
+    def max_(self, key: str) -> DataFrame:
+        return self._df.agg(F.max(self.col(key)).alias("max"))
+
+    def mean_(self, key: str) -> DataFrame:
+        return self._df.agg(F.avg(self.col(key)).alias("mean"))
+
+
+__all__ = ["GraphTraversal", "P", "Pred"]

@@ -1,0 +1,190 @@
+"""Schema registry: property keys, edge labels, vertex labels.
+
+Mirrors Titan's management surface (reference:
+``titan-core/src/main/java/com/thinkaurelius/titan/core/schema/TitanManagement.java``,
+``PropertyKeyMaker.java:22,38``, ``EdgeLabelMaker.java:22-42``,
+``VertexLabelMaker.java:31-39``, ``core/Cardinality.java:17-28``,
+``core/Multiplicity.java:12-41``) as a light-weight declarative
+registry. In Titan, multiplicity/cardinality violations throw
+``SchemaViolationException`` at write time; here the checks are
+set-oriented DataFrame validations run over a whole batch — the
+idiomatic Spark equivalent (one aggregation instead of per-row locks).
+
+TTL (``TitanManagement.setTTL``, ``docs/advschema.txt:20-67``) maps to
+a retention predicate applied at read time, see
+:meth:`GraphSchema.ttl_filter`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Cardinality(Enum):
+    """Vertex-property cardinality (reference core/Cardinality.java:17-28)."""
+
+    SINGLE = "single"
+    LIST = "list"
+    SET = "set"
+
+
+class Multiplicity(Enum):
+    """Edge multiplicity in the UML sense (reference core/Multiplicity.java:12-41)."""
+
+    MULTI = "multi"
+    SIMPLE = "simple"  # at most one edge per (src, dst) pair
+    ONE2MANY = "one2many"  # in-degree <= 1 per vertex (e.g. "fatherOf")
+    MANY2ONE = "many2one"  # out-degree <= 1 per vertex (e.g. "father")
+    ONE2ONE = "one2one"
+
+
+@dataclass(frozen=True)
+class PropertyKeyDef:
+    name: str
+    data_type: str  # Spark simpleString, e.g. "long", "string", "array<int>"
+    cardinality: Cardinality = Cardinality.SINGLE
+
+
+@dataclass(frozen=True)
+class EdgeLabelDef:
+    name: str
+    multiplicity: Multiplicity = Multiplicity.MULTI
+    unidirected: bool = False
+    ttl_seconds: int | None = None
+    sort_key: tuple[str, ...] = ()
+    sort_desc: bool = False
+
+
+@dataclass(frozen=True)
+class VertexLabelDef:
+    name: str
+    partitioned: bool = False  # no-op on Spark (no supernode-row problem)
+    static: bool = False
+    ttl_seconds: int | None = None
+
+
+@dataclass
+class GraphSchema:
+    """Registry of schema elements; Titan's ``TitanManagement`` analog."""
+
+    property_keys: dict[str, PropertyKeyDef] = field(default_factory=dict)
+    edge_labels: dict[str, EdgeLabelDef] = field(default_factory=dict)
+    vertex_labels: dict[str, VertexLabelDef] = field(default_factory=dict)
+
+    # -- definition API (PropertyKeyMaker / EdgeLabelMaker / VertexLabelMaker) --
+    def make_property_key(
+        self,
+        name: str,
+        data_type: str = "string",
+        cardinality: Cardinality = Cardinality.SINGLE,
+    ) -> PropertyKeyDef:
+        pk = PropertyKeyDef(name, data_type, cardinality)
+        self.property_keys[name] = pk
+        return pk
+
+    def make_edge_label(
+        self,
+        name: str,
+        multiplicity: Multiplicity = Multiplicity.MULTI,
+        unidirected: bool = False,
+        ttl_seconds: int | None = None,
+        sort_key: tuple[str, ...] = (),
+        sort_desc: bool = False,
+    ) -> EdgeLabelDef:
+        el = EdgeLabelDef(name, multiplicity, unidirected, ttl_seconds, sort_key, sort_desc)
+        self.edge_labels[name] = el
+        return el
+
+    def make_vertex_label(
+        self,
+        name: str,
+        partitioned: bool = False,
+        static: bool = False,
+        ttl_seconds: int | None = None,
+    ) -> VertexLabelDef:
+        vl = VertexLabelDef(name, partitioned, static, ttl_seconds)
+        self.vertex_labels[name] = vl
+        return vl
+
+    def cardinality_of(self, key: str) -> Cardinality:
+        pk = self.property_keys.get(key)
+        return pk.cardinality if pk else Cardinality.SINGLE
+
+    # -- batch validation (write-path SchemaViolationException analog) --
+    def multiplicity_violations(self, edges: DataFrame) -> DataFrame:
+        """Return edge groups violating declared multiplicity.
+
+        Output: (label, src, dst, n, rule). Empty DataFrame == valid.
+        One aggregation per constraint class; all are map-side
+        combinable groupBys, so this scales linearly with edge count.
+        """
+        out = None
+        checks: list[tuple[list[str], str, list[str]]] = []
+        simple = [l.name for l in self.edge_labels.values() if l.multiplicity == Multiplicity.SIMPLE]
+        m2o = [
+            l.name
+            for l in self.edge_labels.values()
+            if l.multiplicity in (Multiplicity.MANY2ONE, Multiplicity.ONE2ONE)
+        ]
+        o2m = [
+            l.name
+            for l in self.edge_labels.values()
+            if l.multiplicity in (Multiplicity.ONE2MANY, Multiplicity.ONE2ONE)
+        ]
+        if simple:
+            checks.append((simple, "SIMPLE", ["src", "dst"]))
+        if m2o:
+            checks.append((m2o, "MANY2ONE", ["src"]))
+        if o2m:
+            checks.append((o2m, "ONE2MANY", ["dst"]))
+        for labels, rule, keys in checks:
+            grouped = (
+                edges.filter(F.col("label").isin(labels))
+                .groupBy("label", *keys)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+            )
+            part = grouped.select(
+                "label",
+                (F.col("src") if "src" in keys else F.lit(None).cast("long")).alias("src"),
+                (F.col("dst") if "dst" in keys else F.lit(None).cast("long")).alias("dst"),
+                "n",
+                F.lit(rule).alias("rule"),
+            )
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            return edges.sparkSession.createDataFrame(
+                [], "label string, src long, dst long, n long, rule string"
+            )
+        return out
+
+    def cardinality_violations(self, vertex_properties: DataFrame) -> DataFrame:
+        """SINGLE-cardinality keys with >1 value per vertex (long-format table)."""
+        single = [k.name for k in self.property_keys.values() if k.cardinality == Cardinality.SINGLE]
+        return (
+            vertex_properties.filter(F.col("key").isin(single))
+            .groupBy("vertex_id", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+
+    def ttl_filter(self, df: DataFrame, label_col: str, ts_col: str, now_expr=None):
+        """Retention predicate for TTL'd labels (read-time expiry).
+
+        Titan expires cells via store TTL; at read time on Spark the
+        equivalent is ``ts + ttl > now``. Labels without TTL pass.
+        """
+        now_expr = now_expr if now_expr is not None else F.current_timestamp()
+        cond = F.lit(True)
+        items = list(self.edge_labels.values()) + list(self.vertex_labels.values())
+        for el in items:
+            if el.ttl_seconds is not None:
+                cond = cond & (
+                    (F.col(label_col) != el.name)
+                    | (F.col(ts_col) + F.expr(f"INTERVAL {el.ttl_seconds} SECOND") > now_expr)
+                )
+        return df.filter(cond)
