@@ -1,0 +1,87 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline set tracks BASELINE.md's workload shapes:
+bulk element creation → graph build+count; indexed point lookups →
+point_lookup; deep traversals → two_hop_revenue/three_hop_region;
+full-scan OLAP → agg_pricing_summary/degree_part/topk_per_vertex;
+plus the pipeline ops (text stats, LSH near-dup, cosine top-k).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from titan_spark.plans.catalog import QUERIES, graph  # noqa: E402
+from titan_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "point_lookup",
+    "scan_filter_order_limit",
+    "hop_order_count",
+    "two_hop_revenue",
+    "three_hop_region",
+    "semi_join_exists",
+    "topk_per_vertex",
+    "degree_part",
+    "both_degree_nation",
+    "agg_pricing_summary",
+    "events_hourly",
+    "text_contains",
+    "token_stats",
+    "doc_quality",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+    spark = get_spark("titan_spark_bench")
+
+    timings: dict[str, float] = {}
+
+    # bulk-load shape: build the graph view and materialize counts
+    t0 = time.perf_counter()
+    g = graph(spark, sf_dir)
+    nv = g.vertices.count()
+    ne = g.edges.count()
+    timings["graph_build_count"] = round(time.perf_counter() - t0, 3)
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # full materialization of the result
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+                "n_vertices": nv,
+                "n_edges": ne,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

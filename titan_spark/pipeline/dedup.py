@@ -1,0 +1,208 @@
+"""Deduplication operators for document corpora.
+
+Exact dedup is a hash-groupBy (map-side combinable, scales linearly);
+near-dup (MinHash/LSH, SimHash, n-gram Jaccard) avoids the O(n²)
+pair comparison by banding signatures so only same-bucket candidates
+join — the standard shingle→minhash→band→bucket-join pipeline, all
+expressed with built-in column functions (hashes run JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from titan_spark.functions.text import tokenize
+
+# deterministic minhash parameters (fixed seeds; Mersenne prime modulus)
+_MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (rep_id, n_dups).
+
+    One shuffle on the 64-bit content hash; the text column itself never
+    shuffles (hash first, group on the hash) — at 100 TB this moves 8
+    bytes/doc instead of the document bodies.
+    """
+    return (
+        df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+        .select("rep_id", "n_dups")
+    )
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(n_docs, n_distinct) — the dedup-rate summary."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col(text_col)).alias("n_distinct"),
+    )
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingles from the Titan tokenizer's token stream.
+
+    Built with ``zip_with`` over shifted copies of the token array so
+    the token stream is evaluated once per row — an index-based
+    ``transform(sequence(...), i -> slice(toks, i, n))`` re-evaluates
+    the tokenizer per element (O(tokens²) per row; measured 100×
+    slow-down at sf0.1). Shorter-than-n docs yield one whole-doc
+    shingle (same contract as the SQL oracle's clamped slice).
+    """
+    toks = tokenize(col)
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(1)))
+        # zip_with pads the shorter side with NULL; concat propagates the
+        # NULL so trailing partial grams drop in the filter below
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.filter(grams, lambda g: g.isNotNull())
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(full)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc minhash signature: array of num_hashes min-values.
+
+    h_i(x) = (a_i * x + b_i) mod p over xxhash64 shingle hashes, with
+    fixed per-i coefficients — fully deterministic, no fitted model.
+    Everything is built-in array algebra; no Python executes per row.
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_PRIME)))
+
+    def _perms(h):
+        # all num_hashes permutations of one shingle hash; h is a bound
+        # lambda variable (already evaluated), so this is pure arithmetic
+        return F.array(
+            *[
+                F.pmod(h * F.lit(2 * i + 1) + F.lit(7919 * (i + 1)), F.lit(_MINHASH_PRIME))
+                for i in range(num_hashes)
+            ]
+        )
+
+    # one pass over the shingle hashes: fold elementwise-min across the
+    # permutation lanes (the input array is evaluated exactly once)
+    init = F.array_repeat(F.lit(_MINHASH_PRIME).cast("long"), num_hashes)
+    sig = F.aggregate(
+        hashed, init, lambda acc, h: F.zip_with(acc, _perms(h), lambda a, b: F.least(a, b))
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """Band the signatures and self-join per bucket → candidate pairs.
+
+    The join key is (band_index, band_hash): only docs agreeing on a
+    whole band meet, so the shuffle is proportional to corpus size +
+    true-duplicate volume, never O(n²). Output: (id_a, id_b) with
+    id_a < id_b, deduplicated across bands.
+    """
+    n = num_hashes if num_hashes is not None else signatures.select(F.size("signature")).first()[0]
+    rows_per_band = max(1, n // bands)
+    banded = signatures.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
+    sh = df.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), shingle_n).alias("_sh"))
+    j = (
+        candidates.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / F.when(union > 0, union).otherwise(F.lit(1))).alias("jaccard"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash over token xxhash64 values (default 32 bits so the
+    signature fits a signed long without overflow).
+
+    For each bit: sum(+1/-1 weighted by token presence) → sign. Built
+    from array algebra over the token stream; deterministic.
+    """
+    toks = F.array_distinct(tokenize(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _votes(h):
+        # ±1 vote per bit for one token hash (h is already evaluated)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+                for b in range(bits)
+            ]
+        )
+
+    # single fold over the token hashes → per-bit vote totals
+    totals = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, _votes(h), lambda a, b: a + b),
+    )
+    weights = F.array(*[F.lit(2**b).cast("long") for b in range(bits)])
+    sig = F.aggregate(
+        F.zip_with(totals, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), sig.alias("simhash"))

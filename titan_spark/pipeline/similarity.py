@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: one scan, a dot
+product in built-in array algebra, and a global top-k (Spark's
+TakeOrdered — no full sort). The LSH-bucketed variant is the scale
+path: random-hyperplane signatures (deterministic seeds) so only
+same-bucket vectors are compared.
+
+Dot products are computed in float64 with strict left-to-right
+accumulation (F.aggregate), which makes results bit-reproducible and
+oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_similarity(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+
+    Ordering ties break on id for determinism. Similarity is rounded so
+    independently-computed oracles agree.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), round_digits).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_topk_pairs(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs exact top-k neighbors per vector (small-N baseline).
+
+    O(n²) — only for validation corpora; at scale use
+    :func:`lsh_bucketed_topk`.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") != F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cosine")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def hyperplane_signature(vec_col, planes: list[list[float]]):
+    """Sign pattern of the vector against fixed hyperplanes → bucket id."""
+    bits = []
+    for i, p in enumerate(planes):
+        d = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _det_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no RNG state)."""
+    planes = []
+    state = 88172645463325252
+    for _ in range(n_planes):
+        p = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            p.append(((state % 2001) - 1000) / 1000.0)
+        planes.append(p)
+    return planes
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate per-vector top-k: compare only within an LSH bucket.
+
+    The bucket join shuffles on the signature, so cost tracks bucket
+    occupancy (n²/2^planes per bucket in expectation), not n².
+    """
+    planes = _det_planes(dim, n_planes)
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket")
+    pairs = a.join(b, ["_bucket"]).filter(F.col("id_a") != F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cosine")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

@@ -1,0 +1,621 @@
+"""Query catalog: every implemented operator as a (Spark plan, oracle
+SQL) pair.
+
+Each entry exercises one or more operators from SURVEY.md §2 through
+the engine's public surface (traversals / pipeline ops), and the
+oracle SQL states the identical semantics in ANSI SQL for DuckDB over
+the same parquet tables (views: region nation customer supplier part
+orders lineitem events documents embeddings).
+
+Conventions that make value-hash comparison robust:
+- output columns are bigint / int / string / ROUND()ed double only
+  (timestamps exported as epoch seconds);
+- every aggregate/computed column is aliased identically on both
+  sides;
+- every LIMIT sits on a total order (explicit tiebreaker columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from titan_spark.functions import (
+    geo_within_circle,
+    text_contains,
+    text_contains_prefix,
+    text_contains_regex,
+)
+from titan_spark.functions.predicates import P
+from titan_spark.graph import PropertyGraph
+from titan_spark.pipeline.dedup import jaccard_pairs, lsh_candidate_pairs, minhash_signatures
+from titan_spark.pipeline.similarity import cosine_topk
+from titan_spark.pipeline.text_quality import doc_quality, lang_id, token_stats
+from titan_spark.sources.tpch import OFF, load_tables, load_tpch_graph
+
+# ---------------------------------------------------------------------------
+# session/table caches (one graph build per (session, sf_dir))
+
+_GRAPH_CACHE: dict[tuple[int, str], PropertyGraph] = {}
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def _prep(spark: SparkSession) -> None:
+    # oracle comparability requires UTC sessions regardless of who built
+    # the SparkSession (the driver's session may not come from get_spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    _prep(spark)
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = load_tpch_graph(spark, sf_dir)
+    return _GRAPH_CACHE[key]
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    _prep(spark)
+    key = (id(spark), sf_dir)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = load_tables(spark, sf_dir)
+    return _TABLE_CACHE[key]
+
+
+# DuckDB-side Titan tokenizer (same contract as functions/text.py)
+_SQL_TOKS = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _toks(col: str = "text") -> str:
+    return _SQL_TOKS.format(col=col)
+
+
+# ---------------------------------------------------------------------------
+# queries — graph query surface (SURVEY §2.1, §2.2, §2.4-2.7)
+
+
+def q_point_lookup(spark, sf_dir):
+    """S1/S6: composite-index point lookup → Catalyst pushdown scan."""
+    return (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("key", 42)
+        .values("name", "acctbal")
+    )
+
+
+def q_scan_filter_order_limit(spark, sf_dir):
+    """S2+P2+O1+O3: full scan, range predicate, total order, limit."""
+    return (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("acctbal", P.gt(5000.0))
+        .order_by("-acctbal", "key")
+        .limit(10)
+        .values("key", "name", "acctbal")
+    )
+
+
+def q_pred_within(spark, sf_dir):
+    """P3 Contain.IN + groupCount."""
+    return (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("mktsegment", P.within("BUILDING", "MACHINERY"))
+        .group_count("mktsegment")
+    )
+
+
+def q_pred_interval(spark, sf_dir):
+    """P5 half-open interval on order totalprice."""
+    t = graph(spark, sf_dir).V().has_label("order").has(
+        "totalprice", P.between(10000.0, 50000.0)
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("totalprice"), 2).alias("sum_total"),
+    )
+
+
+def q_hop_order_count(spark, sf_dir):
+    """J1/J3: one-hop expansion with tag back-reference, per-customer count."""
+    t = graph(spark, sf_dir).V().has_label("customer").as_("c").out("placed")
+    return t.group_count(t.tag("c", "key").alias("custkey"))
+
+
+def q_two_hop_revenue(spark, sf_dir):
+    """J1×2 + P5 + A3: the flagship — segment filter, two hops, edge
+    interval predicate, grouped aggregation."""
+    t = (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("mktsegment", "BUILDING")
+        .out("placed")
+        .outE("contains")
+        .has("shipdate", P.between("1995-01-01", "1996-01-01"))
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("extendedprice") * (1 - F.col("discount"))), 2).alias("revenue"),
+        group_by=["returnflag"],
+    )
+
+
+def q_semi_join_exists(spark, sf_dir):
+    """J4/U2: customers with at least one big order (semi-join + dedup)."""
+    t = (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .as_("c")
+        .out("placed")
+        .has("totalprice", P.gt(100000.0))
+    )
+    return (
+        t.select_(("c", "id", "cid"))
+        .dropDuplicates(["cid"])
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_three_hop_region(spark, sf_dir):
+    """Deep traversal: customer → nation → region, grouped by region."""
+    return (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .out("in_nation")
+        .out("in_region")
+        .group_count("name")
+    )
+
+
+def q_topk_per_vertex(spark, sf_dir):
+    """O5: per-order top-2 lineitems (local(order().limit(k)))."""
+    t = graph(spark, sf_dir).V().has_label("order").outE("contains").local_top_k(
+        2, "-extendedprice", "linenumber"
+    )
+    return t.to_df(
+        (F.col("_origin") - OFF["order"]).alias("orderkey"),
+        F.col("linenumber"),
+        F.col("extendedprice"),
+    )
+
+
+def q_degree_part(spark, sf_dir):
+    """A4: per-part in-degree via the contains edges."""
+    g = graph(spark, sf_dir)
+    return (
+        g.E()
+        .has_label("contains")
+        .group_count((F.col("dst") - OFF["part"]).alias("partkey"))
+    )
+
+
+def q_union_dedup_nations(spark, sf_dir):
+    """U1/U2: distinct nations reachable from BUILDING customers."""
+    return (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("mktsegment", "BUILDING")
+        .out("in_nation")
+        .dedup()
+        .values("key", "name")
+    )
+
+
+def q_both_degree_nation(spark, sf_dir):
+    """P8/A4: BOTH-direction degree per nation vertex."""
+    return (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("nation")
+        .bothE()
+        .group_count((F.col("_origin") - OFF["nation"]).alias("nationkey"))
+    )
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """A3-style grouped reduction over edge properties (TPC-H Q1 shape)."""
+    t = graph(spark, sf_dir).E().has_label("contains").filter_(
+        F.col("shipdate") <= F.lit("1998-09-02")
+    )
+    return t.agg(
+        F.round(F.sum("quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("extendedprice"), 2).alias("sum_base"),
+        F.count(F.lit(1)).alias("n"),
+        group_by=["returnflag", "linestatus"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# text / geo predicate surface (SURVEY §2.3)
+
+
+def q_text_contains(spark, sf_dir):
+    """T1: tokenized CONTAINS, multi-word = all tokens must appear."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.filter(text_contains(F.col("text"), "spark join")).select("doc_id")
+
+
+def q_text_contains_prefix(spark, sf_dir):
+    """T2: some token starts with prefix."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.filter(text_contains_prefix(F.col("text"), "agg")).select("doc_id")
+
+
+def q_text_contains_regex(spark, sf_dir):
+    """T3: some token fully matches regex."""
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.filter(text_contains_regex(F.col("text"), "qu.ry")).select("doc_id")
+
+
+def q_geo_within(spark, sf_dir):
+    """G1: point-in-circle membership on derived coordinates (same
+    closed-form lat/lon derivation on both sides; spatial4j Earth
+    radius)."""
+    cust = tables(spark, sf_dir)["customer"]
+    lat = (F.col("c_custkey") % 120) - 60 + F.lit(0.25)
+    lon = (F.col("c_custkey") % 300) - 150 + F.lit(0.25)
+    return (
+        cust.select(F.col("c_custkey").cast("long").alias("key"), lat.alias("lat"), lon.alias("lon"))
+        .filter(geo_within_circle("lat", "lon", 10.0, 10.0, 3500.0))
+        .select("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events / time (SURVEY §2.8 batch analog)
+
+
+def q_events_hourly(spark, sf_dir):
+    """Hourly rollup of the events stream table (batch view of the
+    windowed agg; the streaming path is titan_spark.streaming)."""
+    ev = tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = tables(spark, sf_dir)["documents"]
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(tables(spark, sf_dir)["documents"])
+
+
+def q_doc_quality(spark, sf_dir):
+    return doc_quality(tables(spark, sf_dir)["documents"]).select(
+        "doc_id", "n_chars", "n_tokens", "quality_score"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(tables(spark, sf_dir)["documents"])
+
+
+def q_fingerprint_distinct(spark, sf_dir):
+    """Normalized-token-stream fingerprint cardinality."""
+    docs = tables(spark, sf_dir)["documents"]
+    from titan_spark.functions.text import tokenize
+
+    return docs.agg(
+        F.countDistinct(F.concat_ws(" ", tokenize(F.col("text")))).alias("n_fingerprints")
+    )
+
+
+def q_jaccard_dup_pairs(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard near-dup detection (validation
+    scale; the LSH path below is the 100-TB route)."""
+    docs = tables(spark, sf_dir)["documents"]
+    ids = docs.select(F.col("doc_id"))
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    j = jaccard_pairs(docs, pairs)
+    return j.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates verified by exact Jaccard.
+
+    No SQL oracle (hash-seed-dependent banding) — driver records the
+    weaker rows-only check; q_jaccard_dup_pairs is the exact twin.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    sigs = minhash_signatures(docs)
+    cands = lsh_candidate_pairs(sigs, num_hashes=32)
+    j = jaccard_pairs(docs, cands)
+    return j.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against a fixed query vector (ANN
+    baseline). Query vector = embedding of vec_id 0, fetched via a
+    broadcast cross join (no collect)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    from titan_spark.pipeline.similarity import cosine_similarity
+
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+
+
+ORACLE_SQL: dict[str, str] = {
+    "point_lookup": """
+        SELECT c_name AS name, c_acctbal AS acctbal
+        FROM customer WHERE c_custkey = 42
+    """,
+    "scan_filter_order_limit": """
+        SELECT CAST(c_custkey AS BIGINT) AS key, c_name AS name, c_acctbal AS acctbal
+        FROM customer WHERE c_acctbal > 5000
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    """,
+    "pred_within": """
+        SELECT c_mktsegment AS mktsegment, count(*) AS count
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1
+    """,
+    "pred_interval": """
+        SELECT count(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_total
+        FROM orders WHERE o_totalprice >= 10000 AND o_totalprice < 50000
+    """,
+    "hop_order_count": """
+        SELECT CAST(c_custkey AS BIGINT) AS custkey, count(*) AS count
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    "two_hop_revenue": """
+        SELECT l_returnflag AS returnflag, count(*) AS n,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+        GROUP BY 1
+    """,
+    "semi_join_exists": """
+        SELECT count(DISTINCT c_custkey) AS n
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        WHERE o_totalprice > 100000
+    """,
+    "three_hop_region": """
+        SELECT r_name AS name, count(*) AS count
+        FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY 1
+    """,
+    "topk_per_vertex": """
+        SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+               l_extendedprice AS extendedprice
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_extendedprice DESC, l_linenumber
+                   ) AS rn
+            FROM lineitem
+        ) WHERE rn <= 2
+    """,
+    "degree_part": """
+        SELECT CAST(l_partkey AS BIGINT) AS partkey, count(*) AS count
+        FROM lineitem GROUP BY 1
+    """,
+    "union_dedup_nations": """
+        SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS key, n_name AS name
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+    """,
+    "both_degree_nation": """
+        SELECT CAST(n.n_nationkey AS BIGINT) AS nationkey,
+               1 + COALESCE(c.cnt, 0) + COALESCE(s.cnt, 0) AS count
+        FROM nation n
+        LEFT JOIN (SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1) c
+               ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN (SELECT s_nationkey, count(*) AS cnt FROM supplier GROUP BY 1) s
+               ON s.s_nationkey = n.n_nationkey
+    """,
+    "agg_pricing_summary": """
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base,
+               count(*) AS n
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2
+    """,
+    "text_contains": f"""
+        SELECT doc_id FROM documents
+        WHERE len(list_filter({_toks()}, t -> t = 'spark')) > 0
+          AND len(list_filter({_toks()}, t -> t = 'join')) > 0
+    """,
+    "text_contains_prefix": f"""
+        SELECT doc_id FROM documents
+        WHERE len(list_filter({_toks()}, t -> t LIKE 'agg%')) > 0
+    """,
+    "text_contains_regex": f"""
+        SELECT doc_id FROM documents
+        WHERE len(list_filter({_toks()}, t -> regexp_full_match(t, 'qu.ry'))) > 0
+    """,
+    "geo_within": """
+        WITH pts AS (
+            SELECT CAST(c_custkey AS BIGINT) AS key,
+                   (c_custkey % 120) - 60 + 0.25 AS lat,
+                   (c_custkey % 300) - 150 + 0.25 AS lon
+            FROM customer
+        )
+        SELECT key FROM pts
+        WHERE 2 * 6371.0087714 * asin(sqrt(
+                pow(sin((radians(10.0) - radians(lat)) / 2), 2)
+                + cos(radians(lat)) * cos(radians(10.0))
+                  * pow(sin((radians(10.0) - radians(lon)) / 2), 2)
+              )) <= 3500.0
+    """,
+    "events_hourly": """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "dedup_exact": """
+        SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct FROM documents
+    """,
+    "token_stats": f"""
+        WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+               ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                     / GREATEST(len(toks), 1), 4) AS avg_token_len
+        FROM t
+    """,
+    "doc_quality": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_toks()} AS toks,
+                   length(text) AS n_chars,
+                   length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum
+            FROM documents
+        ), f AS (
+            SELECT doc_id, n_chars,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                       / GREATEST(len(toks), 1) AS stop_ratio,
+                   CAST(n_chars - n_alnum AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1) AS uniq_ratio
+            FROM t
+        )
+        SELECT doc_id, CAST(n_chars AS INT) AS n_chars, n_tokens,
+               ROUND(LEAST(n_tokens / 64.0, 1.0) * 0.4 + uniq_ratio * 0.3
+                     + (1.0 - punct_ratio) * 0.2 + stop_ratio * 0.1, 4) AS quality_score
+        FROM f
+    """,
+    "lang_id": f"""
+        WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+        h AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS INT) AS en,
+                   CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS INT) AS es,
+                   CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS INT) AS fr,
+                   CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS INT) AS de
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+                    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                    WHEN en >= es AND en >= fr THEN 'en'
+                    WHEN es >= fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred,
+               GREATEST(en, es, fr, de) AS lang_hits
+        FROM h
+    """,
+    "fingerprint_distinct": f"""
+        SELECT count(DISTINCT array_to_string({_toks()}, ' ')) AS n_fingerprints
+        FROM documents
+    """,
+    "jaccard_dup_pairs": f"""
+        WITH t AS (
+            SELECT doc_id, {_toks()} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, GREATEST(CAST(len(toks) AS INT) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                   )) AS sh
+            FROM t
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
+    """,
+    "cosine_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT vec_id,
+                   ROUND(
+                       list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))), 6
+                   ) AS cosine
+            FROM embeddings, q WHERE vec_id <> 0
+        )
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+}
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "point_lookup": q_point_lookup,
+    "scan_filter_order_limit": q_scan_filter_order_limit,
+    "pred_within": q_pred_within,
+    "pred_interval": q_pred_interval,
+    "hop_order_count": q_hop_order_count,
+    "two_hop_revenue": q_two_hop_revenue,
+    "semi_join_exists": q_semi_join_exists,
+    "three_hop_region": q_three_hop_region,
+    "topk_per_vertex": q_topk_per_vertex,
+    "degree_part": q_degree_part,
+    "union_dedup_nations": q_union_dedup_nations,
+    "both_degree_nation": q_both_degree_nation,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "text_contains": q_text_contains,
+    "text_contains_prefix": q_text_contains_prefix,
+    "text_contains_regex": q_text_contains_regex,
+    "geo_within": q_geo_within,
+    "events_hourly": q_events_hourly,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "doc_quality": q_doc_quality,
+    "lang_id": q_lang_id,
+    "fingerprint_distinct": q_fingerprint_distinct,
+    "jaccard_dup_pairs": q_jaccard_dup_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,  # rows-only (no oracle)
+    "cosine_topk": q_cosine_topk,
+}
+
+
+def entry_query(spark: SparkSession) -> DataFrame:
+    """Flagship smoke query at sf0.001 (driver contract)."""
+    return q_two_hop_revenue(spark, "/root/testdata/sf0.001")
