@@ -1,0 +1,164 @@
+"""BSP compute tests against the reference's closed-form oracles.
+
+Fixtures follow FIXTURES.md F4 / OLAPTest.java:
+- PageRank: complete 6-ary tree of depth 5 (9331 vertices), edges
+  child→parent, closed-form per-depth PR (OLAPTest.java:511-535).
+- Shortest distance: deterministic weighted tree, expected distances
+  computed during generation.
+- Degree counting: vertex i has out-degree uid=i+1
+  (OLAPTest.java:61-89, 194-219).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from titan_spark.compute import aggregate_messages, degree_count, pagerank, shortest_distance
+from titan_spark.graph import PropertyGraph
+
+BRANCH, DIAMETER = 6, 5
+
+
+@pytest.fixture(scope="module")
+def pr_tree(spark):
+    vertices = [(0, 0)]  # (id, depth)
+    edges = []
+    frontier = [0]
+    next_id = 1
+    for depth in range(1, DIAMETER + 1):
+        new_frontier = []
+        for parent in frontier:
+            for _ in range(BRANCH):
+                vid = next_id
+                next_id += 1
+                vertices.append((vid, depth))
+                edges.append((len(edges) + 1, vid, parent))  # child -> parent
+                new_frontier.append(vid)
+        frontier = new_frontier
+    v = spark.createDataFrame(vertices, "id long, distance int").withColumn(
+        "label", F.lit("node")
+    )
+    e = spark.createDataFrame(edges, "edge_id long, src long, dst long").withColumn(
+        "label", F.lit("knows")
+    )
+    return PropertyGraph(v, e)
+
+
+def test_pagerank_closed_form(pr_tree):
+    n = (BRANCH ** (DIAMETER + 1) - 1) // (BRANCH - 1)
+    assert pr_tree.vertices.count() == n
+    alpha = 0.85
+    correct = [0.0] * (DIAMETER + 1)
+    for i in range(DIAMETER, -1, -1):
+        pr = (1.0 - alpha) / n
+        if i < DIAMETER:
+            pr += alpha * BRANCH * correct[i + 1]
+        correct[i] = pr
+
+    ranks = pagerank(pr_tree, alpha=alpha, iterations=10)
+    got = (
+        ranks.join(pr_tree.vertices.select("id", "distance"), "id")
+        .groupBy("distance")
+        .agg(F.avg("pagerank").alias("pr"), F.sum("pagerank").alias("s"))
+        .collect()
+    )
+    by_depth = {r["distance"]: r for r in got}
+    computed_sum = sum(r["s"] for r in got)
+    correct_sum = sum(
+        correct[d] * (BRANCH**d) for d in range(DIAMETER + 1)
+    )
+    assert abs(computed_sum - correct_sum) < 1e-3  # OLAPTest tolerance
+    for d in range(DIAMETER + 1):
+        assert by_depth[d]["pr"] == pytest.approx(correct[d], rel=1e-2)
+
+
+@pytest.fixture(scope="module")
+def sssp_tree(spark):
+    # deterministic weighted tree: node k's weight to parent = (k % 3) + 1
+    vertices = [(0,)]
+    edges = []
+    expected = {0: 0.0}
+    frontier = [0]
+    next_id = 1
+    for _depth in range(4):
+        new_frontier = []
+        for parent in frontier:
+            for _ in range(3):
+                vid = next_id
+                next_id += 1
+                w = (vid % 3) + 1
+                vertices.append((vid,))
+                edges.append((len(edges) + 1, parent, vid, float(w)))  # parent -> child
+                expected[vid] = expected[parent] + w
+                new_frontier.append(vid)
+        frontier = new_frontier
+    v = spark.createDataFrame(vertices, "id long").withColumn("label", F.lit("node"))
+    e = spark.createDataFrame(edges, "edge_id long, src long, dst long, weight double").withColumn(
+        "label", F.lit("connect")
+    )
+    return PropertyGraph(v, e), expected
+
+
+def test_shortest_distance_exact(sssp_tree):
+    g, expected = sssp_tree
+    dist = shortest_distance(g, seed_id=0, weight_col="weight", direction="out")
+    got = {r["id"]: r["distance"] for r in dist.collect()}
+    assert got == expected
+
+
+def test_shortest_distance_unreachable(spark):
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long").withColumn("label", F.lit("n"))
+    e = spark.createDataFrame([(1, 1, 2)], "edge_id long, src long, dst long").withColumn(
+        "label", F.lit("x")
+    )
+    g = PropertyGraph(v, e)
+    got = {r["id"]: r["distance"] for r in shortest_distance(g, seed_id=1).collect()}
+    assert got[1] == 0.0 and got[2] == 1.0 and got[3] is None
+
+
+@pytest.fixture(scope="module")
+def degree_graph(spark):
+    # vertex i (0-based) has uid=i+1 and exactly i+1 out edges (OLAPTest F4a)
+    num_v = 50
+    vertices = [(i, i + 1) for i in range(num_v)]
+    edges = []
+    eid = 0
+    for i in range(num_v):
+        for k in range(i + 1):
+            eid += 1
+            edges.append((eid, i, (i * 7 + k * 13) % num_v))  # deterministic targets
+    v = spark.createDataFrame(vertices, "id long, uid int").withColumn("label", F.lit("node"))
+    e = spark.createDataFrame(edges, "edge_id long, src long, dst long").withColumn(
+        "label", F.lit("knows")
+    )
+    return PropertyGraph(v, e)
+
+
+def test_degree_counting(degree_graph):
+    num_v = 50
+    out = degree_count(degree_graph, "out")
+    rows = out.join(degree_graph.vertices, "id").select("uid", "degree").collect()
+    for r in rows:
+        assert r["degree"] == r["uid"]  # out-degree(v) == uid(v)
+    total = out.agg(F.sum("degree")).collect()[0][0]
+    assert total == num_v * (num_v + 1) // 2
+
+
+def test_aggregate_messages_weighted_sum(degree_graph):
+    # messages: every edge sends uid(src) to dst; agg = sum
+    msgs = aggregate_messages(
+        degree_graph.vertices,
+        degree_graph.edges,
+        agg=F.sum("msg").alias("total"),
+        msg_to_dst=F.col("src.uid").cast("long"),
+    )
+    # cross-check against a plain relational formulation
+    expected = (
+        degree_graph.edges.join(
+            degree_graph.vertices.select(F.col("id").alias("src"), "uid"), "src"
+        )
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("uid").alias("total"))
+    )
+    got = {r["id"]: r["total"] for r in msgs.collect()}
+    exp = {r["id"]: r["total"] for r in expected.collect()}
+    assert got == exp

@@ -376,6 +376,51 @@ def q_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# OLAP / BSP compute (SURVEY §2.9)
+
+
+def _geo_subgraph(spark, sf_dir):
+    """customer/supplier → nation → region subgraph (DAG, depth 2)."""
+    g = graph(spark, sf_dir)
+    v = g.vertices.filter(F.col("label").isin(["customer", "supplier", "nation", "region"]))
+    e = g.edges.filter(F.col("label").isin(["in_nation", "in_region"]))
+    return PropertyGraph(v, e)
+
+
+def q_pagerank(spark, sf_dir):
+    """C4: PageRank (reference semantics: (1-α)/N + α·Σ pr/outdeg, no
+    dangling redistribution) on the geography DAG; 3 iterations reach
+    the fixpoint on a depth-2 DAG."""
+    from titan_spark.compute import pagerank
+
+    sub = _geo_subgraph(spark, sf_dir)
+    pr = pagerank(sub, alpha=0.85, iterations=3)
+    return pr.select("id", F.round("pagerank", 12).alias("pagerank"))
+
+
+def q_shortest_distance(spark, sf_dir):
+    """C5: single-source shortest distance from region 0, traversing
+    edges in reverse (region → nations → customers/suppliers)."""
+    from titan_spark.compute import shortest_distance
+
+    sub = _geo_subgraph(spark, sf_dir)
+    d = shortest_distance(sub, seed_id=OFF["region"] + 0, direction="in")
+    return d.select("id", "distance")
+
+
+def q_degree_out_customer(spark, sf_dir):
+    """A4 via the compute API: out-degree of every customer vertex
+    (orders placed + the nation edge), zero-degree included."""
+    from titan_spark.compute import degree_count
+
+    g = graph(spark, sf_dir)
+    deg = degree_count(g, "out")
+    return deg.filter(
+        (F.col("id") >= OFF["customer"]) & (F.col("id") < OFF["supplier"])
+    ).select("id", F.col("degree").cast("long").alias("degree"))
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 
 
@@ -569,6 +614,79 @@ ORACLE_SQL: dict[str, str] = {
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
     """,
+    "pagerank": """
+        WITH verts AS (
+            SELECT CAST(100000000 + c_custkey AS BIGINT) AS id FROM customer
+            UNION ALL SELECT CAST(200000000 + s_suppkey AS BIGINT) FROM supplier
+            UNION ALL SELECT CAST(500000000 + n_nationkey AS BIGINT) FROM nation
+            UNION ALL SELECT CAST(600000000 + r_regionkey AS BIGINT) FROM region
+        ),
+        e AS (
+            SELECT CAST(100000000 + c_custkey AS BIGINT) AS src,
+                   CAST(500000000 + c_nationkey AS BIGINT) AS dst FROM customer
+            UNION ALL
+            SELECT CAST(200000000 + s_suppkey AS BIGINT),
+                   CAST(500000000 + s_nationkey AS BIGINT) FROM supplier
+            UNION ALL
+            SELECT CAST(500000000 + n_nationkey AS BIGINT),
+                   CAST(600000000 + n_regionkey AS BIGINT) FROM nation
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+        r0 AS (SELECT id, 1.0 / n AS pr FROM verts, nv),
+        r1 AS (
+            SELECT v.id, (1 - 0.85) / nv.n + 0.85 * COALESCE(m.s, 0) AS pr
+            FROM verts v CROSS JOIN nv
+            LEFT JOIN (SELECT e.dst AS id, SUM(r.pr / d.outdeg) AS s
+                       FROM e JOIN r0 r ON r.id = e.src
+                       JOIN deg d ON d.src = e.src GROUP BY 1) m ON m.id = v.id
+        ),
+        r2 AS (
+            SELECT v.id, (1 - 0.85) / nv.n + 0.85 * COALESCE(m.s, 0) AS pr
+            FROM verts v CROSS JOIN nv
+            LEFT JOIN (SELECT e.dst AS id, SUM(r.pr / d.outdeg) AS s
+                       FROM e JOIN r1 r ON r.id = e.src
+                       JOIN deg d ON d.src = e.src GROUP BY 1) m ON m.id = v.id
+        ),
+        r3 AS (
+            SELECT v.id, (1 - 0.85) / nv.n + 0.85 * COALESCE(m.s, 0) AS pr
+            FROM verts v CROSS JOIN nv
+            LEFT JOIN (SELECT e.dst AS id, SUM(r.pr / d.outdeg) AS s
+                       FROM e JOIN r2 r ON r.id = e.src
+                       JOIN deg d ON d.src = e.src GROUP BY 1) m ON m.id = v.id
+        )
+        SELECT id, ROUND(pr, 12) AS pagerank FROM r3
+    """,
+    "shortest_distance": """
+        WITH verts AS (
+            SELECT CAST(100000000 + c_custkey AS BIGINT) AS id FROM customer
+            UNION ALL SELECT CAST(200000000 + s_suppkey AS BIGINT) FROM supplier
+            UNION ALL SELECT CAST(500000000 + n_nationkey AS BIGINT) FROM nation
+            UNION ALL SELECT CAST(600000000 + r_regionkey AS BIGINT) FROM region
+        ),
+        d AS (
+            SELECT CAST(600000000 AS BIGINT) AS id, 0.0 AS distance
+            UNION ALL
+            SELECT CAST(500000000 + n_nationkey AS BIGINT), 1.0
+            FROM nation WHERE n_regionkey = 0
+            UNION ALL
+            SELECT CAST(100000000 + c_custkey AS BIGINT), 2.0
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            WHERE n_regionkey = 0
+            UNION ALL
+            SELECT CAST(200000000 + s_suppkey AS BIGINT), 2.0
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            WHERE n_regionkey = 0
+        )
+        SELECT v.id, d.distance FROM verts v LEFT JOIN d ON d.id = v.id
+    """,
+    "degree_out_customer": """
+        SELECT CAST(100000000 + c_custkey AS BIGINT) AS id,
+               1 + COALESCE(o.cnt, 0) AS degree
+        FROM customer
+        LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+               ON o.o_custkey = c_custkey
+    """,
     "cosine_topk": """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         scored AS (
@@ -613,6 +731,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_dup_pairs": q_jaccard_dup_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,  # rows-only (no oracle)
     "cosine_topk": q_cosine_topk,
+    "pagerank": q_pagerank,
+    "shortest_distance": q_shortest_distance,
+    "degree_out_customer": q_degree_out_customer,
 }
 
 
