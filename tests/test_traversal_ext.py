@@ -1,0 +1,53 @@
+"""Branch/filter step extensions: union, choose, where, not, path."""
+
+from pyspark.sql import functions as F
+
+from titan_spark.operators.traversal import P
+
+
+def test_union_step(gods):
+    f = gods.V().has("name", "hercules").out("father")
+    m = gods.V().has("name", "hercules").out("mother")
+    names = sorted(r["name"] for r in f.union_(m).values("name").collect())
+    assert names == ["alcmene", "jupiter"]
+
+
+def test_choose_step(gods):
+    # gods -> father hop; others stay put (identity branch)
+    t = gods.V().choose(
+        F.col("label") == "demigod",
+        lambda x: x.out("father"),
+    )
+    # hercules routed through father (jupiter); everyone else unchanged
+    assert t.count_value() == 12  # 11 identity + 1 father target
+    assert t.has("name", "jupiter").count_value() == 2  # itself + via hercules
+
+
+def test_where_subtraversal(gods):
+    # vertices having at least one battled edge with time > 1
+    t = gods.V().where_(lambda x: x.outE("battled").has("time", P.gt(1)))
+    assert [r["name"] for r in t.values("name").collect()] == ["hercules"]
+
+
+def test_not_subtraversal(gods):
+    # gods that do NOT live anywhere
+    t = gods.V().has_label("god").not_(lambda x: x.outE("lives"))
+    assert t.count_value() == 0  # all three gods live somewhere
+    t2 = gods.V().has_label("monster").not_(lambda x: x.outE("lives"))
+    assert sorted(r["name"] for r in t2.values("name").collect()) == ["hydra", "nemean"]
+
+
+def test_path_ids(gods):
+    t = gods.V().has("name", "hercules").as_("a").out("father").as_("b").out("father")
+    df = t.to_df(t.path_ids("a", "b").alias("path"))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["path"] == [6, 4, 1]  # hercules -> jupiter -> saturn
+
+
+def test_bag_semantics_preserved(gods):
+    # jupiter and neptune are both brothers of pluto twice over (two
+    # directed edges each way); out+in traversers must not collapse
+    t = gods.V().has("name", "pluto").both("brother")
+    assert t.count_value() == 4  # 2 out + 2 in
+    assert t.dedup().count_value() == 2

@@ -254,6 +254,56 @@ class GraphTraversal:
             t = step(t)
         return t
 
+    # --------------------------------------------------- branch/filter steps
+    def union_(self, *others: "GraphTraversal") -> "GraphTraversal":
+        """Gremlin ``union``: bag-union of traverser streams (§2.10)."""
+        df = self._df
+        for o in others:
+            if o.kind != self.kind:
+                raise ValueError("union_ requires same-kind traversals")
+            df = df.unionByName(o._df, allowMissingColumns=True)
+        return self._with(df)
+
+    def choose(
+        self,
+        condition: Column,
+        if_true: Callable[["GraphTraversal"], "GraphTraversal"],
+        if_false: Callable[["GraphTraversal"], "GraphTraversal"] | None = None,
+    ) -> "GraphTraversal":
+        """Gremlin ``choose(pred, a, b)``: route each traverser through
+        one branch; compiled as union of the two filtered branches
+        (when/otherwise at plan level)."""
+        t = if_true(self.filter_(condition))
+        f = (
+            if_false(self.filter_(~condition | condition.isNull()))
+            if if_false
+            else self.filter_(~condition | condition.isNull())
+        )
+        if t.kind != f.kind:
+            raise ValueError("choose branches must end on the same element kind")
+        return t.union_(f)
+
+    def where_(self, fn: Callable[["GraphTraversal"], "GraphTraversal"]) -> "GraphTraversal":
+        """Gremlin ``where(subtraversal)``: keep traversers whose
+        subtraversal is non-empty — a left-semi join (§2.10)."""
+        self._require("V", "where_")
+        sub = fn(self.as_("__w"))
+        keep = sub._df.select(F.col("_t___w.id").alias("id")).dropDuplicates()
+        return self._with(self._df.join(keep, "id", "left_semi"))
+
+    def not_(self, fn: Callable[["GraphTraversal"], "GraphTraversal"]) -> "GraphTraversal":
+        """Gremlin ``not(subtraversal)``: anti-join complement of where_."""
+        self._require("V", "not_")
+        sub = fn(self.as_("__w"))
+        drop = sub._df.select(F.col("_t___w.id").alias("id")).dropDuplicates()
+        return self._with(self._df.join(drop, "id", "left_anti"))
+
+    def path_ids(self, *tag_names: str) -> Column:
+        """Path back-reference: array of element ids along tagged hops +
+        the current element (§2.10 ``path``)."""
+        cols = [F.col(f"_t_{t}.id") for t in tag_names] + [F.col(self._id_col())]
+        return F.array(*cols)
+
     # ------------------------------------------------------------- tags/path
     def as_(self, name: str) -> "GraphTraversal":
         """Tag the current element for later back-reference (§2.10

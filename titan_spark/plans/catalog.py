@@ -375,6 +375,66 @@ def q_cosine_topk(spark, sf_dir):
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
 
 
+def q_choose_branch(spark, sf_dir):
+    """§2.10 choose: negative-balance customers hop to their nation,
+    others stay; bag-semantics group count by resulting label."""
+    t = graph(spark, sf_dir).V().has_label("customer").choose(
+        F.col("acctbal") < 0, lambda x: x.out("in_nation")
+    )
+    return t.group_count("label")
+
+
+def q_where_exists_twohop(spark, sf_dir):
+    """§2.10 where(subtraversal): customers with ≥1 lineitem shipped
+    after 1997-06-01, two hops down."""
+    t = (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .where_(
+            lambda x: x.out("placed").outE("contains").has("shipdate", P.gt("1997-06-01"))
+        )
+    )
+    return t.values("key")
+
+
+def q_path_strings(spark, sf_dir):
+    """§2.10 path: 2-hop paths from customer 7 as id strings
+    (customer > order > contains-edge), reproducible in SQL from the
+    deterministic id scheme."""
+    t = (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("key", 7)
+        .as_("c")
+        .out("placed")
+        .as_("o")
+        .outE("contains")
+    )
+    return t.to_df(F.concat_ws(">", t.path_ids("c", "o")).alias("path"))
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization over the events table (lag-gap > 30 min starts a
+    new session) — the batch twin of streaming session windows."""
+    from pyspark.sql import Window
+
+    ev = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_us", F.lag(F.unix_micros(F.col("ts"))).over(w))
+    new_sess = F.when(
+        F.col("prev_us").isNull()
+        | ((F.unix_micros(F.col("ts")) - F.col("prev_us")) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        lagged.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # OLAP / BSP compute (SURVEY §2.9)
 
@@ -614,6 +674,43 @@ ORACLE_SQL: dict[str, str] = {
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
     """,
+    "choose_branch": """
+        SELECT CASE WHEN c_acctbal < 0 THEN 'nation' ELSE 'customer' END AS label,
+               count(*) AS count
+        FROM customer GROUP BY 1
+    """,
+    "where_exists_twohop": """
+        SELECT CAST(c_custkey AS BIGINT) AS key
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o JOIN lineitem l ON l_orderkey = o_orderkey
+            WHERE o.o_custkey = c.c_custkey
+              AND l.l_shipdate > TIMESTAMP '1997-06-01'
+        )
+    """,
+    "path_strings": """
+        SELECT CAST(100000000 + c_custkey AS BIGINT) || '>'
+               || CAST(400000000 + o_orderkey AS BIGINT) || '>'
+               || CAST(2000000000 + l_orderkey * 8 + l_linenumber AS BIGINT) AS path
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_custkey = 7
+    """,
+    "sessionize_events": """
+        WITH lagged AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM lagged GROUP BY 1
+    """,
     "pagerank": """
         WITH verts AS (
             SELECT CAST(100000000 + c_custkey AS BIGINT) AS id FROM customer
@@ -734,6 +831,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "shortest_distance": q_shortest_distance,
     "degree_out_customer": q_degree_out_customer,
+    "choose_branch": q_choose_branch,
+    "where_exists_twohop": q_where_exists_twohop,
+    "path_strings": q_path_strings,
+    "sessionize_events": q_sessionize_events,
 }
 
 
