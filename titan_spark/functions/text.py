@@ -34,15 +34,19 @@ def _query_tokens(query: str) -> list[str]:
 
 
 def text_contains(col: Column | str, query: str) -> Column:
-    """Text.CONTAINS: every token of `query` appears as a token of col."""
-    toks = _query_tokens(query)
+    """Text.CONTAINS: every token of `query` appears as a token of col.
+
+    Expressed as one ``array_intersect`` so the column tokenizes once
+    per row — a conjunction of ``array_contains`` re-evaluates the
+    tokenizer per query token (expression inlining).
+    """
+    toks = sorted(set(_query_tokens(query)))
     if not toks:
         return F.lit(False)
-    arr = tokenize(col)
-    cond = F.array_contains(arr, toks[0])
-    for t in toks[1:]:
-        cond = cond & F.array_contains(arr, t)
-    return cond
+    if len(toks) == 1:
+        return F.array_contains(tokenize(col), toks[0])
+    qarr = F.array(*[F.lit(t) for t in toks])
+    return F.size(F.array_intersect(tokenize(col), qarr)) == len(toks)
 
 
 def text_contains_prefix(col: Column | str, prefix: str) -> Column:

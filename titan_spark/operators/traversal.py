@@ -46,11 +46,28 @@ _META_COLS = ("_origin", "_other", "_dir")
 class GraphTraversal:
     """Immutable traversal; every step returns a new GraphTraversal."""
 
-    def __init__(self, graph, df: DataFrame, kind: str, order_specs=()):
+    def __init__(
+        self, graph, df: DataFrame, kind: str, order_specs=(), edge_labels=None,
+        vertex_labels: tuple[str, ...] | None = None,
+    ):
         self.graph = graph
         self._df = df
         self.kind = kind  # 'V' | 'E'
         self._order_specs = tuple(order_specs)
+        # on an E frontier: the label restriction + direction of the
+        # expansion, used with schema endpoint metadata to prune
+        # vertex-side hop scans
+        if isinstance(edge_labels, tuple) and len(edge_labels) == 2 and (
+            edge_labels[1] in ("out", "in", "both", None)
+        ) and (edge_labels[0] is None or isinstance(edge_labels[0], tuple)):
+            self._edge_labels, self._edge_dir = edge_labels
+        else:
+            self._edge_labels = edge_labels
+            self._edge_dir = None
+        # on a V frontier: known label restriction of the current
+        # vertices (None = unknown) — used to prune edge-union branches
+        # via the src_label/dst_label metadata columns
+        self._vertex_labels = vertex_labels
 
     # ------------------------------------------------------------------ ctor
     @staticmethod
@@ -65,12 +82,21 @@ class GraphTraversal:
         return GraphTraversal(graph, e, "E")
 
     # ------------------------------------------------------------- utilities
-    def _with(self, df: DataFrame, kind: str | None = None, order_specs=None) -> "GraphTraversal":
+    def _with(
+        self,
+        df: DataFrame,
+        kind: str | None = None,
+        order_specs=None,
+        edge_labels=_NOTSET,
+        vertex_labels=_NOTSET,
+    ) -> "GraphTraversal":
         return GraphTraversal(
             self.graph,
             df,
             kind or self.kind,
             self._order_specs if order_specs is None else order_specs,
+            self._edge_labels if edge_labels is _NOTSET else edge_labels,
+            self._vertex_labels if vertex_labels is _NOTSET else vertex_labels,
         )
 
     def _tag_cols(self) -> list[str]:
@@ -121,9 +147,13 @@ class GraphTraversal:
 
     def has_label(self, *labels: str) -> "GraphTraversal":
         """Label restriction — OR over types (P7)."""
-        if len(labels) == 1:
-            return self._with(self._df.filter(F.col("label") == labels[0]))
-        return self._with(self._df.filter(F.col("label").isin(list(labels))))
+        cond = (
+            F.col("label") == labels[0]
+            if len(labels) == 1
+            else F.col("label").isin(list(labels))
+        )
+        vl = tuple(sorted(labels)) if self.kind == "V" else _NOTSET
+        return self._with(self._df.filter(cond), vertex_labels=vl)
 
     def has_id(self, *ids: int) -> "GraphTraversal":
         idc = F.col(self._id_col())
@@ -178,17 +208,28 @@ class GraphTraversal:
             else:
                 e = e.filter(F.col("label").isin(list(labels)))
         e = e.alias("e")
+        # frontier-label pruning: if the current vertex labels are known
+        # and edges carry endpoint-label metadata columns, branches whose
+        # sender side cannot match constant-fold away at plan time
+        vl = self._vertex_labels
+        have_meta = "src_label" in self.graph.edges.columns
         parts = []
         if direction in ("out", "both"):
+            e_out = e
+            if vl and have_meta:
+                e_out = e.filter(F.col("src_label").isin(list(vl))).alias("e")
             parts.append(
-                fr.join(e, F.col("f._origin") == F.col("e.src"))
+                fr.join(e_out, F.col("f._origin") == F.col("e.src"))
                 .select("e.*", "f._origin", *[F.col(f"f.{t}") for t in tags])
                 .withColumn("_other", F.col("dst"))
                 .withColumn("_dir", F.lit("OUT"))
             )
         if direction in ("in", "both"):
+            e_in = e
+            if vl and have_meta:
+                e_in = e.filter(F.col("dst_label").isin(list(vl))).alias("e")
             parts.append(
-                fr.join(e, F.col("f._origin") == F.col("e.dst"))
+                fr.join(e_in, F.col("f._origin") == F.col("e.dst"))
                 .select("e.*", "f._origin", *[F.col(f"f.{t}") for t in tags])
                 .withColumn("_other", F.col("src"))
                 .withColumn("_dir", F.lit("IN"))
@@ -199,42 +240,70 @@ class GraphTraversal:
         return out
 
     def outE(self, *labels: str) -> "GraphTraversal":
-        return self._with(self._edge_expand("out", labels), "E")
+        return self._with(self._edge_expand("out", labels), "E", edge_labels=(labels or None, "out"))
 
     def inE(self, *labels: str) -> "GraphTraversal":
-        return self._with(self._edge_expand("in", labels), "E")
+        return self._with(self._edge_expand("in", labels), "E", edge_labels=(labels or None, "in"))
 
     def bothE(self, *labels: str) -> "GraphTraversal":
         """Self-loops appear once per orientation → twice total (U4)."""
-        return self._with(self._edge_expand("both", labels), "E")
+        return self._with(self._edge_expand("both", labels), "E", edge_labels=(labels or None, "both"))
 
     def _vertex_join(self, endpoint_col: str) -> DataFrame:
         self._require("E", endpoint_col)
         tags = self._tag_cols()
         ef = self._df.select(F.col(endpoint_col).alias("_vid"), *tags).alias("e")
-        v = self.graph.vertices.alias("v")
-        return ef.join(v, F.col("e._vid") == F.col("v.id")).select(
+        v = self.graph.vertices
+        # schema-driven scan pruning: a hop over edge label L only needs
+        # the vertex labels L can reach on this side (SURVEY §4.2 —
+        # replaces Titan's per-label adjacency locality at plan time)
+        if endpoint_col == "dst":
+            side = "dst"
+        elif endpoint_col == "src":
+            side = "src"
+        elif endpoint_col == "_other" and self._edge_dir in ("out", "in"):
+            side = "dst" if self._edge_dir == "out" else "src"
+        elif endpoint_col == "_origin" and self._edge_dir in ("out", "in"):
+            side = "src" if self._edge_dir == "out" else "dst"
+        else:
+            side = "both"
+        cand = self.graph.schema.endpoint_labels(self._edge_labels, side)
+        if cand is not None:
+            v = v.filter(
+                F.col("label") == cand[0] if len(cand) == 1 else F.col("label").isin(list(cand))
+            )
+        v = v.alias("v")
+        joined = ef.join(v, F.col("e._vid") == F.col("v.id")).select(
             "v.*", *[F.col(f"e.{t}") for t in tags]
         )
+        self._last_endpoint_labels = cand
+        return joined
 
     def inV(self) -> "GraphTraversal":
-        return self._with(self._vertex_join("dst"), "V")
+        df = self._vertex_join("dst")
+        return self._with(df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels)
 
     def outV(self) -> "GraphTraversal":
-        return self._with(self._vertex_join("src"), "V")
+        df = self._vertex_join("src")
+        return self._with(df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels)
 
     def otherV(self) -> "GraphTraversal":
-        return self._with(self._vertex_join("_other"), "V")
+        df = self._vertex_join("_other")
+        return self._with(df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels)
 
     def originV(self) -> "GraphTraversal":
         """Back to the hop's origin vertex (Titan keeps the incident
         vertex implicitly; useful after edge-level filtering)."""
-        return self._with(self._vertex_join("_origin"), "V")
+        df = self._vertex_join("_origin")
+        return self._with(df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels)
 
     def bothV(self) -> "GraphTraversal":
         self._require("E", "bothV")
         return self._with(
-            self._vertex_join("src").unionByName(self._vertex_join("dst")), "V"
+            self._vertex_join("src").unionByName(self._vertex_join("dst")),
+            "V",
+            edge_labels=None,
+            vertex_labels=None,
         )
 
     def out(self, *labels: str) -> "GraphTraversal":
@@ -262,7 +331,7 @@ class GraphTraversal:
             if o.kind != self.kind:
                 raise ValueError("union_ requires same-kind traversals")
             df = df.unionByName(o._df, allowMissingColumns=True)
-        return self._with(df)
+        return self._with(df, edge_labels=None, vertex_labels=None)
 
     def choose(
         self,

@@ -57,6 +57,13 @@ class EdgeLabelDef:
     ttl_seconds: int | None = None
     sort_key: tuple[str, ...] = ()
     sort_desc: bool = False
+    # endpoint vertex-label constraints (empty = unconstrained). The
+    # traversal compiler uses these to prune the vertex-side scan of a
+    # hop join to the reachable labels — the plan-time analog of
+    # Titan's per-label adjacency slices (a hop over label L only
+    # touches the vertex tables L can reach, instead of every vertex).
+    src_labels: tuple[str, ...] = ()
+    dst_labels: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -94,10 +101,44 @@ class GraphSchema:
         ttl_seconds: int | None = None,
         sort_key: tuple[str, ...] = (),
         sort_desc: bool = False,
+        src_labels: tuple[str, ...] = (),
+        dst_labels: tuple[str, ...] = (),
     ) -> EdgeLabelDef:
-        el = EdgeLabelDef(name, multiplicity, unidirected, ttl_seconds, sort_key, sort_desc)
+        el = EdgeLabelDef(
+            name,
+            multiplicity,
+            unidirected,
+            ttl_seconds,
+            sort_key,
+            sort_desc,
+            tuple(src_labels),
+            tuple(dst_labels),
+        )
         self.edge_labels[name] = el
         return el
+
+    def endpoint_labels(
+        self, edge_labels: tuple[str, ...] | None, side: str
+    ) -> tuple[str, ...] | None:
+        """Vertex labels reachable on ``side`` ('src'/'dst'/'both') of
+        the given edge labels, or None if any is unconstrained."""
+        if not edge_labels:
+            return None
+        out: set[str] = set()
+        for el_name in edge_labels:
+            el = self.edge_labels.get(el_name)
+            if el is None:
+                return None
+            sides = []
+            if side in ("src", "both"):
+                sides.append(el.src_labels)
+            if side in ("dst", "both"):
+                sides.append(el.dst_labels)
+            for s in sides:
+                if not s:
+                    return None
+                out.update(s)
+        return tuple(sorted(out))
 
     def make_vertex_label(
         self,

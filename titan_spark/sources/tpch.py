@@ -77,11 +77,28 @@ def vid(label: str, key_col) -> F.Column:
 
 def tpch_schema() -> GraphSchema:
     s = GraphSchema()
-    s.make_edge_label("placed", Multiplicity.MULTI)
-    s.make_edge_label("contains", Multiplicity.MULTI, sort_key=("shipdate",))
-    s.make_edge_label("supplied_by", Multiplicity.MULTI)
-    s.make_edge_label("in_nation", Multiplicity.MANY2ONE)
-    s.make_edge_label("in_region", Multiplicity.MANY2ONE)
+    s.make_edge_label(
+        "placed", Multiplicity.MULTI, src_labels=("customer",), dst_labels=("order",)
+    )
+    s.make_edge_label(
+        "contains",
+        Multiplicity.MULTI,
+        sort_key=("shipdate",),
+        src_labels=("order",),
+        dst_labels=("part",),
+    )
+    s.make_edge_label(
+        "supplied_by", Multiplicity.MULTI, src_labels=("part",), dst_labels=("supplier",)
+    )
+    s.make_edge_label(
+        "in_nation",
+        Multiplicity.MANY2ONE,
+        src_labels=("customer", "supplier"),
+        dst_labels=("nation",),
+    )
+    s.make_edge_label(
+        "in_region", Multiplicity.MANY2ONE, src_labels=("nation",), dst_labels=("region",)
+    )
     for label in ("customer", "supplier", "part", "order", "nation", "region"):
         s.make_vertex_label(label)
     return s
@@ -176,6 +193,8 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
             (F.lit(OFF["customer"]) + F.col("o_custkey")).cast("long").alias("src"),
             (F.lit(OFF["order"]) + F.col("o_orderkey")).cast("long").alias("dst"),
             F.lit("placed").alias("label"),
+            F.lit("customer").alias("src_label"),
+            F.lit("order").alias("dst_label"),
         )
         .unionByName(
             li.select(
@@ -183,6 +202,8 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 (F.lit(OFF["order"]) + F.col("l_orderkey")).cast("long").alias("src"),
                 (F.lit(OFF["part"]) + F.col("l_partkey")).cast("long").alias("dst"),
                 F.lit("contains").alias("label"),
+                F.lit("order").alias("src_label"),
+                F.lit("part").alias("dst_label"),
                 *li_props,
             ),
             allowMissingColumns=True,
@@ -193,6 +214,8 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 (F.lit(OFF["part"]) + F.col("l_partkey")).cast("long").alias("src"),
                 (F.lit(OFF["supplier"]) + F.col("l_suppkey")).cast("long").alias("dst"),
                 F.lit("supplied_by").alias("label"),
+                F.lit("part").alias("src_label"),
+                F.lit("supplier").alias("dst_label"),
                 F.col("l_quantity").alias("quantity"),
                 F.col("l_extendedprice").alias("extendedprice"),
                 F.col("l_shipdate").alias("shipdate"),
@@ -205,6 +228,8 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 (F.lit(OFF["customer"]) + F.col("c_custkey")).cast("long").alias("src"),
                 (F.lit(OFF["nation"]) + F.col("c_nationkey")).cast("long").alias("dst"),
                 F.lit("in_nation").alias("label"),
+                F.lit("customer").alias("src_label"),
+                F.lit("nation").alias("dst_label"),
             ),
             allowMissingColumns=True,
         )
@@ -214,6 +239,8 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 (F.lit(OFF["supplier"]) + F.col("s_suppkey")).cast("long").alias("src"),
                 (F.lit(OFF["nation"]) + F.col("s_nationkey")).cast("long").alias("dst"),
                 F.lit("in_nation").alias("label"),
+                F.lit("supplier").alias("src_label"),
+                F.lit("nation").alias("dst_label"),
             ),
             allowMissingColumns=True,
         )
@@ -223,6 +250,8 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 (F.lit(OFF["nation"]) + F.col("n_nationkey")).cast("long").alias("src"),
                 (F.lit(OFF["region"]) + F.col("n_regionkey")).cast("long").alias("dst"),
                 F.lit("in_region").alias("label"),
+                F.lit("nation").alias("src_label"),
+                F.lit("region").alias("dst_label"),
             ),
             allowMissingColumns=True,
         )
