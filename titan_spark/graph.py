@@ -152,6 +152,52 @@ class PropertyGraph:
             self.schema,
         )
 
+    def persist_vertex_properties(self, computed: DataFrame) -> "PropertyGraph":
+        """OLAP writeback (SURVEY §2.1 S11, FulgoraGraphComputer.java:
+        250-295 Persist.VERTEX_PROPERTIES): merge computed per-vertex
+        columns (keyed by ``id``) into the vertex table. Existing
+        columns of the same name are replaced; other vertices keep
+        NULL. One left join — the Delta-MERGE analog."""
+        new_cols = [c for c in computed.columns if c != "id"]
+        base = self.vertices.drop(*[c for c in new_cols if c in self.vertices.columns])
+        return PropertyGraph(
+            base.join(computed, "id", "left"), self.edges, self.vertex_properties, self.schema
+        )
+
+    def vertex_scan(
+        self,
+        fn,
+        output_schema: str,
+        edge_labels: tuple[str, ...] = (),
+        direction: str = "out",
+    ) -> DataFrame:
+        """Map-only VertexScanJob (SURVEY §2.9 C6; olap/VertexScanJob.
+        java:16-58 + QueryContainer.java declared preload queries).
+
+        Each group handed to ``fn`` is a pandas DataFrame of one
+        vertex's row replicated per incident edge of the declared
+        labels/direction (edge columns prefixed ``e_``; vertices with
+        no matching edges get one row with NULL edge columns).
+        ``fn(pdf) -> pdf`` with ``output_schema``. Runs as
+        applyInPandas — one shuffle on vertex id, Arrow-batched.
+        """
+        e = self.edges
+        if edge_labels:
+            e = e.filter(F.col("label").isin(list(edge_labels)))
+        if direction == "out":
+            key = e["src"]
+        elif direction == "in":
+            key = e["dst"]
+        else:
+            raise ValueError("direction must be 'out' or 'in'")
+        e_pref = e.select(
+            key.alias("_vid"), *[F.col(c).alias(f"e_{c}") for c in e.columns]
+        )
+        joined = self.vertices.join(e_pref, self.vertices["id"] == e_pref["_vid"], "left").drop(
+            "_vid"
+        )
+        return joined.groupBy("id").applyInPandas(fn, output_schema)
+
     # -- persistence --
     def write(self, path: str, mode: str = "overwrite") -> None:
         """Persist as parquet, edges sorted within partitions by

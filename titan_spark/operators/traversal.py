@@ -108,9 +108,21 @@ class GraphTraversal:
     def col(self, key: str) -> Column:
         """Column of the current element; 'id' on an edge frontier means
         the edge id (RelationIdentifier analog); missing keys are NULL
-        (Titan: querying an undefined key matches nothing)."""
-        if key == "id":
+        (Titan: querying an undefined key matches nothing).
+
+        Implicit keys (graphdb/types/system/ImplicitKey.java:28-46) map
+        to metadata columns: ``~nid`` → internal long id, ``~adjacent``
+        → other endpoint of the hop, ``~timestamp``/``~ttl`` → the
+        writer-populated ``_ts``/``_ttl`` columns when present.
+        """
+        if key in ("id", "~nid"):
             return F.col(self._id_col())
+        if key == "~adjacent":
+            return F.col("_other") if "_other" in self._df.columns else F.lit(None)
+        if key == "~timestamp":
+            return F.col("_ts") if "_ts" in self._df.columns else F.lit(None)
+        if key == "~ttl":
+            return F.col("_ttl") if "_ttl" in self._df.columns else F.lit(None)
         if key in self._df.columns:
             return F.col(key)
         return F.lit(None)

@@ -80,6 +80,82 @@ def cosine_topk_pairs(
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
 
+def embedding_topk_pairs(
+    df: DataFrame,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Globally most-similar vector pairs (embedding-cosine near-dup
+    detection): exact all-pairs scoring, global top-k under a total
+    order. Validation-scale; the LSH/IVF paths below are the 100-TB
+    route."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()).limit(k)
+
+
+def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:
+    """Deterministic coarse centroids (data-independent; xorshift)."""
+    return _det_planes(dim, n_cells)
+
+
+def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest coarse centroid (IVF cell).
+
+    One pass, no shuffle: argmin over K fixed centroids via a single
+    aggregate over an array of (distance, cell) structs.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                (
+                    -2.0 * _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                    + F.lit(sum(x * x for x in c))
+                ).alias("d"),  # ||v-c||² − ||v||² — same argmin, v-term constant
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("_cell", F.sort_array(cells)[0]["cell"])
+
+
+def ivf_search(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    centroids=None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: probe the nprobe cells nearest the query, brute-force
+    inside them. At scale the assignment is precomputed and the table
+    is partitioned by cell, so a query reads nprobe/K of the data."""
+    dim = len(query_vec)
+    centroids = centroids or ivf_centroids(dim, 16)
+    import math
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col("_cell").isin(probe))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    _ = math
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 def hyperplane_signature(vec_col, planes: list[list[float]]):
     """Sign pattern of the vector against fixed hyperplanes → bucket id."""
     bits = []

@@ -107,6 +107,20 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, or single
+# non-alphanumeric-non-space characters (the GPT-2 pre-tokenizer shape,
+# simplified to a regex valid in both Java regex and RE2 for oracles)
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace+regex token count (the tokenizer-budget estimator):
+    n_ws = whitespace-split tokens, n_bpe = BPE-ish pre-tokens."""
+    ws = F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit("")))
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0))
+    return df.select(F.col(id_col), ws.alias("n_ws"), bpe.alias("n_bpe"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit content fingerprint (xxhash64 of the normalized token
     stream) — the rolling-hash document fingerprint."""

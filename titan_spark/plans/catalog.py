@@ -375,6 +375,62 @@ def q_cosine_topk(spark, sf_dir):
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
 
 
+def q_multi_card_values(spark, sf_dir):
+    """§1.2 LIST-cardinality vertex properties: order vertices carry a
+    'quantities' LIST property (long-format vertex_properties table);
+    values() serves it with explode semantics."""
+    from titan_spark.schema import Cardinality
+
+    g = graph(spark, sf_dir)
+    li = tables(spark, sf_dir)["lineitem"]
+    vp = li.select(
+        (F.lit(OFF["order"]) + F.col("l_orderkey")).cast("long").alias("vertex_id"),
+        F.lit("quantities").alias("key"),
+        F.col("l_quantity").alias("value"),
+        (F.lit(2_000_000_000) + F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("prop_id"),
+    )
+    gs = g.schema
+    gs.make_property_key("quantities", "double", Cardinality.LIST)
+    g2 = PropertyGraph(g.vertices, g.edges, vp, gs)
+    return g2.V().has_label("order").values("quantities")
+
+
+def q_raw_query_score(spark, sf_dir):
+    """S8 raw index string query with deterministic relevance scores
+    and offset/limit pagination."""
+    from titan_spark.operators.rawquery import raw_index_query
+
+    g = graph(spark, sf_dir)
+    return raw_index_query(
+        g, "v.name:(customer 000000042) acctbal:[0 TO 10000]", limit=15, offset=3
+    )
+
+
+def q_bpe_token_count(spark, sf_dir):
+    from titan_spark.pipeline.text_quality import bpe_token_count
+
+    return bpe_token_count(tables(spark, sf_dir)["documents"])
+
+
+def q_embed_topk_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup: globally most-similar 20 pairs."""
+    from titan_spark.pipeline.similarity import embedding_topk_pairs
+
+    return embedding_topk_pairs(tables(spark, sf_dir)["embeddings"], k=20)
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF-bucketed ANN (scale path; no oracle — centroids are
+    engine-internal). Rows-only check + recall measured in tests."""
+    from titan_spark.pipeline.similarity import ivf_search
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return ivf_search(emb.filter(F.col("vec_id") != 0), list(row[0]), k=10, nprobe=4)
+
+
 def q_choose_branch(spark, sf_dir):
     """§2.10 choose: negative-balance customers hop to their nation,
     others stay; bag-semantics group count by resulting label."""
@@ -674,6 +730,45 @@ ORACLE_SQL: dict[str, str] = {
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
     """,
+    "multi_card_values": """
+        SELECT l_quantity AS quantities FROM lineitem
+    """,
+    "raw_query_score": f"""
+        WITH scored AS (
+            SELECT CAST(100000000 + c_custkey AS BIGINT) AS id,
+                   ROUND(
+                       (CAST(list_contains({_toks('c_name')}, 'customer') AS INT)
+                        + CAST(list_contains({_toks('c_name')}, '000000042') AS INT)) / 2.0
+                       + 1.0, 6) AS score
+            FROM customer
+            WHERE (list_contains({_toks('c_name')}, 'customer')
+                   OR list_contains({_toks('c_name')}, '000000042'))
+              AND c_acctbal >= 0 AND c_acctbal <= 10000
+        )
+        SELECT id, score FROM scored
+        ORDER BY score DESC, id ASC LIMIT 15 OFFSET 3
+    """,
+    "bpe_token_count": """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                    AS INT) AS n_ws,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                    AS INT) AS n_bpe
+        FROM documents
+    """,
+    "embed_topk_pairs": """
+        WITH scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(
+                       list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                       6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM scored
+        ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20
+    """,
     "choose_branch": """
         SELECT CASE WHEN c_acctbal < 0 THEN 'nation' ELSE 'customer' END AS label,
                count(*) AS count
@@ -831,6 +926,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "shortest_distance": q_shortest_distance,
     "degree_out_customer": q_degree_out_customer,
+    "multi_card_values": q_multi_card_values,
+    "raw_query_score": q_raw_query_score,
+    "bpe_token_count": q_bpe_token_count,
+    "embed_topk_pairs": q_embed_topk_pairs,
+    "ivf_ann": q_ivf_ann,  # rows-only (engine-internal centroids)
     "choose_branch": q_choose_branch,
     "where_exists_twohop": q_where_exists_twohop,
     "path_strings": q_path_strings,
