@@ -1,0 +1,93 @@
+"""Streaming window aggregations, graph DML, ghost-edge repair, profile."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from titan_spark.graph import PropertyGraph
+from titan_spark.schema import GraphSchema, Multiplicity
+from titan_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory_sink,
+    session_windows,
+    windowed_counts,
+)
+
+
+def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
+    ev = read_events_stream(spark, sf_dir)
+    agg = windowed_counts(ev, window="1 hour")
+    run_to_memory_sink(agg, "win_counts", str(tmp_path / "ck1"))
+    got = spark.sql("SELECT * FROM win_counts")
+    # must equal the batch rollup over the same data
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("win_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    g = {(r["win_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in got.collect()}
+    b = {(r["win_start"], r["event_type"]): (r["n"], r["sum_value"]) for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_streaming_session_windows(spark, sf_dir, tmp_path):
+    ev = read_events_stream(spark, sf_dir)
+    sess = session_windows(ev, gap="30 minutes")
+    run_to_memory_sink(sess, "sess_win", str(tmp_path / "ck2"))
+    got = spark.sql("SELECT user_id, count(*) AS n_sessions FROM sess_win GROUP BY 1")
+    # session-window count per user equals the batch lag-gap formulation
+    from titan_spark.plans.catalog import q_sessionize_events
+
+    batch = q_sessionize_events(spark, sf_dir).select("user_id", "n_sessions")
+    g = {r["user_id"]: r["n_sessions"] for r in got.collect()}
+    b = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    assert g == b
+
+
+def test_dml_add_remove(spark, gods):
+    new_v = spark.createDataFrame(
+        [(100, "god", "janus", 1000)], "id long, label string, name string, age int"
+    )
+    new_e = spark.createDataFrame(
+        [(100, 100, 4, "brother", None, None, None, None)],
+        "edge_id long, src long, dst long, label string, time int, "
+        "reason string, place_lat double, place_lon double",
+    )
+    g2 = gods.add_vertices(new_v).add_edges(new_e)
+    assert g2.V().count_value() == 13
+    assert g2.V().has("name", "janus").out("brother").values("name").collect()[0][0] == "jupiter"
+    g3 = g2.remove_vertices([100])
+    assert g3.V().count_value() == 12
+    assert g3.E().count_value() == 17  # incident edge cascaded
+
+
+def test_dml_multiplicity_rejected(spark, gods):
+    # second father edge for hercules violates MANY2ONE
+    bad = spark.createDataFrame(
+        [(999, 6, 5, "father", None, None, None, None)],
+        "edge_id long, src long, dst long, label string, time int, "
+        "reason string, place_lat double, place_lon double",
+    )
+    with pytest.raises(ValueError, match="SchemaViolation"):
+        gods.add_edges(bad, validate=True)
+
+
+def test_ghost_edge_repair(spark):
+    v = spark.createDataFrame([(1, "n"), (2, "n")], "id long, label string")
+    e = spark.createDataFrame(
+        [(1, 1, 2, "x"), (2, 1, 99, "x"), (3, 98, 2, "x")],
+        "edge_id long, src long, dst long, label string",
+    )
+    g = PropertyGraph(v, e, schema=GraphSchema())
+    assert {r["edge_id"] for r in g.ghost_edges().collect()} == {2, 3}
+    assert g.repair_ghost_edges().E().count_value() == 1
+
+
+def test_profile_metrics(gods):
+    prof = gods.V().has("name", "hercules").out("battled").profile()
+    assert prof["rows"] == 3
+    assert prof["seconds"] > 0
+    # gods is an in-memory fixture: no parquet scans, but the hop joins show
+    assert "Join" in prof["plan"]

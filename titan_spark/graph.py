@@ -152,6 +152,25 @@ class PropertyGraph:
             self.schema,
         )
 
+    def repair_ghost_edges(self) -> "PropertyGraph":
+        """Maintenance job (SURVEY §2.9 C8, olap/job/GhostVertexRemover.
+        java:32): drop edges whose endpoints no longer exist — two
+        left-semi joins against the vertex ids."""
+        ids = self.vertices.select("id")
+        edges = (
+            self.edges.join(ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select(self.edges.columns)
+        )
+        return PropertyGraph(self.vertices, edges, self.vertex_properties, self.schema)
+
+    def ghost_edges(self) -> DataFrame:
+        """Edges referencing missing vertices (the repair candidates)."""
+        ids = self.vertices.select("id")
+        bad_src = self.edges.join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
+        bad_dst = self.edges.join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        return bad_src.unionByName(bad_dst).dropDuplicates(["edge_id"])
+
     def persist_vertex_properties(self, computed: DataFrame) -> "PropertyGraph":
         """OLAP writeback (SURVEY §2.1 S11, FulgoraGraphComputer.java:
         250-295 Persist.VERTEX_PROPERTIES): merge computed per-vertex

@@ -145,6 +145,32 @@ class GraphTraversal:
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
 
+    def profile(self) -> dict:
+        """TraversalMetrics analog (§2.10 ``profile()``; TitanGraphTest.
+        java:3439-3456): execute the traversal and report wall time,
+        result count, and physical-plan statistics (scans / joins /
+        shuffles) from the executed plan."""
+        import contextlib
+        import io
+        import time
+
+        t0 = time.perf_counter()
+        n = self._df.count()
+        elapsed = time.perf_counter() - t0
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self._df.explain("formatted")
+        plan = buf.getvalue()
+        return {
+            "rows": n,
+            "seconds": round(elapsed, 4),
+            "scans": plan.count("Scan parquet"),
+            "broadcast_joins": plan.count("BroadcastHashJoin"),
+            "sortmerge_joins": plan.count("SortMergeJoin"),
+            "shuffles": plan.count("Exchange"),
+            "plan": plan,
+        }
+
     # ------------------------------------------------------------ filter ops
     def has(self, key: str, value: Any = _NOTSET) -> "GraphTraversal":
         """``has(k)`` = key present; ``has(k, v)`` = EQUAL (null → absent);

@@ -104,8 +104,13 @@ def tpch_schema() -> GraphSchema:
     return s
 
 
+GRAPH_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+
 def load_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
-    t = load_tables(spark, sf_dir)
+    # only the 7 graph tables — not events/documents/embeddings
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t = {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in GRAPH_TABLES}
 
     vertices = (
         t["customer"]

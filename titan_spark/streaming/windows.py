@@ -1,0 +1,85 @@
+"""Structured Streaming over the events stream: windowed aggregations,
+watermarked late-data handling, and custom stateful sessionization.
+
+These are additive Spark-native capabilities (the reference has no
+stream SQL — SURVEY §2.8 note); they make the change-log/CDC surface a
+full streaming engine: the same queries run over ``readStream`` with
+checkpointed exactly-once sinks at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream source (TIMESTAMP(NANOS) read as long
+    under nanosAsLong, converted to a proper timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource requires a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding window counts + sums per event_type with a
+    watermark bounding state for late data."""
+    w = F.window(F.col("ts"), window, slide) if slide else F.window(F.col("ts"), window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming twin
+    of the batch lag-gap sessionization in the catalog."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("sess.start").alias("sess_start"),
+            F.unix_timestamp("sess.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, checkpoint: str, output_mode: str = "complete"):
+    """Drain all available input through the streaming query into an
+    in-memory table (test/bench harness; swap for kafka/delta sinks in
+    production). Complete mode emits windows still open at end-of-input
+    (append mode would hold them until the watermark passes)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
