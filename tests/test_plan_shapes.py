@@ -1,0 +1,99 @@
+"""Plan-shape assertions — the reference's test model (SURVEY §5.2:
+``evaluateQuery`` asserts result count AND isFitted/isOrdered plan
+flags; TitanGraphTest.java:3227-3296). Here: assert scans prune,
+filters push down, and hop joins broadcast."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def n_scans(plan: str) -> int:
+    import re
+
+    # formatted plans name each node once in the tree and once in the
+    # detail section — count the detail headers only
+    return len(re.findall(r"\(\d+\) Scan parquet", plan))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def scanned_files(plan: str) -> set[str]:
+    return {
+        line.split("/")[-1].rstrip("]")
+        for line in plan.splitlines()
+        if "Location" in line and ".parquet" in line
+    }
+
+
+def test_label_filter_prunes_to_single_scan(tpch):
+    p = plan_of(tpch.V().has_label("customer").has("mktsegment", "BUILDING").df)
+    assert scanned_files(p) == {"customer.parquet"}
+    assert n_scans(p) == 1
+
+
+def test_predicate_pushdown_reaches_scan(tpch):
+    p = plan_of(tpch.V().has_label("customer").has("mktsegment", "BUILDING").df)
+    assert "PushedFilters" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+
+def test_hop_scans_only_reachable_tables(tpch):
+    # customer -placed-> order -contains-> part: never touches
+    # supplier/nation/region/part vertex files except part (final hop)
+    t = tpch.V().has_label("customer").out("placed").out("contains")
+    files = scanned_files(plan_of(t.df))
+    assert files == {"customer.parquet", "orders.parquet", "lineitem.parquet", "part.parquet"}
+
+
+def test_edge_branch_pruning_by_frontier_label(tpch):
+    # nations' in_region hop must not scan the customer/supplier
+    # in_nation edge branches
+    t = tpch.V().has_label("nation").out("in_region")
+    files = scanned_files(plan_of(t.df))
+    assert files == {"nation.parquet", "region.parquet"}
+
+
+def test_hop_join_broadcasts_small_frontier(tpch):
+    # point-lookup frontier joined to edges: AQE/static planning should
+    # broadcast, never sort-merge
+    t = tpch.V().has_label("customer").has("key", 1).out("placed")
+    p = plan_of(t.df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_window_partitions_without_global_sort(tpch):
+    t = tpch.V().has_label("order").outE("contains").local_top_k(2, "-extendedprice", "linenumber")
+    p = plan_of(t.df)
+    # per-group window: partial sort inside partitions, no global range
+    # exchange (rangepartitioning only appears for global orderBy)
+    assert "rangepartitioning" not in p.lower()
+    assert "hashpartitioning(_origin" in p
+
+
+def test_column_pruning_projection(tpch):
+    # a 2-column projection must not read all lineitem columns
+    df = tpch.E().has_label("contains").values("quantity", "extendedprice")
+    p = plan_of(df)
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schema, p
+    line = read_schema[0]
+    assert "l_quantity" in line and "l_extendedprice" in line
+    assert "l_comment" not in line and "l_tax" not in line
+
+
+@pytest.mark.parametrize("direction,expected", [("out", 1), ("in", 2)])
+def test_count_plans_are_partial_aggregates(tpch, direction, expected):
+    # degree aggregation: map-side partial agg before the shuffle
+    deg = tpch.degrees(direction)
+    p = plan_of(deg)
+    assert p.count("HashAggregate") >= 2  # partial + final
+    _ = expected

@@ -1,4 +1,13 @@
 from titan_spark.sources.tpch import load_tables, load_tpch_graph
 from titan_spark.sources.gods import graph_of_the_gods
+from titan_spark.sources.graphson import read_graphson, write_graphson
+from titan_spark.sources.graphml import read_graphml
 
-__all__ = ["load_tables", "load_tpch_graph", "graph_of_the_gods"]
+__all__ = [
+    "load_tables",
+    "load_tpch_graph",
+    "graph_of_the_gods",
+    "read_graphson",
+    "write_graphson",
+    "read_graphml",
+]
