@@ -23,6 +23,7 @@ from titan_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "point_lookup",
+    "batch_point_lookups",
     "scan_filter_order_limit",
     "hop_order_count",
     "two_hop_revenue",
@@ -66,6 +67,15 @@ def main() -> None:
         n = df.count()  # full materialization of the result
         timings[name] = round(time.perf_counter() - t0, 3)
         _ = n
+
+    # OLAP full-scan shape (BASELINE: 200k-vertex/2M-edge scan workload,
+    # TitanGraphIterativeBenchmark.java:77): PageRank over the WHOLE graph
+    from titan_spark.compute import pagerank
+
+    t0 = time.perf_counter()
+    pr = pagerank(g, alpha=0.85, iterations=3)
+    _ = pr.count()
+    timings["pagerank_full_graph"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -361,6 +361,52 @@ class GraphTraversal:
             t = step(t)
         return t
 
+    def repeat_until(
+        self,
+        step: Callable[["GraphTraversal"], "GraphTraversal"],
+        until: Callable[["GraphTraversal"], Column],
+        max_times: int = 20,
+        emit: bool = False,
+        checkpoint_every: int = 5,
+    ) -> "GraphTraversal":
+        """``repeat(...).until(pred)`` with a dynamic termination check.
+
+        Each round: traversers satisfying ``until`` (a Column predicate
+        over the current frontier) exit the loop; the rest take another
+        ``step``. Iteration ends when no traversers remain active or
+        ``max_times`` is hit (remaining actives exit unemitted unless
+        ``emit``). ``emit=True`` also collects every intermediate
+        frontier (Gremlin ``emit()``), including the pre-step one.
+
+        The loop runs driver-side with localCheckpoint lineage cuts —
+        the BFS-style pattern whose per-round cost tracks the frontier.
+        """
+        act = self
+        outputs = []
+        if emit:
+            outputs.append(act)
+        for i in range(max_times):
+            done = act.filter_(until(act))
+            if not emit:
+                # emit mode already collected this frontier wholesale
+                outputs.append(done)
+            remaining = act.filter_(~until(act))
+            if remaining._df.limit(1).count() == 0:
+                break
+            act = step(remaining)
+            act = act._with(act._df.localCheckpoint(eager=(i + 1) % checkpoint_every == 0))
+            if emit:
+                outputs.append(act)
+        else:
+            # max_times exhausted: traversers still in the loop exit too
+            # (already collected when emit=True)
+            if not emit:
+                outputs.append(act)
+        out = outputs[0]
+        if len(outputs) > 1:
+            out = outputs[0].union_(*outputs[1:])
+        return out
+
     # --------------------------------------------------- branch/filter steps
     def union_(self, *others: "GraphTraversal") -> "GraphTraversal":
         """Gremlin ``union``: bag-union of traverser streams (§2.10)."""

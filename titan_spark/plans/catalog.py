@@ -88,6 +88,21 @@ def q_point_lookup(spark, sf_dir):
     )
 
 
+def q_batch_point_lookups(spark, sf_dir):
+    """S1 at batch scale: the reference's read-throughput probe
+    (TitanGraphPerformanceMemoryTest.java:110-142, thousands of indexed
+    lookups) — on Spark the batched form is ONE isin() scan, not N
+    round-trips."""
+    keys = list(range(1, 400, 2))
+    return (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("key", P.within(keys))
+        .values("key", "name", "acctbal")
+    )
+
+
 def q_scan_filter_order_limit(spark, sf_dir):
     """S2+P2+O1+O3: full scan, range predicate, total order, limit."""
     return (
@@ -471,6 +486,23 @@ def q_path_strings(spark, sf_dir):
     return t.to_df(F.concat_ws(">", t.path_ids("c", "o")).alias("path"))
 
 
+def q_repeat_emit_bfs(spark, sf_dir):
+    """§2.10 repeat().emit(): BFS from region 0 along reversed
+    geography edges, emitting every frontier (depth 0, 1, 2)."""
+    t = (
+        graph(spark, sf_dir)
+        .V()
+        .has_id(OFF["region"] + 0)
+        .repeat_until(
+            lambda x: x.in_("in_region", "in_nation"),
+            lambda x: F.lit(False),
+            max_times=2,
+            emit=True,
+        )
+    )
+    return t.values("id")
+
+
 def q_sessionize_events(spark, sf_dir):
     """Sessionization over the events table (lag-gap > 30 min starts a
     new session) — the batch twin of streaming session windows."""
@@ -544,6 +576,11 @@ ORACLE_SQL: dict[str, str] = {
     "point_lookup": """
         SELECT c_name AS name, c_acctbal AS acctbal
         FROM customer WHERE c_custkey = 42
+    """,
+    "batch_point_lookups": """
+        SELECT CAST(c_custkey AS BIGINT) AS key, c_name AS name, c_acctbal AS acctbal
+        FROM customer
+        WHERE c_custkey IN (SELECT unnest(range(1, 400, 2)))
     """,
     "scan_filter_order_limit": """
         SELECT CAST(c_custkey AS BIGINT) AS key, c_name AS name, c_acctbal AS acctbal
@@ -792,6 +829,17 @@ ORACLE_SQL: dict[str, str] = {
         JOIN lineitem ON l_orderkey = o_orderkey
         WHERE c_custkey = 7
     """,
+    "repeat_emit_bfs": """
+        SELECT CAST(600000000 AS BIGINT) AS id
+        UNION ALL
+        SELECT CAST(500000000 + n_nationkey AS BIGINT) FROM nation WHERE n_regionkey = 0
+        UNION ALL
+        SELECT CAST(100000000 + c_custkey AS BIGINT)
+        FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey = 0
+        UNION ALL
+        SELECT CAST(200000000 + s_suppkey AS BIGINT)
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey WHERE n_regionkey = 0
+    """,
     "sessionize_events": """
         WITH lagged AS (
             SELECT user_id, event_id,
@@ -898,6 +946,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "point_lookup": q_point_lookup,
+    "batch_point_lookups": q_batch_point_lookups,
     "scan_filter_order_limit": q_scan_filter_order_limit,
     "pred_within": q_pred_within,
     "pred_interval": q_pred_interval,
@@ -934,6 +983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "choose_branch": q_choose_branch,
     "where_exists_twohop": q_where_exists_twohop,
     "path_strings": q_path_strings,
+    "repeat_emit_bfs": q_repeat_emit_bfs,
     "sessionize_events": q_sessionize_events,
 }
 
