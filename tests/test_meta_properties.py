@@ -1,0 +1,38 @@
+"""Meta-properties: properties on vertex-properties (docs/advschema.txt:72)."""
+
+from pyspark.sql import functions as F
+
+from titan_spark.graph import PropertyGraph
+from titan_spark.schema import Cardinality, GraphSchema
+
+
+def test_meta_property_query(spark):
+    v = spark.createDataFrame([(1, "person"), (2, "person")], "id long, label string")
+    e = spark.createDataFrame([], "edge_id long, src long, dst long, label string")
+    # LIST-cardinality 'degree' property with meta-properties
+    # (institution, year) on each property instance
+    vp = spark.createDataFrame(
+        [
+            (1, "degree", "bs", 101, "mit", 2001),
+            (1, "degree", "phd", 102, "stanford", 2006),
+            (2, "degree", "bs", 103, "mit", 1999),
+        ],
+        "vertex_id long, key string, value string, prop_id long, "
+        "institution string, year int",
+    )
+    s = GraphSchema()
+    s.make_property_key("degree", "string", Cardinality.LIST)
+    g = PropertyGraph(v, e, vp, s)
+
+    # all property instances for the frontier
+    props = g.V().properties_("degree")
+    assert props.count() == 3
+    # meta-property predicate: degrees earned at MIT
+    mit = props.filter(F.col("institution") == "mit")
+    assert sorted((r["vertex_id"], r["value"]) for r in mit.collect()) == [
+        (1, "bs"),
+        (2, "bs"),
+    ]
+    # frontier restriction flows through
+    p1 = g.V().has_id(1).properties_("degree").filter(F.col("year") > 2002)
+    assert [r["value"] for r in p1.collect()] == ["phd"]

@@ -538,6 +538,24 @@ class GraphTraversal:
             return ids.join(vp, "vertex_id").select(F.col("value").alias(key))
         return self._df.select(*[self.col(k).alias(k) for k in keys])
 
+    def properties_(self, *keys: str) -> DataFrame:
+        """Vertex-property rows for the current frontier (Gremlin
+        ``properties()``): long-format rows ``(vertex_id, key, value,
+        prop_id, <meta columns>)`` from the vertex_properties table —
+        meta-properties (properties on properties, docs/advschema.
+        txt:72) are ordinary columns here and filter like any other.
+        """
+        self._require("V", "properties_")
+        vp = self.graph.vertex_properties
+        if vp is None:
+            raise ValueError("graph has no vertex_properties table")
+        if keys:
+            vp = vp.filter(
+                F.col("key") == keys[0] if len(keys) == 1 else F.col("key").isin(list(keys))
+            )
+        ids = self._df.select(F.col("id").alias("vertex_id"))
+        return ids.join(vp, "vertex_id")
+
     def value_map(self, *keys: str) -> DataFrame:
         keys = keys or tuple(
             c for c in self._df.columns if not c.startswith("_") and c not in ("id", "edge_id")
