@@ -1,4 +1,18 @@
 from titan_spark.compute.pregel import aggregate_messages, pregel
-from titan_spark.compute.algorithms import pagerank, shortest_distance, degree_count
+from titan_spark.compute.algorithms import (
+    connected_components,
+    degree_count,
+    pagerank,
+    shortest_distance,
+    triangle_count,
+)
 
-__all__ = ["aggregate_messages", "pregel", "pagerank", "shortest_distance", "degree_count"]
+__all__ = [
+    "aggregate_messages",
+    "pregel",
+    "pagerank",
+    "shortest_distance",
+    "degree_count",
+    "connected_components",
+    "triangle_count",
+]

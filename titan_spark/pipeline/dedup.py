@@ -172,6 +172,35 @@ def jaccard_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Collapse near-dup pairs into clusters: (doc_id, cluster_rep)
+    with rep = min doc id in the connected component of the pair graph.
+
+    The canonical dedup finish: LSH/jaccard emits pairwise matches;
+    transitive closure groups them so one representative survives per
+    cluster. Runs as min-label propagation (connected components) over
+    the pair graph — scales with pair volume, not corpus size.
+    """
+    from titan_spark.compute.algorithms import connected_components
+    from titan_spark.graph import PropertyGraph
+
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .dropDuplicates(["id"])
+        .withColumn("label", F.lit("doc"))
+    )
+    edges = pairs.select(
+        F.monotonically_increasing_id().alias("edge_id"),
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        F.lit("dup").alias("label"),
+    )
+    g = PropertyGraph(ids, edges)
+    cc = connected_components(g)
+    return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash over token xxhash64 values (default 32 bits so the
     signature fits a signed long without overflow).

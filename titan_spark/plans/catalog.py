@@ -356,6 +356,15 @@ def q_jaccard_dup_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: transitive closure of the jaccard≥0.5 pair
+    graph via connected components; (doc_id, cluster_rep=min id)."""
+    from titan_spark.pipeline.dedup import dedup_clusters
+
+    pairs = q_jaccard_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_clusters(pairs)
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates verified by exact Jaccard.
 
@@ -927,6 +936,32 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
                ON o.o_custkey = c_custkey
     """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, {_toks()} AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, GREATEST(CAST(len(toks) AS INT) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                   )) AS sh
+            FROM t
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
+        ), und AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM und)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+        )
+        SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY 1
+    """,
     "cosine_topk": """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         scored AS (
@@ -970,6 +1005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint_distinct": q_fingerprint_distinct,
     "jaccard_dup_pairs": q_jaccard_dup_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,  # rows-only (no oracle)
     "cosine_topk": q_cosine_topk,
     "pagerank": q_pagerank,
