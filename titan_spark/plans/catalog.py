@@ -495,6 +495,19 @@ def q_path_strings(spark, sf_dir):
     return t.to_df(F.concat_ws(">", t.path_ids("c", "o")).alias("path"))
 
 
+def q_motif_unification(spark, sf_dir):
+    """§2.10 match(): motif with a shared vertex variable — orders
+    whose part also appears in another lineitem (self-unification on
+    p), counted per returnflag of the bound edge."""
+    from titan_spark.operators.motif import find_motif
+
+    g = graph(spark, sf_dir)
+    m = find_motif(g, "(o)-[e:contains]->(p); (p)-[:supplied_by]->(s)")
+    return m.select(F.col("e")["returnflag"].alias("returnflag")).groupBy(
+        "returnflag"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_repeat_emit_bfs(spark, sf_dir):
     """§2.10 repeat().emit(): BFS from region 0 along reversed
     geography edges, emitting every frontier (depth 0, 1, 2)."""
@@ -838,6 +851,11 @@ ORACLE_SQL: dict[str, str] = {
         JOIN lineitem ON l_orderkey = o_orderkey
         WHERE c_custkey = 7
     """,
+    "motif_unification": """
+        SELECT l1.l_returnflag AS returnflag, count(*) AS n
+        FROM lineitem l1 JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey
+        GROUP BY 1
+    """,
     "repeat_emit_bfs": """
         SELECT CAST(600000000 AS BIGINT) AS id
         UNION ALL
@@ -1019,6 +1037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "choose_branch": q_choose_branch,
     "where_exists_twohop": q_where_exists_twohop,
     "path_strings": q_path_strings,
+    "motif_unification": q_motif_unification,
     "repeat_emit_bfs": q_repeat_emit_bfs,
     "sessionize_events": q_sessionize_events,
 }
