@@ -12,11 +12,17 @@ to (Spark plan, oracle SQL) pairs.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from titan_spark.plans.catalog import ORACLE_SQL, QUERIES, entry_query
+# the driver may import this module from any cwd — make the repo root
+# importable so `titan_spark` resolves
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from titan_spark.plans.catalog import ORACLE_SQL, QUERIES, entry_query  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

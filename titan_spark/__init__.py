@@ -13,7 +13,10 @@ package implements.
 """
 
 from titan_spark.graph import PropertyGraph
+from titan_spark.operators.motif import find_motif
+from titan_spark.operators.rawquery import raw_index_query
 from titan_spark.operators.traversal import GraphTraversal, P
+from titan_spark.operators.vertexquery import vertex_query
 from titan_spark.schema import (
     Cardinality,
     GraphSchema,
@@ -29,6 +32,9 @@ __all__ = [
     "Cardinality",
     "Multiplicity",
     "get_spark",
+    "find_motif",
+    "raw_index_query",
+    "vertex_query",
 ]
 
 __version__ = "0.1.0"
