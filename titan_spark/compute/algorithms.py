@@ -66,7 +66,12 @@ def pagerank(
             )
         )
 
-    return run_iterations(ranks, step, iterations, checkpoint_every)
+    try:
+        out = run_iterations(ranks, step, iterations, checkpoint_every)
+        # materialize before releasing the cached contribution edges
+        return out.localCheckpoint(eager=True)
+    finally:
+        contrib_e.unpersist(blocking=False)
 
 
 def shortest_distance(
@@ -143,6 +148,14 @@ def connected_components(
     )
     state = graph.vertices.select("id", F.col("id").alias("component"))
     state = state.localCheckpoint(eager=True)
+    try:
+        state = _cc_loop(state, und, max_iterations)
+    finally:
+        und.unpersist(blocking=False)
+    return state
+
+
+def _cc_loop(state, und, max_iterations):
     for _ in range(max_iterations):
         # neighbor min
         nbr = (
@@ -209,11 +222,16 @@ def triangle_count(graph: PropertyGraph, edge_labels: tuple[str, ...] = ()) -> D
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return (
+    out = (
         graph.vertices.select("id")
         .join(per_vertex, "id", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
     )
+    # materialize before releasing the cached edge set (lazy plans
+    # would re-scan after unpersist — still correct, just slower)
+    out = out.localCheckpoint(eager=True)
+    und.unpersist(blocking=False)
+    return out
 
 
 def degree_count(graph: PropertyGraph, direction: str = "both") -> DataFrame:

@@ -177,6 +177,7 @@ def pregel(
             break
     if active_col is None and max_iterations % checkpoint_every != 0:
         v = v.localCheckpoint(eager=True)
+    edges.unpersist(blocking=False)
     return v
 
 

@@ -8,7 +8,10 @@ Pattern syntax (GraphFrames-inspired, public-API shape):
 - named vertices bind columns ``a.id``, ``a.<prop>`` …
 - named edges bind ``e.edge_id``, ``e.<prop>``; ``:label`` restricts
   the edge label; anonymous edges ``-[]->`` / ``-[:x]->`` bind nothing
-- repeated names unify (the same vertex/edge must match)
+- repeated *vertex* names unify (the same vertex must match); edge
+  names must be distinct per clause, and self-loop clauses
+  ``(a)->(a)`` are rejected (filter ``src == dst`` on an edge
+  traversal for that)
 - a ``!`` clause is a negated edge (anti-join): no such edge exists
 
 Compilation: each positive clause is one edges scan (label-filtered)
@@ -46,9 +49,20 @@ def _parse(pattern: str) -> list[dict]:
             d["dst"] = d["dst"] or f"__anon_dst{anon}"
         if d["neg"] and d["ename"]:
             raise ValueError("negated clauses cannot bind an edge name")
+        if d["src"] == d["dst"]:
+            raise ValueError(
+                f"self-loop clause ({d['src']})->({d['dst']}) is not supported; "
+                "filter src==dst on an edge traversal instead"
+            )
         clauses.append(d)
     if not clauses or all(c["neg"] for c in clauses):
         raise ValueError("motif needs at least one positive clause")
+    names = [c["ename"] for c in clauses if c["ename"]]
+    if len(names) != len(set(names)):
+        raise ValueError(
+            "edge names must be distinct per clause (vertex names unify; "
+            "edge unification is not supported)"
+        )
     return clauses
 
 

@@ -48,7 +48,7 @@ class GraphTraversal:
 
     def __init__(
         self, graph, df: DataFrame, kind: str, order_specs=(), edge_labels=None,
-        vertex_labels: tuple[str, ...] | None = None,
+        vertex_labels: tuple[str, ...] | None = None, edge_dir: str | None = None,
     ):
         self.graph = graph
         self._df = df
@@ -57,13 +57,8 @@ class GraphTraversal:
         # on an E frontier: the label restriction + direction of the
         # expansion, used with schema endpoint metadata to prune
         # vertex-side hop scans
-        if isinstance(edge_labels, tuple) and len(edge_labels) == 2 and (
-            edge_labels[1] in ("out", "in", "both", None)
-        ) and (edge_labels[0] is None or isinstance(edge_labels[0], tuple)):
-            self._edge_labels, self._edge_dir = edge_labels
-        else:
-            self._edge_labels = edge_labels
-            self._edge_dir = None
+        self._edge_labels = edge_labels
+        self._edge_dir = edge_dir
         # on a V frontier: known label restriction of the current
         # vertices (None = unknown) — used to prune edge-union branches
         # via the src_label/dst_label metadata columns
@@ -89,6 +84,7 @@ class GraphTraversal:
         order_specs=None,
         edge_labels=_NOTSET,
         vertex_labels=_NOTSET,
+        edge_dir=_NOTSET,
     ) -> "GraphTraversal":
         return GraphTraversal(
             self.graph,
@@ -97,6 +93,7 @@ class GraphTraversal:
             self._order_specs if order_specs is None else order_specs,
             self._edge_labels if edge_labels is _NOTSET else edge_labels,
             self._vertex_labels if vertex_labels is _NOTSET else vertex_labels,
+            self._edge_dir if edge_dir is _NOTSET else edge_dir,
         )
 
     def _tag_cols(self) -> list[str]:
@@ -250,11 +247,11 @@ class GraphTraversal:
         # and edges carry endpoint-label metadata columns, branches whose
         # sender side cannot match constant-fold away at plan time
         vl = self._vertex_labels
-        have_meta = "src_label" in self.graph.edges.columns
+        ecols = self.graph.edges.columns
         parts = []
         if direction in ("out", "both"):
             e_out = e
-            if vl and have_meta:
+            if vl and "src_label" in ecols:
                 e_out = e.filter(F.col("src_label").isin(list(vl))).alias("e")
             parts.append(
                 fr.join(e_out, F.col("f._origin") == F.col("e.src"))
@@ -264,7 +261,7 @@ class GraphTraversal:
             )
         if direction in ("in", "both"):
             e_in = e
-            if vl and have_meta:
+            if vl and "dst_label" in ecols:
                 e_in = e.filter(F.col("dst_label").isin(list(vl))).alias("e")
             parts.append(
                 fr.join(e_in, F.col("f._origin") == F.col("e.dst"))
@@ -278,14 +275,20 @@ class GraphTraversal:
         return out
 
     def outE(self, *labels: str) -> "GraphTraversal":
-        return self._with(self._edge_expand("out", labels), "E", edge_labels=(labels or None, "out"))
+        return self._with(
+            self._edge_expand("out", labels), "E", edge_labels=labels or None, edge_dir="out"
+        )
 
     def inE(self, *labels: str) -> "GraphTraversal":
-        return self._with(self._edge_expand("in", labels), "E", edge_labels=(labels or None, "in"))
+        return self._with(
+            self._edge_expand("in", labels), "E", edge_labels=labels or None, edge_dir="in"
+        )
 
     def bothE(self, *labels: str) -> "GraphTraversal":
         """Self-loops appear once per orientation → twice total (U4)."""
-        return self._with(self._edge_expand("both", labels), "E", edge_labels=(labels or None, "both"))
+        return self._with(
+            self._edge_expand("both", labels), "E", edge_labels=labels or None, edge_dir="both"
+        )
 
     def _vertex_join(self, endpoint_col: str) -> DataFrame:
         self._require("E", endpoint_col)
@@ -319,21 +322,29 @@ class GraphTraversal:
 
     def inV(self) -> "GraphTraversal":
         df = self._vertex_join("dst")
-        return self._with(df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels)
+        return self._with(
+            df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels, edge_dir=None
+        )
 
     def outV(self) -> "GraphTraversal":
         df = self._vertex_join("src")
-        return self._with(df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels)
+        return self._with(
+            df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels, edge_dir=None
+        )
 
     def otherV(self) -> "GraphTraversal":
         df = self._vertex_join("_other")
-        return self._with(df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels)
+        return self._with(
+            df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels, edge_dir=None
+        )
 
     def originV(self) -> "GraphTraversal":
         """Back to the hop's origin vertex (Titan keeps the incident
         vertex implicitly; useful after edge-level filtering)."""
         df = self._vertex_join("_origin")
-        return self._with(df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels)
+        return self._with(
+            df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels, edge_dir=None
+        )
 
     def bothV(self) -> "GraphTraversal":
         self._require("E", "bothV")
@@ -342,6 +353,7 @@ class GraphTraversal:
             "V",
             edge_labels=None,
             vertex_labels=None,
+            edge_dir=None,
         )
 
     def out(self, *labels: str) -> "GraphTraversal":
@@ -386,11 +398,14 @@ class GraphTraversal:
         if emit:
             outputs.append(act)
         for i in range(max_times):
-            done = act.filter_(until(act))
+            cond = until(act)
+            done = act.filter_(cond)
             if not emit:
                 # emit mode already collected this frontier wholesale
                 outputs.append(done)
-            remaining = act.filter_(~until(act))
+            # NULL predicate (e.g. missing key) means "not done" — keep
+            # looping rather than silently dropping the traverser
+            remaining = act.filter_(~cond | cond.isNull())
             if remaining._df.limit(1).count() == 0:
                 break
             act = step(remaining)
@@ -415,7 +430,7 @@ class GraphTraversal:
             if o.kind != self.kind:
                 raise ValueError("union_ requires same-kind traversals")
             df = df.unionByName(o._df, allowMissingColumns=True)
-        return self._with(df, edge_labels=None, vertex_labels=None)
+        return self._with(df, edge_labels=None, vertex_labels=None, edge_dir=None)
 
     def choose(
         self,

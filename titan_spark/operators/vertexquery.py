@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 
 from titan_spark.functions.predicates import P, Pred  # noqa: F401  (re-export)
 
+_NOTSET = object()
+
 
 class VertexQueryBuilder:
     """Fluent builder; terminal calls: edges() / vertices() / count() /
@@ -53,7 +55,9 @@ class VertexQueryBuilder:
         self._direction = d.lower()
         return self
 
-    def has(self, key: str, value: Any = None) -> "VertexQueryBuilder":
+    def has(self, key: str, value: Any = _NOTSET) -> "VertexQueryBuilder":
+        """``has(k)`` = key present (matches the traversal facade);
+        ``has(k, v)`` = EQUAL; ``has(k, P.xx(...))`` = predicate."""
         self._preds.append((key, value))
         return self
 
@@ -87,6 +91,8 @@ class VertexQueryBuilder:
             if key == "~adjacent":
                 pred: Pred = value
                 t = t.filter_(pred(t.col("~adjacent")))
+            elif value is _NOTSET:
+                t = t.has(key)
             else:
                 t = t.has(key, value)
         if self._order and self._limit is not None:

@@ -139,7 +139,6 @@ def ivf_search(
     is partitioned by cell, so a query reads nprobe/K of the data."""
     dim = len(query_vec)
     centroids = centroids or ivf_centroids(dim, 16)
-    import math
 
     def d2(c):
         return sum((a - b) ** 2 for a, b in zip(query_vec, c))
@@ -152,7 +151,6 @@ def ivf_search(
         F.col(id_col),
         F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
     )
-    _ = math
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -190,13 +188,18 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate per-vector top-k: compare only within an LSH bucket.
 
     The bucket join shuffles on the signature, so cost tracks bucket
     occupancy (n²/2^planes per bucket in expectation), not n².
+    ``dim`` defaults to the actual vector length (a wrong dim would
+    NULL every hyperplane dot product and collapse all vectors into
+    one bucket — silently degenerating to the O(n²) cross join).
     """
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
     planes = _det_planes(dim, n_planes)
     sig = df.select(
         F.col(id_col),

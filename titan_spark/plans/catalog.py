@@ -411,7 +411,7 @@ def q_multi_card_values(spark, sf_dir):
         (F.lit(OFF["order"]) + F.col("l_orderkey")).cast("long").alias("vertex_id"),
         F.lit("quantities").alias("key"),
         F.col("l_quantity").alias("value"),
-        (F.lit(2_000_000_000) + F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        (F.lit(20_000_000_000_000) + F.col("l_orderkey") * 8 + F.col("l_linenumber"))
         .cast("long")
         .alias("prop_id"),
     )
@@ -794,7 +794,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "raw_query_score": f"""
         WITH scored AS (
-            SELECT CAST(100000000 + c_custkey AS BIGINT) AS id,
+            SELECT CAST(100000000000 + c_custkey AS BIGINT) AS id,
                    ROUND(
                        (CAST(list_contains({_toks('c_name')}, 'customer') AS INT)
                         + CAST(list_contains({_toks('c_name')}, '000000042') AS INT)) / 2.0
@@ -843,9 +843,9 @@ ORACLE_SQL: dict[str, str] = {
         )
     """,
     "path_strings": """
-        SELECT CAST(100000000 + c_custkey AS BIGINT) || '>'
-               || CAST(400000000 + o_orderkey AS BIGINT) || '>'
-               || CAST(2000000000 + l_orderkey * 8 + l_linenumber AS BIGINT) AS path
+        SELECT CAST(100000000000 + c_custkey AS BIGINT) || '>'
+               || CAST(400000000000 + o_orderkey AS BIGINT) || '>'
+               || CAST(20000000000000 + l_orderkey * 8 + l_linenumber AS BIGINT) AS path
         FROM customer
         JOIN orders ON o_custkey = c_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -857,14 +857,14 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
     """,
     "repeat_emit_bfs": """
-        SELECT CAST(600000000 AS BIGINT) AS id
+        SELECT CAST(600000000000 AS BIGINT) AS id
         UNION ALL
-        SELECT CAST(500000000 + n_nationkey AS BIGINT) FROM nation WHERE n_regionkey = 0
+        SELECT CAST(500000000000 + n_nationkey AS BIGINT) FROM nation WHERE n_regionkey = 0
         UNION ALL
-        SELECT CAST(100000000 + c_custkey AS BIGINT)
+        SELECT CAST(100000000000 + c_custkey AS BIGINT)
         FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey = 0
         UNION ALL
-        SELECT CAST(200000000 + s_suppkey AS BIGINT)
+        SELECT CAST(200000000000 + s_suppkey AS BIGINT)
         FROM supplier JOIN nation ON n_nationkey = s_nationkey WHERE n_regionkey = 0
     """,
     "sessionize_events": """
@@ -883,20 +883,20 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "pagerank": """
         WITH verts AS (
-            SELECT CAST(100000000 + c_custkey AS BIGINT) AS id FROM customer
-            UNION ALL SELECT CAST(200000000 + s_suppkey AS BIGINT) FROM supplier
-            UNION ALL SELECT CAST(500000000 + n_nationkey AS BIGINT) FROM nation
-            UNION ALL SELECT CAST(600000000 + r_regionkey AS BIGINT) FROM region
+            SELECT CAST(100000000000 + c_custkey AS BIGINT) AS id FROM customer
+            UNION ALL SELECT CAST(200000000000 + s_suppkey AS BIGINT) FROM supplier
+            UNION ALL SELECT CAST(500000000000 + n_nationkey AS BIGINT) FROM nation
+            UNION ALL SELECT CAST(600000000000 + r_regionkey AS BIGINT) FROM region
         ),
         e AS (
-            SELECT CAST(100000000 + c_custkey AS BIGINT) AS src,
-                   CAST(500000000 + c_nationkey AS BIGINT) AS dst FROM customer
+            SELECT CAST(100000000000 + c_custkey AS BIGINT) AS src,
+                   CAST(500000000000 + c_nationkey AS BIGINT) AS dst FROM customer
             UNION ALL
-            SELECT CAST(200000000 + s_suppkey AS BIGINT),
-                   CAST(500000000 + s_nationkey AS BIGINT) FROM supplier
+            SELECT CAST(200000000000 + s_suppkey AS BIGINT),
+                   CAST(500000000000 + s_nationkey AS BIGINT) FROM supplier
             UNION ALL
-            SELECT CAST(500000000 + n_nationkey AS BIGINT),
-                   CAST(600000000 + n_regionkey AS BIGINT) FROM nation
+            SELECT CAST(500000000000 + n_nationkey AS BIGINT),
+                   CAST(600000000000 + n_regionkey AS BIGINT) FROM nation
         ),
         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
         nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
@@ -926,29 +926,29 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "shortest_distance": """
         WITH verts AS (
-            SELECT CAST(100000000 + c_custkey AS BIGINT) AS id FROM customer
-            UNION ALL SELECT CAST(200000000 + s_suppkey AS BIGINT) FROM supplier
-            UNION ALL SELECT CAST(500000000 + n_nationkey AS BIGINT) FROM nation
-            UNION ALL SELECT CAST(600000000 + r_regionkey AS BIGINT) FROM region
+            SELECT CAST(100000000000 + c_custkey AS BIGINT) AS id FROM customer
+            UNION ALL SELECT CAST(200000000000 + s_suppkey AS BIGINT) FROM supplier
+            UNION ALL SELECT CAST(500000000000 + n_nationkey AS BIGINT) FROM nation
+            UNION ALL SELECT CAST(600000000000 + r_regionkey AS BIGINT) FROM region
         ),
         d AS (
-            SELECT CAST(600000000 AS BIGINT) AS id, 0.0 AS distance
+            SELECT CAST(600000000000 AS BIGINT) AS id, 0.0 AS distance
             UNION ALL
-            SELECT CAST(500000000 + n_nationkey AS BIGINT), 1.0
+            SELECT CAST(500000000000 + n_nationkey AS BIGINT), 1.0
             FROM nation WHERE n_regionkey = 0
             UNION ALL
-            SELECT CAST(100000000 + c_custkey AS BIGINT), 2.0
+            SELECT CAST(100000000000 + c_custkey AS BIGINT), 2.0
             FROM customer JOIN nation ON n_nationkey = c_nationkey
             WHERE n_regionkey = 0
             UNION ALL
-            SELECT CAST(200000000 + s_suppkey AS BIGINT), 2.0
+            SELECT CAST(200000000000 + s_suppkey AS BIGINT), 2.0
             FROM supplier JOIN nation ON n_nationkey = s_nationkey
             WHERE n_regionkey = 0
         )
         SELECT v.id, d.distance FROM verts v LEFT JOIN d ON d.id = v.id
     """,
     "degree_out_customer": """
-        SELECT CAST(100000000 + c_custkey AS BIGINT) AS id,
+        SELECT CAST(100000000000 + c_custkey AS BIGINT) AS id,
                1 + COALESCE(o.cnt, 0) AS degree
         FROM customer
         LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o

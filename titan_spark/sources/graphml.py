@@ -37,7 +37,10 @@ def read_graphml(spark: SparkSession, path: str) -> PropertyGraph:
     ``labelV``/``labelE`` when present.
     """
     opener = gzip.open if path.endswith(".gz") else open
-    keys: dict[str, tuple[str, str]] = {}  # key id -> (attr name, type)
+    # key id -> (attr name, type, domain); domain is the <key for=...>
+    # scope — node and edge declarations of the same attr.name may have
+    # different types and must resolve per-domain
+    keys: dict[str, tuple[str, str, str]] = {}
     vertices: list[dict] = []
     edges: list[dict] = []
     node_ids: dict[str, int] = {}
@@ -52,6 +55,7 @@ def read_graphml(spark: SparkSession, path: str) -> PropertyGraph:
                     keys[el.get("id")] = (
                         el.get("attr.name", el.get("id")),
                         el.get("attr.type", "string"),
+                        el.get("for", "all"),
                     )
                 elif tag == "node":
                     current, kind = {"_id": el.get("id")}, "node"
@@ -63,7 +67,9 @@ def read_graphml(spark: SparkSession, path: str) -> PropertyGraph:
                     }, "edge"
             else:  # end
                 if tag == "data" and current is not None:
-                    name, typ = keys.get(el.get("key"), (el.get("key"), "string"))
+                    name, typ, _dom = keys.get(
+                        el.get("key"), (el.get("key"), "string", "all")
+                    )
                     cast = _CASTS.get(typ, str)
                     current[name] = cast(el.text) if el.text is not None else None
                 elif tag == "node":
@@ -94,17 +100,31 @@ def read_graphml(spark: SparkSession, path: str) -> PropertyGraph:
         for i, e in enumerate(edges)
     ]
 
-    def _spark_type(name: str, rows: list[dict], names_key: str) -> str:
-        for kid, (aname, typ) in keys.items():
-            if aname == name:
-                return {"int": "int", "long": "long", "float": "float", "double": "double", "boolean": "boolean"}.get(typ, "string")
-        return "string"
+    def _spark_type(name: str, domain: str) -> str:
+        # prefer the declaration scoped to this domain; fall back to an
+        # unscoped/any declaration of the same attr name
+        best = None
+        for _kid, (aname, typ, dom) in keys.items():
+            if aname != name:
+                continue
+            if dom == domain:
+                best = typ
+                break
+            if best is None:
+                best = typ
+        return {
+            "int": "int",
+            "long": "long",
+            "float": "float",
+            "double": "double",
+            "boolean": "boolean",
+        }.get(best or "string", "string")
 
     v_schema = "id long, label string" + "".join(
-        f", `{n}` {_spark_type(n, vertices, 'v')}" for n in vprop_names
+        f", `{n}` {_spark_type(n, 'node')}" for n in vprop_names
     )
     e_schema = "edge_id long, src long, dst long, label string" + "".join(
-        f", `{n}` {_spark_type(n, edges, 'e')}" for n in eprop_names
+        f", `{n}` {_spark_type(n, 'edge')}" for n in eprop_names
     )
     return PropertyGraph(
         spark.createDataFrame(v_rows, v_schema),

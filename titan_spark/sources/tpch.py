@@ -13,8 +13,8 @@ effect as Titan's per-label index selection.
 Id scheme (SURVEY §1.4: opaque longs with disjoint tagged ranges, the
 relational analog of Titan's bit-prefixed ids, IDManager.java:19-44):
 
-    customer 1e8+custkey · supplier 2e8+suppkey · part 3e8+partkey
-    orders   4e8+orderkey · nation  5e8+nationkey · region 6e8+regionkey
+    customer 1e11+custkey · supplier 2e11+suppkey · part 3e11+partkey
+    orders   4e11+orderkey · nation  5e11+nationkey · region 6e11+regionkey
 """
 
 from __future__ import annotations
@@ -39,22 +39,25 @@ TABLE_NAMES = (
 )
 
 # vertex-id offsets per label
+# vertex spacing 1e11 and edge spacing 1e13 keep the id families
+# collision-free up to SF ~10^4 (orderkey < 1e11, lineitem edge ids
+# orderkey*8 < 1e12) — 64-bit longs have room to spare
 OFF = {
-    "customer": 100_000_000,
-    "supplier": 200_000_000,
-    "part": 300_000_000,
-    "order": 400_000_000,
-    "nation": 500_000_000,
-    "region": 600_000_000,
+    "customer": 100_000_000_000,
+    "supplier": 200_000_000_000,
+    "part": 300_000_000_000,
+    "order": 400_000_000_000,
+    "nation": 500_000_000_000,
+    "region": 600_000_000_000,
 }
 # edge-id offsets per relation family
 EOFF = {
-    "placed": 1_000_000_000,
-    "contains": 2_000_000_000,
-    "supplied_by": 3_000_000_000,
-    "cust_nation": 4_000_000_000,
-    "supp_nation": 5_000_000_000,
-    "in_region": 6_000_000_000,
+    "placed": 10_000_000_000_000,
+    "contains": 20_000_000_000_000,
+    "supplied_by": 30_000_000_000_000,
+    "cust_nation": 40_000_000_000_000,
+    "supp_nation": 50_000_000_000_000,
+    "in_region": 60_000_000_000_000,
 }
 
 

@@ -119,16 +119,26 @@ class LogProcessorFramework:
         self._dispatch(df, -1)
 
 
-def apply_changes(base: DataFrame, changes: DataFrame, id_col: str = "id") -> DataFrame:
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str = "id",
+    element_kind: str = "vertex",
+) -> DataFrame:
     """Fold a change batch into a table: REMOVEs anti-join, ADDs append.
 
     The 'emulated MERGE' for environments without Delta: last-writer-
-    wins per element id within the batch (highest tx_id), then applied
-    over the base table.
+    wins per (element_kind, element_id) within the batch (highest
+    tx_id), applied over the base table of the given kind — ids are
+    per-kind namespaces, so an edge change never shadows a vertex
+    change with the same numeric id.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("element_id").orderBy(F.col("tx_id").desc(), F.col("ts").desc())
+    changes = changes.filter(F.col("element_kind") == element_kind)
+    w = Window.partitionBy("element_kind", "element_id").orderBy(
+        F.col("tx_id").desc(), F.col("ts").desc()
+    )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
