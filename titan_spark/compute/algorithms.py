@@ -28,13 +28,18 @@ def pagerank(
     alpha: float = 0.85,
     iterations: int = 10,
     edge_labels: tuple[str, ...] = (),
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Returns DataFrame(id, pagerank).
 
     The degree pre-round of the reference (messages over inE at
     iteration 0) is a plain aggregation here. Edges+degrees are
     computed once and cached; each round is one shuffle on dst.
+
+    ``checkpoint_every=1`` because each round references the state
+    twice (message join + rank join): an unmaterialized state doubles
+    the physical plan per round (2^N base scans), while materializing
+    one row per vertex per round is cheap at any scale.
     """
     e = graph.edges
     if edge_labels:

@@ -132,7 +132,7 @@ def pregel(
     msg_to_dst: Column | None = None,
     msg_to_src: Column | None = None,
     max_iterations: int = 10,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     active_col: str | None = None,
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
@@ -185,10 +185,16 @@ def run_iterations(
     state: DataFrame,
     step: Callable[[DataFrame, int], DataFrame],
     max_iterations: int,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Generic iteration driver with lineage checkpointing, for vertex
-    programs whose round is not a single message/update pair."""
+    programs whose round is not a single message/update pair.
+
+    Default is checkpoint-per-round: a step that references ``state``
+    more than once doubles the unmaterialized plan every round, so
+    deferring checkpoints trades a cheap per-vertex materialization
+    for exponential plan growth. Raise ``checkpoint_every`` only for
+    steps that reference state exactly once."""
     for i in range(max_iterations):
         state = step(state, i)
         if (i + 1) % checkpoint_every == 0:

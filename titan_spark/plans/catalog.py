@@ -23,15 +23,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from titan_spark.functions import (
+    geo_disjoint,
     geo_within_circle,
     text_contains,
     text_contains_prefix,
     text_contains_regex,
+    text_prefix,
+    text_regex,
 )
 from titan_spark.functions.predicates import P
 from titan_spark.graph import PropertyGraph
-from titan_spark.pipeline.dedup import jaccard_pairs, lsh_candidate_pairs, minhash_signatures
-from titan_spark.pipeline.similarity import cosine_topk
+from titan_spark.pipeline.dedup import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from titan_spark.pipeline.multimodal import extract_features, make_media_table
+from titan_spark.pipeline.similarity import cosine_topk, lsh_bucketed_topk
 from titan_spark.pipeline.text_quality import doc_quality, lang_id, token_stats
 from titan_spark.sources.tpch import OFF, load_tables, load_tpch_graph
 
@@ -284,6 +293,72 @@ def q_geo_within(spark, sf_dir):
         cust.select(F.col("c_custkey").cast("long").alias("key"), lat.alias("lat"), lon.alias("lon"))
         .filter(geo_within_circle("lat", "lon", 10.0, 10.0, 3500.0))
         .select("key")
+    )
+
+
+def q_text_prefix(spark, sf_dir):
+    """T4: whole-string startsWith (Text.java:112-133), distinct from
+    T2's per-token prefix."""
+    cust = tables(spark, sf_dir)["customer"]
+    return (
+        cust.filter(text_prefix(F.col("c_mktsegment"), "BUILD"))
+        .select(F.col("c_custkey").cast("long").alias("key"))
+    )
+
+
+def q_text_regex(spark, sf_dir):
+    """T5: whole string matches regex entirely (Text.java:135-158)."""
+    part = tables(spark, sf_dir)["part"]
+    return (
+        part.filter(text_regex(F.col("p_brand"), "Brand#1[0-9]"))
+        .select(F.col("p_partkey").cast("long").alias("key"))
+    )
+
+
+def q_geo_disjoint(spark, sf_dir):
+    """G2: Geo.DISJOINT = complement of within for point geometries."""
+    cust = tables(spark, sf_dir)["customer"]
+    lat = (F.col("c_custkey") % 120) - 60 + F.lit(0.25)
+    lon = (F.col("c_custkey") % 300) - 150 + F.lit(0.25)
+    return (
+        cust.select(F.col("c_custkey").cast("long").alias("key"), lat.alias("lat"), lon.alias("lon"))
+        .filter(geo_disjoint("lat", "lon", 10.0, 10.0, 3500.0))
+        .select("key")
+    )
+
+
+def q_simhash_sig(spark, sf_dir):
+    """SimHash signatures (rows-only: xxhash64 has no DuckDB twin; the
+    bit-vote fold is value-tested in tests/test_pipeline)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return simhash(docs, "text", "doc_id", bits=32).orderBy("doc_id")
+
+
+def q_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate top-k pairs (rows-only: bucket
+    membership depends on the hyperplane hash; recall vs the exact
+    top-k is asserted in tests)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    return lsh_bucketed_topk(emb, k=5, n_planes=6).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("cosine"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: wrap document text as a binary
+    payload, run the mapInPandas decode/featurize kernel (stub codec),
+    and return the kernel's per-item byte counts — value-checked
+    against octet_length in the oracle, so the Arrow batch path itself
+    is what's being verified."""
+    docs = tables(spark, sf_dir)["documents"]
+    media = make_media_table(docs, "doc_id", F.col("text"), "image")
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        "n_bytes",
     )
 
 
@@ -697,6 +772,34 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id FROM documents
         WHERE len(list_filter({_toks()}, t -> regexp_full_match(t, 'qu.ry'))) > 0
     """,
+    "text_prefix": """
+        SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
+        WHERE starts_with(c_mktsegment, 'BUILD')
+    """,
+    "text_regex": """
+        SELECT CAST(p_partkey AS BIGINT) AS key FROM part
+        WHERE regexp_full_match(p_brand, 'Brand#1[0-9]')
+    """,
+    "geo_disjoint": """
+        WITH pts AS (
+            SELECT CAST(c_custkey AS BIGINT) AS key,
+                   (c_custkey % 120) - 60 + 0.25 AS lat,
+                   (c_custkey % 300) - 150 + 0.25 AS lon
+            FROM customer
+        )
+        SELECT key FROM pts
+        WHERE NOT (2 * 6371.0087714 * asin(sqrt(
+                pow(sin((radians(10.0) - radians(lat)) / 2), 2)
+                + cos(radians(lat)) * cos(radians(10.0))
+                  * pow(sin((radians(10.0) - radians(lon)) / 2), 2)
+              )) <= 3500.0)
+    """,
+    "multimodal_features": """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               'image' AS kind,
+               CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes
+        FROM documents
+    """,
     "geo_within": """
         WITH pts AS (
             SELECT CAST(c_custkey AS BIGINT) AS key,
@@ -1015,7 +1118,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_contains": q_text_contains,
     "text_contains_prefix": q_text_contains_prefix,
     "text_contains_regex": q_text_contains_regex,
+    "text_prefix": q_text_prefix,
+    "text_regex": q_text_regex,
     "geo_within": q_geo_within,
+    "geo_disjoint": q_geo_disjoint,
+    "simhash_sig": q_simhash_sig,  # rows-only (no oracle)
+    "lsh_ann": q_lsh_ann,  # rows-only (no oracle)
+    "multimodal_features": q_multimodal_features,
     "events_hourly": q_events_hourly,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
