@@ -136,6 +136,11 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+    # materialize the banded table before the self-join: both join sides
+    # would otherwise re-evaluate the full minhash expression tree (the
+    # most expensive stage of the pipeline) — the banded rows are just
+    # (id, band, bucket), tiny relative to the corpus at any scale
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -157,8 +162,26 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
-    sh = df.select(F.col(id_col).alias("_jid"), shingles(F.col(text_col), shingle_n).alias("_sh"))
+    """Exact n-gram Jaccard for candidate pairs (verification stage).
+
+    Only documents that appear in a candidate pair are shingled: a
+    semi-join against the candidate id set runs first, so the verify
+    stage costs O(candidates), not two full-corpus shingle passes —
+    at 100 TB the candidate set is orders of magnitude smaller than
+    the corpus.
+    """
+    # (id_a, id_b) pairs only — materialized once because the plan
+    # references the candidate set four times (id union + two joins)
+    candidates = candidates.localCheckpoint(eager=True)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("_jid"))
+        .unionByName(candidates.select(F.col("id_b").alias("_jid")))
+        .distinct()
+    )
+    sh = df.select(F.col(id_col).alias("_jid"), F.col(text_col)).join(
+        cand_ids, "_jid", "left_semi"
+    )
+    sh = sh.select("_jid", shingles(F.col(text_col), shingle_n).alias("_sh"))
     j = (
         candidates.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
