@@ -51,3 +51,47 @@ def test_bag_semantics_preserved(gods):
     t = gods.V().has("name", "pluto").both("brother")
     assert t.count_value() == 4  # 2 out + 2 in
     assert t.dedup().count_value() == 2
+
+
+def test_aggregate_where_without(gods):
+    # gods' fathers collected into a set; expanding brothers/battled
+    # and anti-joining the set drops collected ids
+    t = (
+        gods.V()
+        .has("name", "hercules")
+        .out("father")
+        .aggregate_("dads")
+        .out("brother")
+        .where_without("dads")
+        .dedup()
+    )
+    names = sorted(r["name"] for r in t.values("name").collect())
+    assert names == ["neptune", "pluto"]
+
+
+def test_aggregate_where_within(gods):
+    # within = semi-join back into the collected set
+    t = (
+        gods.V()
+        .has("name", "hercules")
+        .out("father")
+        .aggregate_("dads")
+        .out("brother")
+        .out("brother")
+        .where_within("dads")
+        .dedup()
+    )
+    names = sorted(r["name"] for r in t.values("name").collect())
+    assert names == ["jupiter"]
+
+
+def test_store_alias_and_missing_set(gods):
+    t = gods.V().has_label("god").store_("gods")
+    assert sorted(r["name"] for r in t.where_within("gods").values("name").collect()) == [
+        "jupiter", "neptune", "pluto"
+    ]
+    try:
+        gods.V().where_within("nope")
+        assert False, "expected KeyError"
+    except KeyError:
+        pass

@@ -49,6 +49,7 @@ class GraphTraversal:
     def __init__(
         self, graph, df: DataFrame, kind: str, order_specs=(), edge_labels=None,
         vertex_labels: tuple[str, ...] | None = None, edge_dir: str | None = None,
+        side_effects: dict[str, DataFrame] | None = None,
     ):
         self.graph = graph
         self._df = df
@@ -63,6 +64,8 @@ class GraphTraversal:
         # vertices (None = unknown) — used to prune edge-union branches
         # via the src_label/dst_label metadata columns
         self._vertex_labels = vertex_labels
+        # Gremlin aggregate()/store() side-effect sets: name -> id set
+        self._side_effects: dict[str, DataFrame] = side_effects or {}
 
     # ------------------------------------------------------------------ ctor
     @staticmethod
@@ -85,6 +88,7 @@ class GraphTraversal:
         edge_labels=_NOTSET,
         vertex_labels=_NOTSET,
         edge_dir=_NOTSET,
+        side_effects=None,
     ) -> "GraphTraversal":
         return GraphTraversal(
             self.graph,
@@ -94,6 +98,7 @@ class GraphTraversal:
             self._edge_labels if edge_labels is _NOTSET else edge_labels,
             self._vertex_labels if vertex_labels is _NOTSET else vertex_labels,
             self._edge_dir if edge_dir is _NOTSET else edge_dir,
+            self._side_effects if side_effects is None else side_effects,
         )
 
     def _tag_cols(self) -> list[str]:
@@ -465,6 +470,48 @@ class GraphTraversal:
         sub = fn(self.as_("__w"))
         drop = sub._df.select(F.col("_t___w.id").alias("id")).dropDuplicates()
         return self._with(self._df.join(drop, "id", "left_anti"))
+
+    def aggregate_(self, name: str) -> "GraphTraversal":
+        """Gremlin ``aggregate(name)`` / ``store(name)``: collect the
+        current frontier's element ids into a named side-effect set for
+        later ``where_within``/``where_without`` membership tests
+        (ProcessStandardSuite surface, SURVEY §2.10).
+
+        Batch evaluation makes the eager (aggregate) and lazy (store)
+        variants indistinguishable: the set is the frontier at this
+        step, and membership tests compile to semi/anti joins — no
+        driver-side collection at any scale.
+        """
+        ids = self._df.select(F.col(self._id_col()).alias("_se_id")).dropDuplicates()
+        se = dict(self._side_effects)
+        se[name] = ids
+        return self._with(self._df, side_effects=se)
+
+    store_ = aggregate_
+
+    def _side_effect_set(self, name: str) -> DataFrame:
+        if name not in self._side_effects:
+            raise KeyError(
+                f"no side-effect set {name!r}; call .aggregate_({name!r}) earlier "
+                f"in the traversal (have: {sorted(self._side_effects)})"
+            )
+        return self._side_effects[name]
+
+    def where_within(self, name: str) -> "GraphTraversal":
+        """Keep traversers whose element id is in the named side-effect
+        set (Gremlin ``where(within(name))``) — a left-semi join."""
+        ids = self._side_effect_set(name)
+        return self._with(
+            self._df.join(ids, F.col(self._id_col()) == F.col("_se_id"), "left_semi")
+        )
+
+    def where_without(self, name: str) -> "GraphTraversal":
+        """Drop traversers whose element id is in the named side-effect
+        set (Gremlin ``where(without(name))``) — a left-anti join."""
+        ids = self._side_effect_set(name)
+        return self._with(
+            self._df.join(ids, F.col(self._id_col()) == F.col("_se_id"), "left_anti")
+        )
 
     def path_ids(self, *tag_names: str) -> Column:
         """Path back-reference: array of element ids along tagged hops +

@@ -223,6 +223,24 @@ def q_degree_part(spark, sf_dir):
     )
 
 
+def q_aggregate_without(spark, sf_dir):
+    """§2.10 aggregate/store + where(without): collect a frontier into
+    a side-effect set, expand, and anti-join the set back out — nations
+    sharing a region with nations 0-9, excluding those nations."""
+    return (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("nation")
+        .has("key", P.lt(10))
+        .aggregate_("n10")
+        .out("in_region")
+        .in_("in_region")
+        .where_without("n10")
+        .dedup()
+        .values("key", "name")
+    )
+
+
 def q_union_dedup_nations(spark, sf_dir):
     """U1/U2: distinct nations reachable from BUILDING customers."""
     return (
@@ -737,6 +755,12 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(l_partkey AS BIGINT) AS partkey, count(*) AS count
         FROM lineitem GROUP BY 1
     """,
+    "aggregate_without": """
+        SELECT CAST(n2.n_nationkey AS BIGINT) AS key, n2.n_name AS name
+        FROM nation n1 JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+        WHERE n1.n_nationkey < 10 AND n2.n_nationkey >= 10
+        GROUP BY 1, 2
+    """,
     "union_dedup_nations": """
         SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS key, n_name AS name
         FROM customer JOIN nation ON n_nationkey = c_nationkey
@@ -1112,6 +1136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "three_hop_region": q_three_hop_region,
     "topk_per_vertex": q_topk_per_vertex,
     "degree_part": q_degree_part,
+    "aggregate_without": q_aggregate_without,
     "union_dedup_nations": q_union_dedup_nations,
     "both_degree_nation": q_both_degree_nation,
     "agg_pricing_summary": q_agg_pricing_summary,
