@@ -47,10 +47,12 @@ def test_predicate_pushdown_reaches_scan(tpch):
 
 def test_hop_scans_only_reachable_tables(tpch):
     # customer -placed-> order -contains-> part: never touches
-    # supplier/nation/region/part vertex files except part (final hop)
+    # supplier/nation/region vertex files — and the pristine-frontier
+    # elision drops the customer scan too (the first hop is a direct
+    # edge scan; the full customer set adds nothing to it)
     t = tpch.V().has_label("customer").out("placed").out("contains")
     files = scanned_files(plan_of(t.df))
-    assert files == {"customer.parquet", "orders.parquet", "lineitem.parquet", "part.parquet"}
+    assert files == {"orders.parquet", "lineitem.parquet", "part.parquet"}
 
 
 def test_edge_branch_pruning_by_frontier_label(tpch):

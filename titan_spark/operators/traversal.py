@@ -50,6 +50,7 @@ class GraphTraversal:
         self, graph, df: DataFrame, kind: str, order_specs=(), edge_labels=None,
         vertex_labels: tuple[str, ...] | None = None, edge_dir: str | None = None,
         side_effects: dict[str, DataFrame] | None = None,
+        pristine: bool = False,
     ):
         self.graph = graph
         self._df = df
@@ -66,11 +67,16 @@ class GraphTraversal:
         self._vertex_labels = vertex_labels
         # Gremlin aggregate()/store() side-effect sets: name -> id set
         self._side_effects: dict[str, DataFrame] = side_effects or {}
+        # pristine = the frontier is exactly "all vertices of
+        # _vertex_labels" (a full V() scan restricted only by label):
+        # edge expansion can then skip the frontier⋈edges join entirely
+        # (Titan's direct edge-store scan). Cleared by any other step.
+        self._pristine = pristine
 
     # ------------------------------------------------------------------ ctor
     @staticmethod
     def _vertices(graph) -> "GraphTraversal":
-        return GraphTraversal(graph, graph.vertices, "V")
+        return GraphTraversal(graph, graph.vertices, "V", pristine=True)
 
     @staticmethod
     def _edges(graph) -> "GraphTraversal":
@@ -89,6 +95,7 @@ class GraphTraversal:
         vertex_labels=_NOTSET,
         edge_dir=_NOTSET,
         side_effects=None,
+        pristine: bool = False,
     ) -> "GraphTraversal":
         return GraphTraversal(
             self.graph,
@@ -99,6 +106,7 @@ class GraphTraversal:
             self._vertex_labels if vertex_labels is _NOTSET else vertex_labels,
             self._edge_dir if edge_dir is _NOTSET else edge_dir,
             self._side_effects if side_effects is None else side_effects,
+            pristine,
         )
 
     def _tag_cols(self) -> list[str]:
@@ -193,7 +201,8 @@ class GraphTraversal:
             else F.col("label").isin(list(labels))
         )
         vl = tuple(sorted(labels)) if self.kind == "V" else _NOTSET
-        return self._with(self._df.filter(cond), vertex_labels=vl)
+        # a label-only restriction of a pristine scan is still pristine
+        return self._with(self._df.filter(cond), vertex_labels=vl, pristine=self._pristine)
 
     def has_id(self, *ids: int) -> "GraphTraversal":
         idc = F.col(self._id_col())
@@ -237,9 +246,22 @@ class GraphTraversal:
         The batched-adjacency read (MultiQuery, SURVEY §2.4 J3) is this
         join's set-orientation; Titan needed ``query.batch`` to avoid
         N+1 backend calls, a join is batched by construction.
+
+        Pristine-frontier elision: when the frontier is exactly "all
+        vertices of label L" (no property filters, no tags) and the
+        edge schema carries endpoint-label metadata, the join adds no
+        information — every qualifying edge's endpoint is in the
+        frontier by construction — so the hop compiles to a bare
+        label-filtered edge scan (Titan's direct edge-store scan,
+        SURVEY §2.1 S4). Assumes store referential integrity: dangling
+        (ghost) edges are a maintenance-job concern
+        (``repair_ghost_edges``), exactly as in the reference.
         """
         self._require("V", direction)
         tags = self._tag_cols()
+        # elision is per-orientation: it additionally needs the matching
+        # endpoint-label metadata column (or an unrestricted frontier)
+        elide_ok = self._pristine and not tags
         fr = self._df.select(F.col("id").alias("_origin"), *tags).alias("f")
         e = self.graph.edges
         if labels:
@@ -258,22 +280,38 @@ class GraphTraversal:
             e_out = e
             if vl and "src_label" in ecols:
                 e_out = e.filter(F.col("src_label").isin(list(vl))).alias("e")
-            parts.append(
-                fr.join(e_out, F.col("f._origin") == F.col("e.src"))
-                .select("e.*", "f._origin", *[F.col(f"f.{t}") for t in tags])
-                .withColumn("_other", F.col("dst"))
-                .withColumn("_dir", F.lit("OUT"))
-            )
+            if elide_ok and (vl is None or "src_label" in ecols):
+                parts.append(
+                    e_out.select("e.*")
+                    .withColumn("_origin", F.col("src"))
+                    .withColumn("_other", F.col("dst"))
+                    .withColumn("_dir", F.lit("OUT"))
+                )
+            else:
+                parts.append(
+                    fr.join(e_out, F.col("f._origin") == F.col("e.src"))
+                    .select("e.*", "f._origin", *[F.col(f"f.{t}") for t in tags])
+                    .withColumn("_other", F.col("dst"))
+                    .withColumn("_dir", F.lit("OUT"))
+                )
         if direction in ("in", "both"):
             e_in = e
             if vl and "dst_label" in ecols:
                 e_in = e.filter(F.col("dst_label").isin(list(vl))).alias("e")
-            parts.append(
-                fr.join(e_in, F.col("f._origin") == F.col("e.dst"))
-                .select("e.*", "f._origin", *[F.col(f"f.{t}") for t in tags])
-                .withColumn("_other", F.col("src"))
-                .withColumn("_dir", F.lit("IN"))
-            )
+            if elide_ok and (vl is None or "dst_label" in ecols):
+                parts.append(
+                    e_in.select("e.*")
+                    .withColumn("_origin", F.col("dst"))
+                    .withColumn("_other", F.col("src"))
+                    .withColumn("_dir", F.lit("IN"))
+                )
+            else:
+                parts.append(
+                    fr.join(e_in, F.col("f._origin") == F.col("e.dst"))
+                    .select("e.*", "f._origin", *[F.col(f"f.{t}") for t in tags])
+                    .withColumn("_other", F.col("src"))
+                    .withColumn("_dir", F.lit("IN"))
+                )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
