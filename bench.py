@@ -37,6 +37,8 @@ HEADLINE = [
     "text_contains",
     "token_stats",
     "doc_quality",
+    "tfidf_top_terms",
+    "hash_sample",
     "minhash_lsh_pairs",
     "cosine_topk",
 ]

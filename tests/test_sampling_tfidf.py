@@ -1,0 +1,58 @@
+"""Deterministic sampling invariants + tf-idf ranking."""
+
+from titan_spark.pipeline.sampling import hash_bucket, hash_sample, hash_split
+from titan_spark.pipeline.text_quality import tfidf_top_terms
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc number {i} text alpha beta {'gamma ' * (i % 3)}") for i in range(200)],
+        "doc_id long, text string",
+    )
+
+
+def test_hash_sample_deterministic_and_seeded(spark):
+    d = _docs(spark)
+    a = sorted(r["doc_id"] for r in hash_sample(d, 0.2).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(d, 0.2).collect())
+    assert a == b and 10 < len(a) < 90  # ~40 expected, loose bounds
+    c = sorted(r["doc_id"] for r in hash_sample(d, 0.2, seed=7).collect())
+    assert c != a  # a different seed samples a different subset
+
+
+def test_hash_sample_nested(spark):
+    # rate r1 ⊂ rate r2 for r1 < r2 (same seed): thresholds nest
+    d = _docs(spark)
+    small = {r["doc_id"] for r in hash_sample(d, 0.1).collect()}
+    big = {r["doc_id"] for r in hash_sample(d, 0.3).collect()}
+    assert small <= big
+
+
+def test_hash_split_partition(spark):
+    d = _docs(spark)
+    parts = hash_split(d, (0.5, 0.3, 0.2))
+    sets = [{r["doc_id"] for r in p.collect()} for p in parts]
+    assert sets[0] | sets[1] | sets[2] == set(range(200))
+    assert not (sets[0] & sets[1]) and not (sets[1] & sets[2]) and not (sets[0] & sets[2])
+
+
+def test_tfidf_ranks(spark):
+    d = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry apple")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(d, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tfidf"]))
+    # every doc gets ranks 1..k, scores non-increasing
+    for doc, rows in by_doc.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r[2] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # 'banana' appears in 2 of 3 docs -> lower idf than 'apple' (2 docs) equal;
+    # doc 3's top term is cherry (tf=3, df=2)
+    assert by_doc[3][0][1] == "cherry"

@@ -1,0 +1,99 @@
+"""Deterministic sampling for reproducible training-data pipelines.
+
+``rand()``-based sampling is not reproducible across retries, partition
+counts, or engine versions; hash-based sampling keys the decision on
+the row's identity, so a row's fate is a pure function of (id, seed) —
+stable under re-execution, resumable, and expressible in ANSI SQL for
+oracle checks. This is the standard corpus-split/subsample primitive
+(the reference has no sampling surface; this is engine-charter
+pipeline machinery).
+
+The hash is two rounds of Knuth multiplicative hashing with the
+operands mod-reduced first so no step exceeds 2^63-1: identical
+closed-form arithmetic in Spark and DuckDB (and safe under Spark's
+ANSI overflow checking), non-negative throughout so ``pmod`` and SQL
+``%`` agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_P31 = 2_147_483_647  # 2^31 - 1
+_KNUTH1 = 2_654_435_761
+_KNUTH2 = 2_246_822_519
+_BUCKETS = 1 << 30
+
+
+def hash_bucket(col: Column, seed: int = 0) -> Column:
+    """Deterministic bucket in [0, 2^30) from an integral id column.
+
+    max intermediate: (2^31-1) * KNUTH2 < 2^63-1 — never overflows.
+    """
+    h = F.pmod(col.cast("long") + F.lit(seed).cast("long"), F.lit(_P31))
+    h = F.pmod(h * F.lit(_KNUTH1), F.lit(_P31))
+    return F.pmod(h * F.lit(_KNUTH2), F.lit(_BUCKETS))
+
+
+def bucket_sql(col: str, seed: int = 0) -> str:
+    """The identical bucket expression in ANSI SQL (oracle twin)."""
+    return (
+        f"(((({col} + {seed}) % {_P31}) * {_KNUTH1} % {_P31}) "
+        f"* {_KNUTH2} % {_BUCKETS})"
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Keep ~rate of rows, decided by the id's hash bucket.
+
+    No shuffle, no state: a narrow filter evaluated at the scan, so at
+    any scale sampling costs one pass and prunes early.
+    """
+    threshold = int(rate * _BUCKETS)
+    return df.filter(hash_bucket(F.col(id_col), seed) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. per-language corpus balancing).
+
+    ``rates`` maps stratum value -> keep rate; unlisted strata keep
+    ``default_rate``. Same narrow-filter plan as ``hash_sample`` — the
+    per-stratum threshold is a CASE expression, not a join.
+    """
+    threshold = F.lit(int(default_rate * _BUCKETS))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(F.col(id_col), seed) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> list[DataFrame]:
+    """Disjoint deterministic train/val/test splits covering the corpus."""
+    total = sum(weights)
+    bounds = []
+    acc = 0.0
+    for w in weights:
+        acc += w / total
+        bounds.append(int(acc * _BUCKETS))
+    b = hash_bucket(F.col(id_col), seed)
+    out = []
+    lo = 0
+    for hi in bounds:
+        out.append(df.filter((b >= F.lit(lo)) & (b < F.lit(hi))))
+        lo = hi
+    return out

@@ -129,3 +129,44 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.xxhash64(F.concat_ws(" ", toks)).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by smoothed tf-idf.
+
+    tf = term count within the doc; idf = ln(N / df_t) with natural log
+    and raw document frequency (deterministic closed form, no fitted
+    vocabulary). Ties break on the term string ascending.
+
+    Plan shape: explode → two hash aggregations (term×doc, term) → one
+    broadcastable join on term → per-doc window top-k. The doc-frequency
+    table is |vocab| rows — small relative to the corpus — so at 100 TB
+    the join broadcasts and the only big shuffles are the two partial
+    aggregations, both map-side combinable.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    # rank on the ROUNDED score: both engines order identical rounded
+    # doubles, so a 1-ulp libm difference can't flip a rank
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "term", "tfidf", F.col("_rn").cast("int").alias("rank"))
+    )

@@ -40,6 +40,7 @@ from titan_spark.pipeline.dedup import (
     simhash,
 )
 from titan_spark.pipeline.multimodal import extract_features, make_media_table
+from titan_spark.pipeline.sampling import bucket_sql, hash_sample, hash_split, stratified_sample
 from titan_spark.pipeline.similarity import cosine_topk, lsh_bucketed_topk
 from titan_spark.pipeline.text_quality import doc_quality, lang_id, token_stats
 from titan_spark.sources.tpch import OFF, load_tables, load_tpch_graph
@@ -407,6 +408,40 @@ def q_dedup_exact(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("text").alias("n_distinct"),
     )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 terms per doc by smoothed tf-idf (explode → two aggs →
+    broadcast join → per-doc window)."""
+    from titan_spark.pipeline.text_quality import tfidf_top_terms
+
+    docs = tables(spark, sf_dir)["documents"]
+    return tfidf_top_terms(docs, k=3)
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample — a narrow filter, no shuffle."""
+    docs = tables(spark, sf_dir)["documents"]
+    return hash_sample(docs, 0.10).select("doc_id")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language stratified sampling (corpus balancing)."""
+    docs = tables(spark, sf_dir)["documents"]
+    return stratified_sample(
+        docs, {"en": 0.5, "de": 0.2}, strata_col="lang", default_rate=0.05
+    ).select("doc_id", "lang")
+
+
+def q_hash_split_counts(spark, sf_dir):
+    """Disjoint 80/10/10 train/val/test split — returns split sizes."""
+    docs = tables(spark, sf_dir)["documents"]
+    parts = hash_split(docs, (0.8, 0.1, 0.1))
+    out = None
+    for i, p in enumerate(parts):
+        c = p.select(F.lit(i).alias("split"), "doc_id")
+        out = c if out is None else out.unionByName(c)
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
 
 
 def q_token_stats(spark, sf_dir):
@@ -846,6 +881,48 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact": """
         SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct FROM documents
     """,
+    "tfidf_top_terms": f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({_toks()}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * ln(nd.n / dfq.df_t), 6) AS tfidf
+            FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                   ) AS INT) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    "hash_sample": f"""
+        SELECT doc_id FROM documents
+        WHERE {bucket_sql("doc_id")} < {int(0.10 * (1 << 30))}
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {bucket_sql("doc_id")} < CASE
+            WHEN lang = 'en' THEN {int(0.5 * (1 << 30))}
+            WHEN lang = 'de' THEN {int(0.2 * (1 << 30))}
+            ELSE {int(0.05 * (1 << 30))} END
+    """,
+    "hash_split_counts": f"""
+        SELECT CASE
+                 WHEN b < {int(0.8 * (1 << 30))} THEN 0
+                 WHEN b < {int(0.9 * (1 << 30))} THEN 1
+                 ELSE 2
+               END AS split,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT {bucket_sql("doc_id")} AS b FROM documents)
+        GROUP BY 1
+    """,
     "token_stats": f"""
         WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents)
         SELECT doc_id,
@@ -1153,6 +1230,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "hash_split_counts": q_hash_split_counts,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
     "fingerprint_distinct": q_fingerprint_distinct,
