@@ -95,3 +95,31 @@ def test_store_alias_and_missing_set(gods):
         assert False, "expected KeyError"
     except KeyError:
         pass
+
+
+def test_coalesce_first_branch_wins(gods):
+    # hercules has a father -> mother branch never fires for him
+    t = gods.V().has("name", "hercules").coalesce_(
+        lambda x: x.out("father"), lambda x: x.out("mother")
+    )
+    assert [r["name"] for r in t.values("name").collect()] == ["jupiter"]
+
+
+def test_coalesce_fallback_branch(gods):
+    # jupiter has a father (saturn); saturn has none -> falls through
+    # to the brother branch
+    t = gods.V().has_label("god", "titan").coalesce_(
+        lambda x: x.out("father"), lambda x: x.out("brother")
+    )
+    names = sorted(r["name"] for r in t.values("name").collect())
+    # jupiter->saturn (father); neptune/pluto have no father -> their
+    # brothers: neptune->{jupiter,pluto}, pluto->{jupiter,neptune}
+    assert names == ["jupiter", "jupiter", "neptune", "pluto", "saturn"]
+
+
+def test_optional_identity(gods):
+    # gods with a father move there; the rest stay put
+    t = gods.V().has_label("god", "titan").optional_(lambda x: x.out("father"))
+    names = sorted(r["name"] for r in t.values("name").collect())
+    # jupiter -> saturn; neptune, pluto, saturn unchanged
+    assert names == ["neptune", "pluto", "saturn", "saturn"]

@@ -494,6 +494,44 @@ class GraphTraversal:
             raise ValueError("choose branches must end on the same element kind")
         return t.union_(f)
 
+    def coalesce_(
+        self, *branches: Callable[["GraphTraversal"], "GraphTraversal"]
+    ) -> "GraphTraversal":
+        """Gremlin ``coalesce(a, b, ...)``: per traverser, the first
+        branch that yields any result wins; later branches only see
+        traversers with no earlier result.
+
+        Compiled without driver loops: branch k applies to the residual
+        frontier (anti-join of origins that produced rows in branches
+        < k); results union. All semi/anti joins are on origin ids, so
+        the plan is k scans + k anti-joins — no per-row Python.
+        """
+        self._require("V", "coalesce_")
+        if not branches:
+            raise ValueError("coalesce_ needs at least one branch")
+        residual = self
+        outs = []
+        for fn in branches:
+            sub = fn(residual.as_("__co"))
+            outs.append(sub)
+            matched = sub._df.select(F.col("_t___co.id").alias("id")).dropDuplicates()
+            residual = residual._with(residual._df.join(matched, "id", "left_anti"))
+        kinds = {o.kind for o in outs}
+        if len(kinds) != 1:
+            raise ValueError("coalesce_ branches must end on the same element kind")
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.union_(o)
+        # drop the internal origin tag from the result frontier
+        return out._with(out._df.drop("_t___co"))
+
+    def optional_(
+        self, fn: Callable[["GraphTraversal"], "GraphTraversal"]
+    ) -> "GraphTraversal":
+        """Gremlin ``optional(sub)``: traversers with a sub-result move
+        there; the rest stay put — ``coalesce(sub, identity)``."""
+        return self.coalesce_(fn, lambda t: t)
+
     def where_(self, fn: Callable[["GraphTraversal"], "GraphTraversal"]) -> "GraphTraversal":
         """Gremlin ``where(subtraversal)``: keep traversers whose
         subtraversal is non-empty — a left-semi join (§2.10)."""

@@ -224,6 +224,21 @@ def q_degree_part(spark, sf_dir):
     )
 
 
+def q_coalesce_fallback(spark, sf_dir):
+    """§2.10 coalesce/optional: nations in regions 0-1 move to their
+    region vertex (first branch); the rest stay put (identity)."""
+    t = (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("nation")
+        .coalesce_(
+            lambda x: x.out("in_region").has("key", P.lt(2)),
+            lambda x: x,
+        )
+    )
+    return t.to_df(F.col("id"), F.col("label"))
+
+
 def q_aggregate_without(spark, sf_dir):
     """§2.10 aggregate/store + where(without): collect a frontier into
     a side-effect set, expand, and anti-join the set back out — nations
@@ -790,6 +805,12 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(l_partkey AS BIGINT) AS partkey, count(*) AS count
         FROM lineitem GROUP BY 1
     """,
+    "coalesce_fallback": f"""
+        SELECT CAST(CASE WHEN n_regionkey < 2 THEN {OFF["region"]} + n_regionkey
+                         ELSE {OFF["nation"]} + n_nationkey END AS BIGINT) AS id,
+               CASE WHEN n_regionkey < 2 THEN 'region' ELSE 'nation' END AS label
+        FROM nation
+    """,
     "aggregate_without": """
         SELECT CAST(n2.n_nationkey AS BIGINT) AS key, n2.n_name AS name
         FROM nation n1 JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
@@ -1213,6 +1234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "three_hop_region": q_three_hop_region,
     "topk_per_vertex": q_topk_per_vertex,
     "degree_part": q_degree_part,
+    "coalesce_fallback": q_coalesce_fallback,
     "aggregate_without": q_aggregate_without,
     "union_dedup_nations": q_union_dedup_nations,
     "both_degree_nation": q_both_degree_nation,
