@@ -589,8 +589,8 @@ def q_embed_topk_pairs(spark, sf_dir):
 
 
 def q_ivf_ann(spark, sf_dir):
-    """IVF-bucketed ANN (scale path; no oracle — centroids are
-    engine-internal). Rows-only check + recall measured in tests."""
+    """IVF-bucketed ANN (scale path) — value-checked against the
+    generated centroid-literal oracle (see _ivf_oracle below)."""
     from titan_spark.pipeline.similarity import ivf_search
 
     emb = tables(spark, sf_dir)["embeddings"]
@@ -1222,6 +1222,60 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+def _ivf_oracle(nprobe: int = 4, k: int = 10, n_cells: int = 16, dim: int = 64) -> str:
+    """IVF-ANN oracle generated from the engine's deterministic
+    centroids: the centroid literals (and their python-computed squared
+    norms) are embedded in the SQL, so DuckDB reproduces cell
+    assignment (argmin of -2<v,c>+||c||², ties to the lowest cell),
+    probe-cell selection, and the in-cell cosine ranking exactly."""
+    from titan_spark.pipeline.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells)
+    rows = ",\n            ".join(
+        "({}, [{}], {!r})".format(
+            i, ", ".join(repr(float(x)) for x in c), float(sum(x * x for x in c))
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(cell, c, cc) AS (VALUES
+            {rows}
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        probe AS (
+            SELECT cell FROM cents, q
+            ORDER BY -2 * list_dot_product(q.qv, CAST(cents.c AS DOUBLE[])) + cents.cc ASC,
+                     cell ASC
+            LIMIT {nprobe}
+        ),
+        assigned AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, cn.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                          CAST(cn.c AS DOUBLE[])) + cn.cc ASC,
+                                    cn.cell ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cents cn
+                WHERE e.vec_id <> 0
+            ) WHERE rn = 1
+        )
+        SELECT a.vec_id,
+               ROUND(list_dot_product(a.v, q.qv)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM assigned a JOIN probe p ON a.cell = p.cell CROSS JOIN q
+        ORDER BY cosine DESC, a.vec_id ASC LIMIT {k}
+    """
+
+
+ORACLE_SQL["ivf_ann"] = _ivf_oracle()
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "point_lookup": q_point_lookup,
     "batch_point_lookups": q_batch_point_lookups,
@@ -1270,7 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "raw_query_score": q_raw_query_score,
     "bpe_token_count": q_bpe_token_count,
     "embed_topk_pairs": q_embed_topk_pairs,
-    "ivf_ann": q_ivf_ann,  # rows-only (engine-internal centroids)
+    "ivf_ann": q_ivf_ann,
     "choose_branch": q_choose_branch,
     "where_exists_twohop": q_where_exists_twohop,
     "path_strings": q_path_strings,
