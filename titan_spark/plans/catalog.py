@@ -369,9 +369,8 @@ def q_simhash_sig(spark, sf_dir):
 
 
 def q_lsh_ann(spark, sf_dir):
-    """LSH-bucketed approximate top-k pairs (rows-only: bucket
-    membership depends on the hyperplane hash; recall vs the exact
-    top-k is asserted in tests)."""
+    """LSH-bucketed approximate top-k pairs — value-checked against
+    the generated hyperplane-literal oracle (_lsh_ann_oracle)."""
     emb = tables(spark, sf_dir)["embeddings"]
     return lsh_bucketed_topk(emb, k=5, n_planes=6).select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -1275,6 +1274,47 @@ def _ivf_oracle(nprobe: int = 4, k: int = 10, n_cells: int = 16, dim: int = 64) 
 ORACLE_SQL["ivf_ann"] = _ivf_oracle()
 
 
+def _lsh_ann_oracle(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+    """LSH-bucketed top-k oracle from the engine's deterministic
+    hyperplanes: bucket = Σ 2^i·[<v,p_i> ≥ 0] with the plane literals
+    embedded, then the same-bucket pair join + per-vector cosine
+    top-k, reproduced exactly in DuckDB."""
+    from titan_spark.pipeline.similarity import _det_planes
+
+    planes = _det_planes(dim, n_planes)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{}]) >= 0 THEN {} ELSE 0 END)".format(
+            ", ".join(repr(float(x)) for x in p), 1 << i
+        )
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, v, {bucket_terms} AS bucket
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        )
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine
+        FROM (
+            SELECT id_a, id_b, cosine,
+                   row_number() OVER (
+                       PARTITION BY id_a ORDER BY cosine DESC, id_b ASC
+                   ) AS rn
+            FROM pairs
+        ) WHERE rn <= {k}
+    """
+
+
+ORACLE_SQL["lsh_ann"] = _lsh_ann_oracle()
+
+
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "point_lookup": q_point_lookup,
@@ -1301,7 +1341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geo_within": q_geo_within,
     "geo_disjoint": q_geo_disjoint,
     "simhash_sig": q_simhash_sig,  # rows-only (no oracle)
-    "lsh_ann": q_lsh_ann,  # rows-only (no oracle)
+    "lsh_ann": q_lsh_ann,
     "multimodal_features": q_multimodal_features,
     "events_hourly": q_events_hourly,
     "dedup_exact": q_dedup_exact,
