@@ -99,3 +99,19 @@ def test_count_plans_are_partial_aggregates(tpch, direction, expected):
     p = plan_of(deg)
     assert p.count("HashAggregate") >= 2  # partial + final
     _ = expected
+
+
+def test_pristine_elision_equivalence(tpch):
+    # the elided plan (pristine label scan) and the join plan (same
+    # semantics, pristine broken by a tautological property filter)
+    # must return identical bags
+    from titan_spark.functions.predicates import P
+
+    elided = tpch.V().has_label("customer").out("placed")
+    joined = tpch.V().has_label("customer").has("key", P.gte(0)).out("placed")
+    a = sorted(r["id"] for r in elided.to_df("id").collect())
+    b = sorted(r["id"] for r in joined.to_df("id").collect())
+    assert a == b
+    # and the elided plan really does skip the customer scan
+    assert "customer.parquet" not in scanned_files(plan_of(elided.df))
+    assert "customer.parquet" in scanned_files(plan_of(joined.df))
