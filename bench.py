@@ -58,8 +58,8 @@ def main() -> None:
     # bulk-load shape: build the graph view and materialize counts
     t0 = time.perf_counter()
     g = graph(spark, sf_dir)
-    nv = g.vertices.count()
-    ne = g.edges.count()
+    nv = g.num_vertices()
+    ne = g.num_edges()
     timings["graph_build_count"] = round(time.perf_counter() - t0, 3)
 
     for name in HEADLINE:

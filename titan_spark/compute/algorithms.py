@@ -49,7 +49,7 @@ def pagerank(
     # contribution edges: src, dst, outdeg(src) — built once, cached
     contrib_e = e.join(outdeg, "src").cache()
 
-    n = graph.vertices.count()
+    n = graph.num_vertices()
     ranks = graph.vertices.select("id").withColumn("pagerank", F.lit(1.0 / n))
     base = (1.0 - alpha) / n
 

@@ -48,10 +48,25 @@ class PropertyGraph:
         self.edges = edges
         self.vertex_properties = vertex_properties
         self.schema = schema or GraphSchema()
+        self._n_vertices: int | None = None
+        self._n_edges: int | None = None
 
     @property
     def spark(self) -> SparkSession:
         return self.vertices.sparkSession
+
+    def num_vertices(self) -> int:
+        """|V|, memoized per instance (DML builds new instances, so the
+        memo can't go stale)."""
+        if self._n_vertices is None:
+            self._n_vertices = self.vertices.count()
+        return self._n_vertices
+
+    def num_edges(self) -> int:
+        """|E|, memoized per instance."""
+        if self._n_edges is None:
+            self._n_edges = self.edges.count()
+        return self._n_edges
 
     # -- traversal entry points (Titan: g.V() / g.E() / tx.query()) --
     def V(self, *ids: int):
