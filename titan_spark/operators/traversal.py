@@ -51,6 +51,7 @@ class GraphTraversal:
         vertex_labels: tuple[str, ...] | None = None, edge_dir: str | None = None,
         side_effects: dict[str, DataFrame] | None = None,
         pristine: bool = False,
+        lazy_v: bool = False,
     ):
         self.graph = graph
         self._df = df
@@ -72,6 +73,12 @@ class GraphTraversal:
         # edge expansion can then skip the frontier⋈edges join entirely
         # (Titan's direct edge-store scan). Cleared by any other step.
         self._pristine = pristine
+        # lazy_v = the V frontier holds only (id, tags): the vertex
+        # table join is deferred until a property is touched (Titan's
+        # TitanVertexStep fold — out().outE() chains and hop counts
+        # never materialize intermediate vertices). _ensure_cols()
+        # performs the join in place on first property access.
+        self._lazy_v = lazy_v
 
     # ------------------------------------------------------------------ ctor
     @staticmethod
@@ -96,6 +103,7 @@ class GraphTraversal:
         edge_dir=_NOTSET,
         side_effects=None,
         pristine: bool = False,
+        lazy_v: bool = False,
     ) -> "GraphTraversal":
         return GraphTraversal(
             self.graph,
@@ -107,7 +115,26 @@ class GraphTraversal:
             self._edge_dir if edge_dir is _NOTSET else edge_dir,
             self._side_effects if side_effects is None else side_effects,
             pristine,
+            lazy_v,
         )
+
+    def _ensure_cols(self) -> None:
+        """Materialize a lazy V frontier in place (semantics-preserving
+        cache mutation): inner-join the vertex table on id, pruned to
+        the known endpoint labels, carrying tags through. Vertices are
+        unique by id, so traverser multiplicity is preserved."""
+        if not self._lazy_v:
+            return
+        tags = self._tag_cols()
+        v = self.graph.vertices
+        vl = self._vertex_labels
+        if vl:
+            v = v.filter(
+                F.col("label") == vl[0] if len(vl) == 1 else F.col("label").isin(list(vl))
+            )
+        j = self._df.alias("f").join(v.alias("v"), F.col("f.id") == F.col("v.id"))
+        self._df = j.select("v.*", *[F.col(f"f.{t}") for t in tags])
+        self._lazy_v = False
 
     def _tag_cols(self) -> list[str]:
         return [c for c in self._df.columns if c.startswith("_t_")]
@@ -127,6 +154,10 @@ class GraphTraversal:
         """
         if key in ("id", "~nid"):
             return F.col(self._id_col())
+        if self._lazy_v and key not in ("~adjacent", "~timestamp", "~ttl") and (
+            key not in self._df.columns
+        ):
+            self._ensure_cols()
         if key == "~adjacent":
             return F.col("_other") if "_other" in self._df.columns else F.lit(None)
         if key == "~timestamp":
@@ -144,10 +175,12 @@ class GraphTraversal:
     @property
     def df(self) -> DataFrame:
         """Escape hatch: the frontier as a plain DataFrame."""
+        self._ensure_cols()
         return self._df
 
     def to_df(self, *cols: Column | str) -> DataFrame:
         """Terminal projection (``values``/``select`` analog)."""
+        self._ensure_cols()
         if not cols:
             return self._df
         return self._df.select(*cols)
@@ -185,12 +218,14 @@ class GraphTraversal:
     def has(self, key: str, value: Any = _NOTSET) -> "GraphTraversal":
         """``has(k)`` = key present; ``has(k, v)`` = EQUAL (null → absent);
         ``has(k, P.xx(...))`` = predicate. SURVEY §2.2 P1/P4."""
+        self._ensure_cols()
         if value is _NOTSET:
             return self._with(self._df.filter(self.col(key).isNotNull()))
         pred: Pred = as_pred(value)
         return self._with(self._df.filter(pred(self.col(key))))
 
     def has_not(self, key: str) -> "GraphTraversal":
+        self._ensure_cols()
         return self._with(self._df.filter(self.col(key).isNull()))
 
     def has_label(self, *labels: str) -> "GraphTraversal":
@@ -207,17 +242,18 @@ class GraphTraversal:
     def has_id(self, *ids: int) -> "GraphTraversal":
         idc = F.col(self._id_col())
         if len(ids) == 1:
-            return self._with(self._df.filter(idc == ids[0]))
-        return self._with(self._df.filter(idc.isin(list(ids))))
+            return self._with(self._df.filter(idc == ids[0]), lazy_v=self._lazy_v)
+        return self._with(self._df.filter(idc.isin(list(ids))), lazy_v=self._lazy_v)
 
     def filter_(self, condition: Column) -> "GraphTraversal":
         """Raw Column condition (And/Or/Not trees, text/geo predicates)."""
+        self._ensure_cols()
         return self._with(self._df.filter(condition))
 
     def is_(self, value: Any) -> "GraphTraversal":
         """Gremlin ``is``: predicate on the current element id."""
         pred = as_pred(value)
-        return self._with(self._df.filter(pred(F.col(self._id_col()))))
+        return self._with(self._df.filter(pred(F.col(self._id_col()))), lazy_v=self._lazy_v)
 
     def adjacent(self, vertex_id: int) -> "GraphTraversal":
         """Restrict edges to those whose other endpoint is the given
@@ -333,14 +369,21 @@ class GraphTraversal:
             self._edge_expand("both", labels), "E", edge_labels=labels or None, edge_dir="both"
         )
 
-    def _vertex_join(self, endpoint_col: str) -> DataFrame:
+    def _endpoint_step(self, endpoint_col: str) -> "GraphTraversal":
+        """E frontier → lazy V frontier of the chosen endpoint.
+
+        Only (id, tags) materialize here; the vertex-table join defers
+        to the first property access (``_ensure_cols``) — Titan's
+        TitanVertexStep fold, so ``out(l1).outE(l2)`` chains and hop
+        counts never join the intermediate vertex table. Endpoint-label
+        pruning metadata (SURVEY §4.2: the vertex labels this edge
+        label can reach on this side) is carried for the deferred join.
+        Assumes store referential integrity, as the direct hop does —
+        a dangling endpoint would surface in an unmaterialized count
+        where the old eager join dropped it (ghost repair's domain).
+        """
         self._require("E", endpoint_col)
         tags = self._tag_cols()
-        ef = self._df.select(F.col(endpoint_col).alias("_vid"), *tags).alias("e")
-        v = self.graph.vertices
-        # schema-driven scan pruning: a hop over edge label L only needs
-        # the vertex labels L can reach on this side (SURVEY §4.2 —
-        # replaces Titan's per-label adjacency locality at plan time)
         if endpoint_col == "dst":
             side = "dst"
         elif endpoint_col == "src":
@@ -352,51 +395,33 @@ class GraphTraversal:
         else:
             side = "both"
         cand = self.graph.schema.endpoint_labels(self._edge_labels, side)
-        if cand is not None:
-            v = v.filter(
-                F.col("label") == cand[0] if len(cand) == 1 else F.col("label").isin(list(cand))
-            )
-        v = v.alias("v")
-        joined = ef.join(v, F.col("e._vid") == F.col("v.id")).select(
-            "v.*", *[F.col(f"e.{t}") for t in tags]
+        df = self._df.select(F.col(endpoint_col).alias("id"), *tags)
+        return self._with(
+            df, "V", edge_labels=None, vertex_labels=cand, edge_dir=None, lazy_v=True
         )
-        self._last_endpoint_labels = cand
-        return joined
 
     def inV(self) -> "GraphTraversal":
-        df = self._vertex_join("dst")
-        return self._with(
-            df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels, edge_dir=None
-        )
+        return self._endpoint_step("dst")
 
     def outV(self) -> "GraphTraversal":
-        df = self._vertex_join("src")
-        return self._with(
-            df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels, edge_dir=None
-        )
+        return self._endpoint_step("src")
 
     def otherV(self) -> "GraphTraversal":
-        df = self._vertex_join("_other")
-        return self._with(
-            df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels, edge_dir=None
-        )
+        return self._endpoint_step("_other")
 
     def originV(self) -> "GraphTraversal":
         """Back to the hop's origin vertex (Titan keeps the incident
         vertex implicitly; useful after edge-level filtering)."""
-        df = self._vertex_join("_origin")
-        return self._with(
-            df, "V", edge_labels=None, vertex_labels=self._last_endpoint_labels, edge_dir=None
-        )
+        return self._endpoint_step("_origin")
 
     def bothV(self) -> "GraphTraversal":
         self._require("E", "bothV")
+        tags = self._tag_cols()
+        df = self._df.select(F.col("src").alias("id"), *tags).unionByName(
+            self._df.select(F.col("dst").alias("id"), *tags)
+        )
         return self._with(
-            self._vertex_join("src").unionByName(self._vertex_join("dst")),
-            "V",
-            edge_labels=None,
-            vertex_labels=None,
-            edge_dir=None,
+            df, "V", edge_labels=None, vertex_labels=None, edge_dir=None, lazy_v=True
         )
 
     def out(self, *labels: str) -> "GraphTraversal":
@@ -452,7 +477,12 @@ class GraphTraversal:
             if remaining._df.limit(1).count() == 0:
                 break
             act = step(remaining)
-            act = act._with(act._df.localCheckpoint(eager=(i + 1) % checkpoint_every == 0))
+            # checkpoint preserves the lazy flag: the checkpointed df is
+            # still the (id, tags) projection when the step ended lazily
+            act = act._with(
+                act._df.localCheckpoint(eager=(i + 1) % checkpoint_every == 0),
+                lazy_v=act._lazy_v,
+            )
             if emit:
                 outputs.append(act)
         else:
@@ -468,10 +498,12 @@ class GraphTraversal:
     # --------------------------------------------------- branch/filter steps
     def union_(self, *others: "GraphTraversal") -> "GraphTraversal":
         """Gremlin ``union``: bag-union of traverser streams (§2.10)."""
+        self._ensure_cols()
         df = self._df
         for o in others:
             if o.kind != self.kind:
                 raise ValueError("union_ requires same-kind traversals")
+            o._ensure_cols()
             df = df.unionByName(o._df, allowMissingColumns=True)
         return self._with(df, edge_labels=None, vertex_labels=None, edge_dir=None)
 
@@ -561,7 +593,7 @@ class GraphTraversal:
         ids = self._df.select(F.col(self._id_col()).alias("_se_id")).dropDuplicates()
         se = dict(self._side_effects)
         se[name] = ids
-        return self._with(self._df, side_effects=se)
+        return self._with(self._df, side_effects=se, lazy_v=self._lazy_v)
 
     store_ = aggregate_
 
@@ -578,7 +610,8 @@ class GraphTraversal:
         set (Gremlin ``where(within(name))``) — a left-semi join."""
         ids = self._side_effect_set(name)
         return self._with(
-            self._df.join(ids, F.col(self._id_col()) == F.col("_se_id"), "left_semi")
+            self._df.join(ids, F.col(self._id_col()) == F.col("_se_id"), "left_semi"),
+            lazy_v=self._lazy_v,
         )
 
     def where_without(self, name: str) -> "GraphTraversal":
@@ -586,7 +619,8 @@ class GraphTraversal:
         set (Gremlin ``where(without(name))``) — a left-anti join."""
         ids = self._side_effect_set(name)
         return self._with(
-            self._df.join(ids, F.col(self._id_col()) == F.col("_se_id"), "left_anti")
+            self._df.join(ids, F.col(self._id_col()) == F.col("_se_id"), "left_anti"),
+            lazy_v=self._lazy_v,
         )
 
     def path_ids(self, *tag_names: str) -> Column:
@@ -599,6 +633,7 @@ class GraphTraversal:
     def as_(self, name: str) -> "GraphTraversal":
         """Tag the current element for later back-reference (§2.10
         as/select). The tag is a struct column carried through hops."""
+        self._ensure_cols()
         cols = [c for c in self._df.columns if not c.startswith("_t_") and c not in _META_COLS]
         return self._with(
             self._df.withColumn(f"_t_{name}", F.struct(*[F.col(c) for c in cols]))
@@ -624,14 +659,16 @@ class GraphTraversal:
     # ------------------------------------------------------- order/limit ops
     def order_by(self, *specs) -> "GraphTraversal":
         """Global order (O1). Specs: "col", "-col", ("col","desc"), Column."""
+        self._ensure_cols()
         return self._with(self._df.orderBy(*_order_cols(specs)), order_specs=specs)
 
     def limit(self, n: int) -> "GraphTraversal":
-        return self._with(self._df.limit(n))
+        return self._with(self._df.limit(n), lazy_v=self._lazy_v)
 
     def range_(self, lo: int, hi: int, *specs) -> "GraphTraversal":
         """RangeGlobalStep [lo, hi) — needs an order; uses the last
         ``order_by`` specs unless given explicitly (O4)."""
+        self._ensure_cols()
         specs = specs or self._order_specs
         if not specs:
             raise ValueError("range_() requires order specs for determinism")
@@ -652,8 +689,10 @@ class GraphTraversal:
 
     def dedup(self, *cols: str) -> "GraphTraversal":
         """Dedup traversers by current element id (U1/U2)."""
+        if cols and any(c not in self._df.columns for c in cols):
+            self._ensure_cols()
         keys = list(cols) if cols else [self._id_col()]
-        return self._with(self._df.dropDuplicates(keys))
+        return self._with(self._df.dropDuplicates(keys), lazy_v=self._lazy_v)
 
     # ------------------------------------------------------------- terminals
     def values(self, *keys: str) -> DataFrame:
@@ -674,6 +713,7 @@ class GraphTraversal:
             vp = self.graph.vertex_properties.filter(F.col("key") == key)
             ids = self._df.select(F.col("id").alias("vertex_id"))
             return ids.join(vp, "vertex_id").select(F.col("value").alias(key))
+        self._ensure_cols()
         return self._df.select(*[self.col(k).alias(k) for k in keys])
 
     def properties_(self, *keys: str) -> DataFrame:
@@ -695,6 +735,7 @@ class GraphTraversal:
         return ids.join(vp, "vertex_id")
 
     def value_map(self, *keys: str) -> DataFrame:
+        self._ensure_cols()
         keys = keys or tuple(
             c for c in self._df.columns if not c.startswith("_") and c not in ("id", "edge_id")
         )
@@ -709,25 +750,31 @@ class GraphTraversal:
 
     def group_count(self, *keys) -> DataFrame:
         """``groupCount().by(key)`` → groupBy + count (§2.10)."""
+        self._ensure_cols()
         cols = [F.col(k) if isinstance(k, str) else k for k in keys]
         return self._df.groupBy(*cols).agg(F.count(F.lit(1)).alias("count"))
 
     def agg(self, *exprs: Column, group_by: Iterable = ()) -> DataFrame:
+        self._ensure_cols()
         gb = [F.col(g) if isinstance(g, str) else g for g in group_by]
         if gb:
             return self._df.groupBy(*gb).agg(*exprs)
         return self._df.agg(*exprs)
 
     def sum_(self, key: str) -> DataFrame:
+        self._ensure_cols()
         return self._df.agg(F.sum(self.col(key)).alias("sum"))
 
     def min_(self, key: str) -> DataFrame:
+        self._ensure_cols()
         return self._df.agg(F.min(self.col(key)).alias("min"))
 
     def max_(self, key: str) -> DataFrame:
+        self._ensure_cols()
         return self._df.agg(F.max(self.col(key)).alias("max"))
 
     def mean_(self, key: str) -> DataFrame:
+        self._ensure_cols()
         return self._df.agg(F.avg(self.col(key)).alias("mean"))
 
 
