@@ -115,3 +115,21 @@ def test_pristine_elision_equivalence(tpch):
     # and the elided plan really does skip the customer scan
     assert "customer.parquet" not in scanned_files(plan_of(elided.df))
     assert "customer.parquet" in scanned_files(plan_of(joined.df))
+
+
+def test_vertex_step_fold_skips_intermediate_vertices(tpch):
+    # customer -placed-> order -contains-> lineitem edges: the
+    # intermediate order VERTEX table is never scanned (lazy endpoint
+    # frontier feeds the next edge expansion directly); only the final
+    # inV() materializes part vertices
+    t = (
+        tpch.V().has_label("customer").has("mktsegment", "BUILDING")
+        .out("placed").outE("contains")
+    )
+    files = scanned_files(plan_of(t.df))
+    assert files == {"customer.parquet", "orders.parquet", "lineitem.parquet"}
+    # a full-label hop count compiles to ONE scan of the edge source:
+    # the customer frontier is elided (pristine) and the order vertex
+    # join is deferred (lazy) — counting a hop reads one table
+    c = tpch.V().has_label("customer").out("placed").count()
+    assert scanned_files(plan_of(c)) == {"orders.parquet"}
