@@ -133,3 +133,23 @@ def test_vertex_step_fold_skips_intermediate_vertices(tpch):
     # join is deferred (lazy) — counting a hop reads one table
     c = tpch.V().has_label("customer").out("placed").count()
     assert scanned_files(plan_of(c)) == {"orders.parquet"}
+
+
+def test_range_offset_has_no_global_window_exchange(tpch):
+    # RangeGlobalStep compiles to offset+limit (GlobalLimit over
+    # per-partition partials), never a row_number over an unpartitioned
+    # window — the single-partition Exchange would die at 100× the rows
+    t = tpch.V().has_label("customer").order_by("-acctbal", "key").range_(10, 20)
+    p = plan_of(t.df)
+    assert "Window" not in p, p
+    assert "GlobalLimit" in p or "TakeOrderedAndProject" in p, p
+    rows = t.values("key").collect()
+    assert len(rows) == 10
+
+
+def test_raw_query_offset_has_no_global_window(gods):
+    from titan_spark.operators.rawquery import raw_index_query
+
+    df = raw_index_query(gods, "v.age:[30 TO 5000]", limit=2, offset=1)
+    p = plan_of(df)
+    assert "Window" not in p, p

@@ -108,14 +108,9 @@ def raw_index_query(
         .orderBy(F.col("score").desc(), F.col("id").asc())
     )
     if offset:
-        from pyspark.sql import Window
-
-        w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
-        out = (
-            out.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") > offset)
-            .drop("_rn")
-        )
+        # offset() plans as a GlobalLimit over per-partition partials —
+        # no single-partition window shuffle (survives 100× the rows)
+        out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
     return out

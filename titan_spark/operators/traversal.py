@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Iterable
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from titan_spark.functions.predicates import P, Pred, as_pred
@@ -103,8 +103,14 @@ class GraphTraversal:
         edge_dir=_NOTSET,
         side_effects=None,
         pristine: bool = False,
-        lazy_v: bool = False,
+        lazy_v=_NOTSET,
     ) -> "GraphTraversal":
+        # lazy_v inherits by default so a step that only touches
+        # id/tag/meta columns can never strand an unmaterialized
+        # frontier with the flag cleared (every property access would
+        # silently read NULL). Steps that materialize call
+        # _ensure_cols() first (which clears self._lazy_v in place);
+        # steps that change element kind pass lazy_v=False explicitly.
         return GraphTraversal(
             self.graph,
             df,
@@ -115,7 +121,7 @@ class GraphTraversal:
             self._edge_dir if edge_dir is _NOTSET else edge_dir,
             self._side_effects if side_effects is None else side_effects,
             pristine,
-            lazy_v,
+            self._lazy_v if lazy_v is _NOTSET else lazy_v,
         )
 
     def _ensure_cols(self) -> None:
@@ -154,9 +160,10 @@ class GraphTraversal:
         """
         if key in ("id", "~nid"):
             return F.col(self._id_col())
-        if self._lazy_v and key not in ("~adjacent", "~timestamp", "~ttl") and (
-            key not in self._df.columns
-        ):
+        # only ``~adjacent`` genuinely lives on edge-frontier metadata;
+        # ~timestamp/~ttl map to _ts/_ttl which the vertex table may
+        # carry, so they fall through to the normal materialize path
+        if self._lazy_v and key != "~adjacent" and key not in self._df.columns:
             self._ensure_cols()
         if key == "~adjacent":
             return F.col("_other") if "_other" in self._df.columns else F.lit(None)
@@ -229,7 +236,22 @@ class GraphTraversal:
         return self._with(self._df.filter(self.col(key).isNull()))
 
     def has_label(self, *labels: str) -> "GraphTraversal":
-        """Label restriction — OR over types (P7)."""
+        """Label restriction — OR over types (P7).
+
+        On a lazy frontier the (id, tags) projection has no ``label``
+        column, and filtering it would let Spark's missing-attribute
+        resolution bind ``label`` to the *edge* table underneath the
+        projection — wrong results. If the schema's endpoint metadata
+        already guarantees every frontier label is among the requested
+        ones the filter is a no-op and the frontier stays lazy;
+        otherwise materialize first.
+        """
+        if self._lazy_v:
+            vl_known = self._vertex_labels
+            if vl_known and set(vl_known) <= set(labels):
+                # guaranteed subset: filter adds nothing, keep the fold
+                return self._with(self._df)
+            self._ensure_cols()
         cond = (
             F.col("label") == labels[0]
             if len(labels) == 1
@@ -242,8 +264,8 @@ class GraphTraversal:
     def has_id(self, *ids: int) -> "GraphTraversal":
         idc = F.col(self._id_col())
         if len(ids) == 1:
-            return self._with(self._df.filter(idc == ids[0]), lazy_v=self._lazy_v)
-        return self._with(self._df.filter(idc.isin(list(ids))), lazy_v=self._lazy_v)
+            return self._with(self._df.filter(idc == ids[0]))
+        return self._with(self._df.filter(idc.isin(list(ids))))
 
     def filter_(self, condition: Column) -> "GraphTraversal":
         """Raw Column condition (And/Or/Not trees, text/geo predicates)."""
@@ -253,7 +275,7 @@ class GraphTraversal:
     def is_(self, value: Any) -> "GraphTraversal":
         """Gremlin ``is``: predicate on the current element id."""
         pred = as_pred(value)
-        return self._with(self._df.filter(pred(F.col(self._id_col()))), lazy_v=self._lazy_v)
+        return self._with(self._df.filter(pred(F.col(self._id_col()))))
 
     def adjacent(self, vertex_id: int) -> "GraphTraversal":
         """Restrict edges to those whose other endpoint is the given
@@ -355,18 +377,21 @@ class GraphTraversal:
 
     def outE(self, *labels: str) -> "GraphTraversal":
         return self._with(
-            self._edge_expand("out", labels), "E", edge_labels=labels or None, edge_dir="out"
+            self._edge_expand("out", labels), "E",
+            edge_labels=labels or None, edge_dir="out", lazy_v=False,
         )
 
     def inE(self, *labels: str) -> "GraphTraversal":
         return self._with(
-            self._edge_expand("in", labels), "E", edge_labels=labels or None, edge_dir="in"
+            self._edge_expand("in", labels), "E",
+            edge_labels=labels or None, edge_dir="in", lazy_v=False,
         )
 
     def bothE(self, *labels: str) -> "GraphTraversal":
         """Self-loops appear once per orientation → twice total (U4)."""
         return self._with(
-            self._edge_expand("both", labels), "E", edge_labels=labels or None, edge_dir="both"
+            self._edge_expand("both", labels), "E",
+            edge_labels=labels or None, edge_dir="both", lazy_v=False,
         )
 
     def _endpoint_step(self, endpoint_col: str) -> "GraphTraversal":
@@ -593,7 +618,7 @@ class GraphTraversal:
         ids = self._df.select(F.col(self._id_col()).alias("_se_id")).dropDuplicates()
         se = dict(self._side_effects)
         se[name] = ids
-        return self._with(self._df, side_effects=se, lazy_v=self._lazy_v)
+        return self._with(self._df, side_effects=se)
 
     store_ = aggregate_
 
@@ -611,7 +636,6 @@ class GraphTraversal:
         ids = self._side_effect_set(name)
         return self._with(
             self._df.join(ids, F.col(self._id_col()) == F.col("_se_id"), "left_semi"),
-            lazy_v=self._lazy_v,
         )
 
     def where_without(self, name: str) -> "GraphTraversal":
@@ -620,7 +644,6 @@ class GraphTraversal:
         ids = self._side_effect_set(name)
         return self._with(
             self._df.join(ids, F.col(self._id_col()) == F.col("_se_id"), "left_anti"),
-            lazy_v=self._lazy_v,
         )
 
     def path_ids(self, *tag_names: str) -> Column:
@@ -663,21 +686,23 @@ class GraphTraversal:
         return self._with(self._df.orderBy(*_order_cols(specs)), order_specs=specs)
 
     def limit(self, n: int) -> "GraphTraversal":
-        return self._with(self._df.limit(n), lazy_v=self._lazy_v)
+        return self._with(self._df.limit(n))
 
     def range_(self, lo: int, hi: int, *specs) -> "GraphTraversal":
         """RangeGlobalStep [lo, hi) — needs an order; uses the last
-        ``order_by`` specs unless given explicitly (O4)."""
+        ``order_by`` specs unless given explicitly (O4).
+
+        Planned as ``orderBy().offset(lo).limit(hi-lo)``: Catalyst
+        compiles offset+limit to a GlobalLimit over per-partition
+        TakeOrdered partials — no single-partition window shuffle, so
+        the plan survives 100× the rows (only lo+hi rows ever
+        concentrate, not the whole frontier).
+        """
         self._ensure_cols()
         specs = specs or self._order_specs
         if not specs:
             raise ValueError("range_() requires order specs for determinism")
-        w = Window.orderBy(*_order_cols(specs))
-        df = (
-            self._df.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") > lo) & (F.col("_rn") <= hi))
-            .drop("_rn")
-        )
+        df = self._df.orderBy(*_order_cols(specs)).offset(lo).limit(hi - lo)
         return self._with(df)
 
     def local_top_k(self, k: int, *specs, by: str = "_origin") -> "GraphTraversal":
@@ -692,7 +717,7 @@ class GraphTraversal:
         if cols and any(c not in self._df.columns for c in cols):
             self._ensure_cols()
         keys = list(cols) if cols else [self._id_col()]
-        return self._with(self._df.dropDuplicates(keys), lazy_v=self._lazy_v)
+        return self._with(self._df.dropDuplicates(keys))
 
     # ------------------------------------------------------------- terminals
     def values(self, *keys: str) -> DataFrame:

@@ -17,6 +17,7 @@ Conventions that make value-hash comparison robust:
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,10 +47,26 @@ from titan_spark.pipeline.text_quality import doc_quality, lang_id, token_stats
 from titan_spark.sources.tpch import OFF, load_tables, load_tpch_graph
 
 # ---------------------------------------------------------------------------
-# session/table caches (one graph build per (session, sf_dir))
+# session/table caches (one graph build per (session, sf_dir)).
+# Keyed by a weakref to the session: id() of a stopped+collected session
+# can be reused by a new one, which would hand out DataFrames bound to
+# the dead JVM session. WeakValueDictionary of sessions keeps the key
+# honest without pinning sessions alive.
 
+_SESSIONS: "weakref.WeakValueDictionary[int, SparkSession]" = weakref.WeakValueDictionary()
 _GRAPH_CACHE: dict[tuple[int, str], PropertyGraph] = {}
 _TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def _session_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
+    sid = id(spark)
+    if _SESSIONS.get(sid) is not spark:
+        # new (or reincarnated-id) session: invalidate its stale entries
+        for cache in (_GRAPH_CACHE, _TABLE_CACHE):
+            for k in [k for k in cache if k[0] == sid]:
+                del cache[k]
+        _SESSIONS[sid] = spark
+    return (sid, sf_dir)
 
 
 def _prep(spark: SparkSession) -> None:
@@ -61,7 +78,7 @@ def _prep(spark: SparkSession) -> None:
 
 def graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     _prep(spark)
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     if key not in _GRAPH_CACHE:
         _GRAPH_CACHE[key] = load_tpch_graph(spark, sf_dir)
     return _GRAPH_CACHE[key]
@@ -69,7 +86,7 @@ def graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     _prep(spark)
-    key = (id(spark), sf_dir)
+    key = _session_key(spark, sf_dir)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = load_tables(spark, sf_dir)
     return _TABLE_CACHE[key]
