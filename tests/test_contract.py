@@ -8,9 +8,15 @@ def test_registry_shape():
 
     # every oracle belongs to a registered query
     assert set(ORACLE_SQL) <= set(QUERIES)
-    # rows-only entries are exactly the hash-bound ones (xxhash64 has
-    # no DuckDB twin); everything else must be value-checked
-    assert set(QUERIES) - set(ORACLE_SQL) == {"minhash_lsh_pairs", "simhash_sig"}
+    # every registered query is value-checked — the former rows-only
+    # entries (simhash/minhash) became oracle-able once their hash moved
+    # to the portable md5-derived h60 (functions/hashing.py)
+    assert set(QUERIES) - set(ORACLE_SQL) == set()
+    # the driver checks only the first 50 entries: the 4 promoted
+    # round-3 queries must sit inside the checked region
+    first50 = list(QUERIES)[:50]
+    for k in ("path_strings", "motif_unification", "repeat_emit_bfs", "sessionize_events"):
+        assert k in first50
 
 
 def test_coverage_references_real_queries():

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from titan_spark.functions.hashing import portable_hash64
 from titan_spark.functions.text import tokenize
 
 # deterministic minhash parameters (fixed seeds; Mersenne prime modulus)
@@ -73,12 +74,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc minhash signature: array of num_hashes min-values.
 
-    h_i(x) = (a_i * x + b_i) mod p over xxhash64 shingle hashes, with
-    fixed per-i coefficients — fully deterministic, no fitted model.
-    Everything is built-in array algebra; no Python executes per row.
+    h_i(x) = (a_i * x + b_i) mod p over portable-h60 shingle hashes,
+    with fixed per-i coefficients — fully deterministic, no fitted
+    model.  Everything is built-in array algebra; no Python executes per
+    row, and the md5-derived hash has a bit-identical DuckDB twin so the
+    whole pipeline is oracle-checkable (see functions/hashing.py).
     """
     sh = shingles(F.col(text_col), shingle_n)
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_PRIME)))
+    hashed = F.transform(sh, lambda s: F.pmod(portable_hash64(s), F.lit(_MINHASH_PRIME)))
 
     def _perms(h):
         # all num_hashes permutations of one shingle hash; h is a bound
@@ -121,7 +124,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        portable_hash64(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -225,14 +228,16 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """SimHash over token xxhash64 values (default 32 bits so the
+    """SimHash over portable-h60 token hashes (default 32 bits so the
     signature fits a signed long without overflow).
 
     For each bit: sum(+1/-1 weighted by token presence) → sign. Built
-    from array algebra over the token stream; deterministic.
+    from array algebra over the token stream; deterministic, and the
+    md5-derived hash is reproducible in DuckDB so the signature itself
+    is value-checked by the oracle (see functions/hashing.py).
     """
     toks = F.array_distinct(tokenize(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: portable_hash64(t))
 
     def _votes(h):
         # ±1 vote per bit for one token hash (h is already evaluated)

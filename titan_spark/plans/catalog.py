@@ -379,8 +379,8 @@ def q_geo_disjoint(spark, sf_dir):
 
 
 def q_simhash_sig(spark, sf_dir):
-    """SimHash signatures (rows-only: xxhash64 has no DuckDB twin; the
-    bit-vote fold is value-tested in tests/test_pipeline)."""
+    """SimHash signatures — value-checked against _simhash_oracle (the
+    md5-derived portable hash has a bit-identical DuckDB twin)."""
     docs = tables(spark, sf_dir)["documents"]
     return simhash(docs, "text", "doc_id", bits=32).orderBy("doc_id")
 
@@ -525,11 +525,9 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates verified by exact Jaccard.
-
-    No SQL oracle (hash-seed-dependent banding) — driver records the
-    weaker rows-only check; q_jaccard_dup_pairs is the exact twin.
-    """
+    """MinHash+LSH near-dup candidates verified by exact Jaccard —
+    value-checked lane-for-lane against _minhash_lsh_oracle (portable
+    md5-derived hashing made the banding oracle-expressible)."""
     docs = tables(spark, sf_dir)["documents"]
     sigs = minhash_signatures(docs)
     cands = lsh_candidate_pairs(sigs, num_hashes=32)
@@ -1329,6 +1327,101 @@ def _lsh_ann_oracle(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
 
 
 ORACLE_SQL["lsh_ann"] = _lsh_ann_oracle()
+
+
+def _h60_sql(expr: str) -> str:
+    """DuckDB twin of functions.hashing.portable_hash64 (md5-derived
+    60-bit hash) — bit-identical to the Spark side, which is what makes
+    the minhash/simhash pipelines fully value-checkable."""
+    from titan_spark.functions.hashing import portable_hash64_sql
+
+    return portable_hash64_sql(expr)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    """SimHash oracle: per-token h60 → per-bit ±1 votes → sign-weighted
+    sum, replicated term-by-term (docs with zero tokens get signature 0
+    via the LEFT JOIN, matching the Spark fold's empty-array init)."""
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+        WITH t AS (SELECT doc_id, list_distinct({_toks()}) AS toks FROM documents),
+        u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        h AS (SELECT doc_id, {_h60_sql('tok')} AS hv FROM u),
+        v AS (SELECT doc_id, {votes}
+              FROM h GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(COALESCE({sig}, 0) AS BIGINT) AS simhash
+        FROM t LEFT JOIN v ON t.doc_id = v.doc_id
+        ORDER BY t.doc_id
+    """
+
+
+ORACLE_SQL["simhash_sig"] = _simhash_oracle()
+
+
+def _minhash_lsh_oracle(
+    num_hashes: int = 32, bands: int = 8, prime: int = 2_147_483_647
+) -> str:
+    """Full MinHash+LSH+Jaccard-verify oracle: shingle → 32 permutation
+    lanes (min over (h·(2i+1)+7919(i+1)) mod p) → 8-band bucket join →
+    exact-Jaccard verification at 0.5, mirroring pipeline/dedup.py lane
+    for lane.  The shingle CTE is the already-value-verified one from
+    the jaccard_dup_pairs oracle."""
+    rows_per_band = num_hashes // bands
+    lanes = ",\n                   ".join(
+        f"MIN((hv * {2 * i + 1} + {7919 * (i + 1)}) % {prime}) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {concat} AS bs FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        " / GREATEST(len(list_distinct(list_concat(sa.sh, sb.sh))), 1)"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+        s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, GREATEST(CAST(len(toks) AS INT) - 2, 1)),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                   )) AS sh
+            FROM t
+        ),
+        e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        hh AS (SELECT doc_id, {_h60_sql('g')} % {prime} AS hv FROM e),
+        sig AS (SELECT doc_id, {lanes}
+                FROM hh GROUP BY doc_id),
+        band AS (
+            SELECT doc_id, band, {_h60_sql('bs')} AS bucket FROM (
+            {band_rows}
+            )
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM band a JOIN band b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b, ROUND({jac}, 4) AS jaccard
+        FROM cand c
+        JOIN s sa ON sa.doc_id = c.id_a
+        JOIN s sb ON sb.doc_id = c.id_b
+        WHERE {jac} >= 0.5
+    """
+
+
+ORACLE_SQL["minhash_lsh_pairs"] = _minhash_lsh_oracle()
 
 
 
