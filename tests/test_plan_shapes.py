@@ -153,3 +153,13 @@ def test_raw_query_offset_has_no_global_window(gods):
     df = raw_index_query(gods, "v.age:[30 TO 5000]", limit=2, offset=1)
     p = plan_of(df)
     assert "Window" not in p, p
+
+
+def test_embed_topk_pairs_has_no_cross_join(tables):
+    # the catalog's embedding near-dup query must plan as an equi-join
+    # on (table, bucket) — never a cartesian/nested-loop all-pairs
+    from titan_spark.pipeline.similarity import lsh_topk_pairs
+
+    p = plan_of(lsh_topk_pairs(tables["embeddings"], k=20))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

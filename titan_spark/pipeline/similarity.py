@@ -99,6 +99,69 @@ def embedding_topk_pairs(
     return scored.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()).limit(k)
 
 
+def lsh_topk_pairs(
+    df: DataFrame,
+    k: int = 20,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Globally most-similar pairs via multi-table LSH + exact re-score
+    — the 100-TB path for embedding near-dup detection.
+
+    ``n_tables`` independent hyperplane tables of ``n_planes`` bits
+    each; a pair is a candidate iff it shares a bucket in ANY table
+    (explode → one equi-join on (table, bucket), shuffle volume ~
+    L·n²/2^planes, never the O(n²) cross join). Candidates are
+    re-scored with the exact cosine and the global top-k is taken under
+    a total order. Deterministic planes (xorshift) make the candidate
+    set — and therefore the result — exactly reproducible in the SQL
+    oracle (plane-literal generation, same pattern as lsh_ann/ivf_ann).
+    """
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
+    planes = _det_planes(dim, n_tables * n_planes)
+    tables = [planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_signature(F.col(vec_col), tables[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("_id", "tb.t", "tb.bucket")
+    # signatures are tiny (id, table, bucket); cut the lineage so the
+    # self-join doesn't re-evaluate n_tables×n_planes dot products twice
+    sig = sig.localCheckpoint(eager=True)
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cosine"))
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()).limit(k)
+
+
 def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:
     """Deterministic coarse centroids (data-independent; xorshift)."""
     return _det_planes(dim, n_cells)

@@ -596,7 +596,17 @@ def q_bpe_token_count(spark, sf_dir):
 
 
 def q_embed_topk_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup: globally most-similar 20 pairs."""
+    """Embedding-cosine near-dup: top-20 pairs via multi-table LSH
+    candidates + exact re-score (the 100-TB path — no cross join);
+    value-checked against the plane-literal oracle below."""
+    from titan_spark.pipeline.similarity import lsh_topk_pairs
+
+    return lsh_topk_pairs(tables(spark, sf_dir)["embeddings"], k=20)
+
+
+def q_embed_topk_pairs_exact(spark, sf_dir):
+    """Exact all-pairs variant (validation-scale twin of the LSH path;
+    driver-overflow region, checked by the local gate)."""
     from titan_spark.pipeline.similarity import embedding_topk_pairs
 
     return embedding_topk_pairs(tables(spark, sf_dir)["embeddings"], k=20)
@@ -1054,7 +1064,7 @@ ORACLE_SQL: dict[str, str] = {
                     AS INT) AS n_bpe
         FROM documents
     """,
-    "embed_topk_pairs": """
+    "embed_topk_pairs_exact": """
         WITH scored AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(
@@ -1424,6 +1434,54 @@ def _minhash_lsh_oracle(
 ORACLE_SQL["minhash_lsh_pairs"] = _minhash_lsh_oracle()
 
 
+def _embed_topk_pairs_oracle(
+    k: int = 20, n_tables: int = 8, n_planes: int = 8, dim: int = 64
+) -> str:
+    """Multi-table-LSH top-k-pairs oracle from the engine's
+    deterministic hyperplanes: a pair is a candidate iff it shares a
+    bucket in any of the L tables (bucket terms with plane literals,
+    same pattern as _lsh_ann_oracle), then exact cosine re-score and
+    the global top-k under a total order."""
+    from titan_spark.pipeline.similarity import _det_planes
+
+    planes = _det_planes(dim, n_tables * n_planes)
+
+    def bucket_expr(t: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(v, [{}]) >= 0 THEN {} ELSE 0 END)".format(
+                ", ".join(repr(float(x)) for x in planes[t * n_planes + i]), 1 << i
+            )
+            for i in range(n_planes)
+        )
+
+    bucket_cols = ",\n                   ".join(
+        f"{bucket_expr(t)} AS b{t}" for t in range(n_tables)
+    )
+    any_shared = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, v, {bucket_cols}
+            FROM v
+        ),
+        cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM sig a JOIN sig b
+              ON a.vec_id < b.vec_id AND ({any_shared})
+        )
+        SELECT id_a, id_b, cosine FROM cand
+        ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT {k}
+    """
+
+
+ORACLE_SQL["embed_topk_pairs"] = _embed_topk_pairs_oracle()
+
+
 
 
 # NOTE (driver contract, diagnosed round 3): the external driver checks at
@@ -1491,6 +1549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_part": q_degree_part,
     "degree_out_customer": q_degree_out_customer,
     "text_contains_prefix": q_text_contains_prefix,
+    "embed_topk_pairs_exact": q_embed_topk_pairs_exact,
 }
 
 
