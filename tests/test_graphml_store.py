@@ -68,3 +68,33 @@ def test_graph_store_roundtrip(spark, tmp_path, gods):
         g2.V().has("name", "hercules").df.explain("formatted")
     assert "PushedFilters" in buf.getvalue()
     assert "EqualTo(name,hercules)" in buf.getvalue()
+
+
+def test_edge_write_splits_dominant_label(spark, tmp_path, tpch):
+    # repartitionByRange("label","src") must spread the dominant edge
+    # label over >1 file — repartition("label") used to write it as a
+    # single task/file (a straggler and a one-split read at scale)
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "store")
+    # sf0.001 edges are tiny, so AQE rightly coalesces the range
+    # exchange down to one partition; disable coalescing to observe the
+    # at-scale layout (where partitions carry ~64 MB and never merge)
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        tpch.write(path)
+    finally:
+        spark.conf.set(key, prev)
+    edges = spark.read.parquet(f"{path}/edges")
+    dom = (
+        edges.groupBy("label").count().orderBy(F.desc("count")).first()["label"]
+    )
+    n_files = (
+        edges.filter(F.col("label") == dom)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert n_files > 1, f"dominant label {dom!r} written as a single file"

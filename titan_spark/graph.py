@@ -234,14 +234,22 @@ class PropertyGraph:
 
     # -- persistence --
     def write(self, path: str, mode: str = "overwrite") -> None:
-        """Persist as parquet, edges sorted within partitions by
-        (src, label) — the columnar analog of Titan's sorted adjacency
+        """Persist as parquet, edges range-partitioned AND sorted by
+        (label, src) — the columnar analog of Titan's sorted adjacency
         lists (docs/datamodel.txt:21,42-46): parquet row-group min/max
-        stats then skip on src/label exactly like a sort-key slice."""
+        stats skip on label/src exactly like a sort-key slice.
+
+        ``repartitionByRange`` (not ``repartition("label")``): a hash
+        partition per label would write the dominant label — often >50%
+        of all edges — as ONE task and one file, a straggler and a
+        downstream single-split read at scale. Range partitioning on
+        (label, src) splits each label across contiguous src ranges, so
+        tasks stay balanced while every file still covers one label and
+        a narrow src band (AQE coalesces the small tail labels)."""
         self.vertices.write.mode(mode).parquet(f"{path}/vertices")
         (
-            self.edges.repartition("label")
-            .sortWithinPartitions("src", "label")
+            self.edges.repartitionByRange("label", "src")
+            .sortWithinPartitions("label", "src")
             .write.mode(mode)
             .parquet(f"{path}/edges")
         )
