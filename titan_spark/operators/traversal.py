@@ -79,6 +79,11 @@ class GraphTraversal:
         # never materialize intermediate vertices). _ensure_cols()
         # performs the join in place on first property access.
         self._lazy_v = lazy_v
+        # provenance for automatic path(): (parent, step_name, args,
+        # kwargs) recorded by the @-applied _chained wrappers below.
+        # None on roots and on traversals built outside the public
+        # chaining surface.
+        self._step_src = None
 
     # ------------------------------------------------------------------ ctor
     @staticmethod
@@ -652,6 +657,69 @@ class GraphTraversal:
         cols = [F.col(f"_t_{t}.id") for t in tag_names] + [F.col(self._id_col())]
         return F.array(*cols)
 
+    def _tag_id(self, name: str) -> "GraphTraversal":
+        """Id-only tag (used by automatic path()): unlike ``as_`` it
+        never materializes a lazy frontier — the id is always present,
+        so hop counts keep the vertex-join fold."""
+        return self._with(
+            self._df.withColumn(
+                f"_t_{name}", F.struct(F.col(self._id_col()).alias("id"))
+            )
+        )
+
+    def path(self) -> DataFrame:
+        """Automatic TinkerPop ``path()`` — no ``as_()`` tags required
+        (PathStep of the ProcessStandardSuite the reference certifies,
+        BerkeleyTitanProcessTest.java:12-15).
+
+        Every public step records its provenance (parent, step, args);
+        ``path()`` replays that chain from the root, inserting an
+        id-only tag before each element step, and returns one row per
+        traverser with the element-id sequence as ``path``
+        (array<long>). Composite steps record once — ``out()`` adds
+        only the arriving vertex, matching Gremlin, while an explicit
+        ``outE().inV()`` records the edge too. The replay re-declares
+        the same lazy plan (no extra execution), and traversals that
+        never call path() pay nothing.
+        """
+        chain: list[tuple[str, tuple, dict]] = []
+        t = self
+        while t._step_src is not None:
+            parent, name, a, kw = t._step_src
+            chain.append((name, a, kw))
+            t = parent
+        chain.reverse()
+        cur, tags = t, []
+        for name, a, kw in chain:
+            if name in _PATH_ELEMENT_STEPS and cur.kind == "V":
+                # decompose the hop and tag the origin off the EDGE
+                # frontier's _origin (= edge.src/dst) instead of
+                # pre-tagging the vertex frontier: the pristine-frontier
+                # elision and the lazy vertex fold both survive, so a
+                # path query still reads only edge sources
+                e_step, v_step = _V_HOP_DECOMP.get(name, (name, None))
+                cur = getattr(cur, e_step)(*a, **kw)
+                tag = f"__p{len(tags)}"
+                cur = cur._with(
+                    cur._df.withColumn(
+                        f"_t_{tag}", F.struct(F.col("_origin").alias("id"))
+                    )
+                )
+                tags.append(tag)
+                if v_step:
+                    cur = getattr(cur, v_step)()
+                continue
+            if name in _PATH_ELEMENT_STEPS:
+                # element step on an edge frontier: the edge id joins
+                # the path (explicit outE().inV() chains)
+                tag = f"__p{len(tags)}"
+                cur = cur._tag_id(tag)
+                tags.append(tag)
+            cur = getattr(cur, name)(*a, **kw)
+        # project off the (possibly lazy) frontier directly — ids and
+        # tags are always present, so no vertex materialization here
+        return cur._df.select(cur.path_ids(*tags).alias("path"))
+
     # ------------------------------------------------------------- tags/path
     def as_(self, name: str) -> "GraphTraversal":
         """Tag the current element for later back-reference (§2.10
@@ -801,6 +869,56 @@ class GraphTraversal:
     def mean_(self, key: str) -> DataFrame:
         self._ensure_cols()
         return self._df.agg(F.avg(self.col(key)).alias("mean"))
+
+
+# ---------------------------------------------------------------- provenance
+# Steps that move the traverser to a new element — automatic path()
+# inserts an id tag before each of these during replay.
+_PATH_ELEMENT_STEPS = frozenset(
+    {"out", "in_", "both", "outE", "inE", "bothE",
+     "inV", "outV", "otherV", "originV", "bothV"}
+)
+
+# vertex-frontier hops decomposed by path() so the origin tag can be
+# taken from the edge frontier (preserving the pristine elision)
+_V_HOP_DECOMP = {"out": ("outE", "inV"), "in_": ("inE", "outV"), "both": ("bothE", "otherV")}
+
+# Public chaining surface instrumented for path() provenance. The depth
+# guard makes composite steps (out = outE + inV, repeat = n × step)
+# record as ONE step: inner decorated calls run at depth > 0 and skip
+# recording, so replay matches Gremlin path semantics.
+_CHAINING_METHODS = (
+    "has", "has_not", "has_label", "has_id", "filter_", "is_", "adjacent",
+    "simple_path_excluding", "out", "in_", "both", "outE", "inE", "bothE",
+    "inV", "outV", "otherV", "originV", "bothV", "repeat", "repeat_until",
+    "union_", "choose", "coalesce_", "where_", "not_", "aggregate_",
+    "where_within", "where_without", "as_", "order_by", "limit", "range_",
+    "local_top_k", "dedup",
+)
+
+_REC_DEPTH = 0
+
+
+def _chained(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        global _REC_DEPTH
+        _REC_DEPTH += 1
+        try:
+            out = fn(self, *a, **kw)
+        finally:
+            _REC_DEPTH -= 1
+        if _REC_DEPTH == 0 and isinstance(out, GraphTraversal):
+            out._step_src = (self, fn.__name__, a, kw)
+        return out
+
+    return wrapper
+
+
+for _m in _CHAINING_METHODS:
+    setattr(GraphTraversal, _m, _chained(getattr(GraphTraversal, _m)))
 
 
 __all__ = ["GraphTraversal", "P", "Pred"]
