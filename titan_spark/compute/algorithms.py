@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from titan_spark.compute.pregel import pregel, run_iterations
 from titan_spark.graph import PropertyGraph
+from titan_spark.compute.checkpointing import cut_lineage
 
 
 def pagerank(
@@ -74,7 +75,7 @@ def pagerank(
     try:
         out = run_iterations(ranks, step, iterations, checkpoint_every)
         # materialize before releasing the cached contribution edges
-        return out.localCheckpoint(eager=True)
+        return cut_lineage(out, eager=True)
     finally:
         contrib_e.unpersist(blocking=False)
 
@@ -152,7 +153,7 @@ def connected_components(
         .cache()
     )
     state = graph.vertices.select("id", F.col("id").alias("component"))
-    state = state.localCheckpoint(eager=True)
+    state = cut_lineage(state, eager=True)
     try:
         state = _cc_loop(state, und, max_iterations)
     finally:
@@ -185,7 +186,7 @@ def _cc_loop(state, und, max_iterations):
                 F.col("component").alias("_old"),
             )
         )
-        new_state = new_state.localCheckpoint(eager=True)
+        new_state = cut_lineage(new_state, eager=True)
         changed = new_state.filter(F.col("component") < F.col("_old")).limit(1).count()
         state = new_state.select("id", "component")
         if changed == 0:
@@ -234,7 +235,7 @@ def triangle_count(graph: PropertyGraph, edge_labels: tuple[str, ...] = ()) -> D
     )
     # materialize before releasing the cached edge set (lazy plans
     # would re-scan after unpersist — still correct, just slower)
-    out = out.localCheckpoint(eager=True)
+    out = cut_lineage(out, eager=True)
     und.unpersist(blocking=False)
     return out
 

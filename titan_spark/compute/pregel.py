@@ -31,6 +31,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from titan_spark.compute.checkpointing import cut_lineage
 
 
 def _sides_referenced(*exprs: Column | None) -> set[str]:
@@ -154,7 +155,7 @@ def pregel(
     """
     v = vertices.select("id", *keep_cols, *[e.alias(n) for n, e in initial.items()])
     edges.cache()
-    v = v.localCheckpoint(eager=True)
+    v = cut_lineage(v, eager=True)
 
     for i in range(max_iterations):
         sender_ids = None
@@ -172,11 +173,11 @@ def pregel(
             *[update.get(n, F.col(n)).alias(n) for n in initial.keys()],
         )
         if (i + 1) % checkpoint_every == 0 or active_col is not None:
-            v = v.localCheckpoint(eager=True)
+            v = cut_lineage(v, eager=True)
         if active_col is not None and v.filter(F.col(active_col)).limit(1).count() == 0:
             break
     if active_col is None and max_iterations % checkpoint_every != 0:
-        v = v.localCheckpoint(eager=True)
+        v = cut_lineage(v, eager=True)
     edges.unpersist(blocking=False)
     return v
 
@@ -198,5 +199,5 @@ def run_iterations(
     for i in range(max_iterations):
         state = step(state, i)
         if (i + 1) % checkpoint_every == 0:
-            state = state.localCheckpoint(eager=True)
+            state = cut_lineage(state, eager=True)
     return state

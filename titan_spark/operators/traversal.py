@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from titan_spark.functions.predicates import P, Pred, as_pred
 from titan_spark.operators.topk import _order_cols, top_k_per_group
+from titan_spark.compute.checkpointing import cut_lineage
 
 _NOTSET = object()
 
@@ -510,7 +511,7 @@ class GraphTraversal:
             # checkpoint preserves the lazy flag: the checkpointed df is
             # still the (id, tags) projection when the step ended lazily
             act = act._with(
-                act._df.localCheckpoint(eager=(i + 1) % checkpoint_every == 0),
+                cut_lineage(act._df, eager=(i + 1) % checkpoint_every == 0),
                 lazy_v=act._lazy_v,
             )
             if emit:

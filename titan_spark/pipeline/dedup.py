@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from titan_spark.functions.hashing import portable_hash64
 from titan_spark.functions.text import tokenize
+from titan_spark.compute.checkpointing import cut_lineage
 
 # deterministic minhash parameters (fixed seeds; Mersenne prime modulus)
 _MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
@@ -143,7 +144,7 @@ def lsh_candidate_pairs(
     # would otherwise re-evaluate the full minhash expression tree (the
     # most expensive stage of the pipeline) — the banded rows are just
     # (id, band, bucket), tiny relative to the corpus at any scale
-    banded = banded.localCheckpoint(eager=True)
+    banded = cut_lineage(banded, eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -175,7 +176,7 @@ def jaccard_pairs(
     """
     # (id_a, id_b) pairs only — materialized once because the plan
     # references the candidate set four times (id union + two joins)
-    candidates = candidates.localCheckpoint(eager=True)
+    candidates = cut_lineage(candidates, eager=True)
     cand_ids = (
         candidates.select(F.col("id_a").alias("_jid"))
         .unionByName(candidates.select(F.col("id_b").alias("_jid")))

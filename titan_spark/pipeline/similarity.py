@@ -14,6 +14,7 @@ oracle-comparable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from titan_spark.compute.checkpointing import cut_lineage
 
 
 def _dot(a, b):
@@ -140,7 +141,7 @@ def lsh_topk_pairs(
     ).select("_id", "tb.t", "tb.bucket")
     # signatures are tiny (id, table, bucket); cut the lineage so the
     # self-join doesn't re-evaluate n_tables×n_planes dot products twice
-    sig = sig.localCheckpoint(eager=True)
+    sig = cut_lineage(sig, eager=True)
     cand = (
         sig.alias("a")
         .join(

@@ -18,12 +18,20 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     AQE is on so runtime statistics re-plan joins (broadcast
     conversion, skew-join splitting, partition coalescing) — at 100 TB
     these matter more than any static tuning we could do here.
+
+    ``checkpoint_dir`` (or ``$TITAN_SPARK_CHECKPOINT_DIR``): reliable
+    checkpoint location (HDFS/S3 on a cluster). When set, every
+    iterative lineage cut (Pregel rounds, repeat_until, LSH stage
+    materializations) upgrades from executor-local ``localCheckpoint``
+    to a reliable ``checkpoint`` that survives executor loss — see
+    compute/checkpointing.cut_lineage.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -51,4 +59,7 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    checkpoint_dir = checkpoint_dir or os.environ.get("TITAN_SPARK_CHECKPOINT_DIR")
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     return spark
