@@ -1,0 +1,101 @@
+"""DefaultSchemaMaker analog + property-key TTL + ~visibility.
+
+Reference: core/schema/DefaultSchemaMaker.java (auto type creation,
+behavior test TitanGraphTest.java:1163), TitanManagement.java:290
+setTTL on property keys, ImplicitKey.java:28-46.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from titan_spark.graph import PropertyGraph
+from titan_spark.schema import Cardinality, GraphSchema, SchemaViolation
+
+
+def _tiny_graph(spark, maker="default"):
+    v = spark.createDataFrame([(1, "person", "alice")], "id long, label string, name string")
+    e = spark.createDataFrame([(10, 1, 1, "knows")], "edge_id long, src long, dst long, label string")
+    schema = GraphSchema(maker=maker)
+    schema.make_vertex_label("person")
+    schema.make_edge_label("knows")
+    schema.make_property_key("name", "string")
+    return PropertyGraph(v, e, schema=schema)
+
+
+def test_default_maker_auto_creates_types(spark):
+    g = _tiny_graph(spark)
+    new_v = spark.createDataFrame(
+        [(2, "robot", 7)], "id long, label string, power long"
+    )
+    g2 = g.add_vertices(new_v)
+    # undeclared label and key were registered with Titan defaults
+    assert "robot" in g2.schema.vertex_labels
+    pk = g2.schema.property_keys["power"]
+    assert pk.data_type == "bigint" and pk.cardinality == Cardinality.SINGLE
+    new_e = spark.createDataFrame(
+        [(11, 1, 2, "owns", 0.5)], "edge_id long, src long, dst long, label string, weight double"
+    )
+    g3 = g2.add_edges(new_e)
+    assert "owns" in g3.schema.edge_labels
+    assert "weight" in g3.schema.property_keys
+    assert g3.V().count_value() == 2 and g3.E().count_value() == 2
+
+
+def test_none_maker_rejects_undeclared(spark):
+    g = _tiny_graph(spark, maker="none")
+    with pytest.raises(SchemaViolation, match="vertex label"):
+        g.add_vertices(
+            spark.createDataFrame([(2, "robot")], "id long, label string")
+        )
+    with pytest.raises(SchemaViolation, match="property key"):
+        g.add_vertices(
+            spark.createDataFrame([(2, "person", 7)], "id long, label string, power long")
+        )
+    with pytest.raises(SchemaViolation, match="edge label"):
+        g.add_edges(
+            spark.createDataFrame([(11, 1, 1, "owns")], "edge_id long, src long, dst long, label string")
+        )
+    # declared writes still pass in strict mode
+    g2 = g.add_vertices(
+        spark.createDataFrame([(2, "person", "bob")], "id long, label string, name string")
+    )
+    assert g2.V().count_value() == 2
+
+
+def test_property_key_ttl_filter(spark):
+    schema = GraphSchema()
+    schema.make_property_key("session_token", "string", ttl_seconds=3600)
+    schema.make_property_key("name", "string")
+    now = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    vp = spark.createDataFrame(
+        [
+            (1, "session_token", "fresh", now - datetime.timedelta(seconds=600)),
+            (1, "session_token", "stale", now - datetime.timedelta(seconds=7200)),
+            (1, "name", "old-but-no-ttl", now - datetime.timedelta(days=400)),
+            (2, "session_token", "no-ts-passes", None),
+        ],
+        "vertex_id long, key string, value string, _ts timestamp",
+    )
+    kept = {
+        r["value"]
+        for r in schema.property_ttl_filter(vp, now_expr=F.lit(now)).collect()
+    }
+    assert kept == {"fresh", "old-but-no-ttl", "no-ts-passes"}
+
+
+def test_visibility_implicit_key(spark):
+    v = spark.createDataFrame(
+        [(1, "person", "normal"), (2, "person", "hidden")],
+        "id long, label string, _vis string",
+    )
+    e = spark.createDataFrame([], "edge_id long, src long, dst long, label string")
+    g = PropertyGraph(v, e)
+    t = g.V()
+    rows = t.to_df(t.col("id").alias("id"), t.col("~visibility").alias("vis")).collect()
+    assert {(r["id"], r["vis"]) for r in rows} == {(1, "normal"), (2, "hidden")}
+    # absent metadata column → NULL, never an error
+    g2 = PropertyGraph(v.drop("_vis"), e)
+    t2 = g2.V()
+    assert [r["vis"] for r in t2.to_df(t2.col("~visibility").alias("vis")).collect()] == [None, None]

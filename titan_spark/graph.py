@@ -123,6 +123,9 @@ class PropertyGraph:
 
     # -- DML (batch; SURVEY §2.7 U3) --
     def add_vertices(self, new_vertices: DataFrame) -> "PropertyGraph":
+        # DefaultSchemaMaker: auto-register (or, in maker="none" mode,
+        # reject) undeclared labels/keys before the write lands
+        self.schema.register_from(vertices=new_vertices)
         return PropertyGraph(
             self.vertices.unionByName(new_vertices, allowMissingColumns=True),
             self.edges,
@@ -131,6 +134,7 @@ class PropertyGraph:
         )
 
     def add_edges(self, new_edges: DataFrame, validate: bool = False) -> "PropertyGraph":
+        self.schema.register_from(edges=new_edges)
         edges = self.edges.unionByName(new_edges, allowMissingColumns=True)
         if validate:
             bad = self.schema.multiplicity_violations(edges)

@@ -43,6 +43,10 @@ _NOTSET = object()
 
 _META_COLS = ("_origin", "_other", "_dir")
 
+# implicit keys backed by writer-populated metadata columns
+# (graphdb/types/system/ImplicitKey.java:28-46)
+_IMPLICIT_META = {"~timestamp": "_ts", "~ttl": "_ttl", "~visibility": "_vis"}
+
 
 class GraphTraversal:
     """Immutable traversal; every step returns a new GraphTraversal."""
@@ -161,24 +165,23 @@ class GraphTraversal:
 
         Implicit keys (graphdb/types/system/ImplicitKey.java:28-46) map
         to metadata columns: ``~nid`` → internal long id, ``~adjacent``
-        → other endpoint of the hop, ``~timestamp``/``~ttl`` → the
-        writer-populated ``_ts``/``_ttl`` columns when present.
+        → other endpoint of the hop, ``~timestamp``/``~ttl``/
+        ``~visibility`` → the writer-populated ``_ts``/``_ttl``/
+        ``_vis`` columns when present.
         """
         if key in ("id", "~nid"):
             return F.col(self._id_col())
-        # only ``~adjacent`` genuinely lives on edge-frontier metadata;
-        # ~timestamp/~ttl map to _ts/_ttl which the vertex table may
-        # carry, so they fall through to the normal materialize path
-        if self._lazy_v and key != "~adjacent" and key not in self._df.columns:
-            self._ensure_cols()
         if key == "~adjacent":
             return F.col("_other") if "_other" in self._df.columns else F.lit(None)
-        if key == "~timestamp":
-            return F.col("_ts") if "_ts" in self._df.columns else F.lit(None)
-        if key == "~ttl":
-            return F.col("_ttl") if "_ttl" in self._df.columns else F.lit(None)
-        if key in self._df.columns:
-            return F.col(key)
+        target = _IMPLICIT_META.get(key, key)
+        if self._lazy_v and target not in self._df.columns:
+            # materializing pays a vertex join — skip it when the vertex
+            # table cannot supply the column anyway (NULL either way)
+            if target not in self.graph.vertices.columns:
+                return F.lit(None)
+            self._ensure_cols()
+        if target in self._df.columns:
+            return F.col(target)
         return F.lit(None)
 
     def tag(self, name: str, field: str) -> Column:
@@ -771,7 +774,9 @@ class GraphTraversal:
         specs = specs or self._order_specs
         if not specs:
             raise ValueError("range_() requires order specs for determinism")
-        df = self._df.orderBy(*_order_cols(specs)).offset(lo).limit(hi - lo)
+        # degenerate range [lo, hi) with hi <= lo is an empty frontier
+        # (Spark rejects negative limits)
+        df = self._df.orderBy(*_order_cols(specs)).offset(lo).limit(max(0, hi - lo))
         return self._with(df)
 
     def local_top_k(self, k: int, *specs, by: str = "_origin") -> "GraphTraversal":

@@ -48,25 +48,20 @@ from titan_spark.sources.tpch import OFF, load_tables, load_tpch_graph
 
 # ---------------------------------------------------------------------------
 # session/table caches (one graph build per (session, sf_dir)).
-# Keyed by a weakref to the session: id() of a stopped+collected session
-# can be reused by a new one, which would hand out DataFrames bound to
-# the dead JVM session. WeakValueDictionary of sessions keeps the key
-# honest without pinning sessions alive.
+# A WeakKeyDictionary keyed on the session object itself: entries are
+# evicted when the session is garbage-collected, so a new session can
+# never inherit DataFrames bound to a dead JVM session and entries for
+# discarded sessions don't accumulate.
 
-_SESSIONS: "weakref.WeakValueDictionary[int, SparkSession]" = weakref.WeakValueDictionary()
-_GRAPH_CACHE: dict[tuple[int, str], PropertyGraph] = {}
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_PER_SESSION: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
-def _session_key(spark: SparkSession, sf_dir: str) -> tuple[int, str]:
-    sid = id(spark)
-    if _SESSIONS.get(sid) is not spark:
-        # new (or reincarnated-id) session: invalidate its stale entries
-        for cache in (_GRAPH_CACHE, _TABLE_CACHE):
-            for k in [k for k in cache if k[0] == sid]:
-                del cache[k]
-        _SESSIONS[sid] = spark
-    return (sid, sf_dir)
+def _session_cache(spark: SparkSession, kind: str) -> dict:
+    caches = _PER_SESSION.get(spark)
+    if caches is None:
+        caches = {"graph": {}, "tables": {}}
+        _PER_SESSION[spark] = caches
+    return caches[kind]
 
 
 def _prep(spark: SparkSession) -> None:
@@ -78,18 +73,18 @@ def _prep(spark: SparkSession) -> None:
 
 def graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     _prep(spark)
-    key = _session_key(spark, sf_dir)
-    if key not in _GRAPH_CACHE:
-        _GRAPH_CACHE[key] = load_tpch_graph(spark, sf_dir)
-    return _GRAPH_CACHE[key]
+    cache = _session_cache(spark, "graph")
+    if sf_dir not in cache:
+        cache[sf_dir] = load_tpch_graph(spark, sf_dir)
+    return cache[sf_dir]
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     _prep(spark)
-    key = _session_key(spark, sf_dir)
-    if key not in _TABLE_CACHE:
-        _TABLE_CACHE[key] = load_tables(spark, sf_dir)
-    return _TABLE_CACHE[key]
+    cache = _session_cache(spark, "tables")
+    if sf_dir not in cache:
+        cache[sf_dir] = load_tables(spark, sf_dir)
+    return cache[sf_dir]
 
 
 # DuckDB-side Titan tokenizer (same contract as functions/text.py)

@@ -47,6 +47,9 @@ class PropertyKeyDef:
     name: str
     data_type: str  # Spark simpleString, e.g. "long", "string", "array<int>"
     cardinality: Cardinality = Cardinality.SINGLE
+    # mgmt.setTTL on a property key (TitanManagement.java:290,
+    # docs/advschema.txt:20-67): values older than this expire at read
+    ttl_seconds: int | None = None
 
 
 @dataclass(frozen=True)
@@ -74,13 +77,27 @@ class VertexLabelDef:
     ttl_seconds: int | None = None
 
 
+class SchemaViolation(ValueError):
+    """Write rejected by the schema (Titan SchemaViolationException)."""
+
+
 @dataclass
 class GraphSchema:
-    """Registry of schema elements; Titan's ``TitanManagement`` analog."""
+    """Registry of schema elements; Titan's ``TitanManagement`` analog.
+
+    ``maker`` is the DefaultSchemaMaker policy (reference
+    ``core/schema/DefaultSchemaMaker.java``; behavior test
+    ``TitanGraphTest.java:1163 testAutomaticTypeCreation``):
+    ``"default"`` auto-registers undeclared property keys / labels on
+    first write with Titan's defaults (SINGLE cardinality, MULTI
+    multiplicity); ``"none"`` (the ``schema.default=none`` config)
+    raises :class:`SchemaViolation` instead.
+    """
 
     property_keys: dict[str, PropertyKeyDef] = field(default_factory=dict)
     edge_labels: dict[str, EdgeLabelDef] = field(default_factory=dict)
     vertex_labels: dict[str, VertexLabelDef] = field(default_factory=dict)
+    maker: str = "default"
 
     # -- definition API (PropertyKeyMaker / EdgeLabelMaker / VertexLabelMaker) --
     def make_property_key(
@@ -88,8 +105,9 @@ class GraphSchema:
         name: str,
         data_type: str = "string",
         cardinality: Cardinality = Cardinality.SINGLE,
+        ttl_seconds: int | None = None,
     ) -> PropertyKeyDef:
-        pk = PropertyKeyDef(name, data_type, cardinality)
+        pk = PropertyKeyDef(name, data_type, cardinality, ttl_seconds)
         self.property_keys[name] = pk
         return pk
 
@@ -154,6 +172,46 @@ class GraphSchema:
     def cardinality_of(self, key: str) -> Cardinality:
         pk = self.property_keys.get(key)
         return pk.cardinality if pk else Cardinality.SINGLE
+
+    # -- DefaultSchemaMaker (auto type creation on first write) --
+    def register_from(
+        self, vertices: DataFrame | None = None, edges: DataFrame | None = None
+    ) -> None:
+        """Register the schema elements a DML batch introduces.
+
+        Property keys come from the DataFrame schema (free — no scan);
+        labels need one distinct() over the narrow label column of the
+        batch. In ``maker="none"`` mode any undeclared element raises
+        :class:`SchemaViolation` before the write lands, matching
+        Titan's ``schema.default=none`` rejection.
+        """
+        strict = self.maker == "none"
+
+        def _keys(df: DataFrame, reserved: tuple[str, ...]) -> None:
+            for f_ in df.schema.fields:
+                name = f_.name
+                if name in reserved or name.startswith("_") or name in self.property_keys:
+                    continue
+                if strict:
+                    raise SchemaViolation(f"undefined property key {name!r} (schema.default=none)")
+                self.make_property_key(name, f_.dataType.simpleString())
+
+        if vertices is not None:
+            _keys(vertices, ("id", "label"))
+            for (lbl,) in vertices.select("label").distinct().collect():
+                if lbl in self.vertex_labels:
+                    continue
+                if strict:
+                    raise SchemaViolation(f"undefined vertex label {lbl!r} (schema.default=none)")
+                self.make_vertex_label(lbl)
+        if edges is not None:
+            _keys(edges, ("edge_id", "src", "dst", "label", "src_label", "dst_label"))
+            for (lbl,) in edges.select("label").distinct().collect():
+                if lbl in self.edge_labels:
+                    continue
+                if strict:
+                    raise SchemaViolation(f"undefined edge label {lbl!r} (schema.default=none)")
+                self.make_edge_label(lbl)
 
     # -- batch validation (write-path SchemaViolationException analog) --
     def multiplicity_violations(self, edges: DataFrame) -> DataFrame:
@@ -229,3 +287,22 @@ class GraphSchema:
                     | (F.col(ts_col) + F.expr(f"INTERVAL {el.ttl_seconds} SECOND") > now_expr)
                 )
         return df.filter(cond)
+
+    def property_ttl_filter(self, vertex_properties: DataFrame, ts_col: str = "_ts", now_expr=None):
+        """Read-time expiry for TTL'd property KEYS over the long-format
+        vertex_properties table (TitanManagement.java:290 setTTL covers
+        property keys; docs/advschema.txt:20-67). Rows whose ``key`` has
+        a TTL and whose write timestamp is too old drop; keys without a
+        TTL — and rows without a timestamp — pass."""
+        now_expr = now_expr if now_expr is not None else F.current_timestamp()
+        cond = F.lit(True)
+        for pk in self.property_keys.values():
+            if pk.ttl_seconds is not None:
+                cond = cond & (
+                    (F.col("key") != pk.name)
+                    | F.col(ts_col).isNull()
+                    | (F.col(ts_col) + F.expr(f"INTERVAL {pk.ttl_seconds} SECOND") > now_expr)
+                )
+        if ts_col not in vertex_properties.columns:
+            return vertex_properties
+        return vertex_properties.filter(cond)
