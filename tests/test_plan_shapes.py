@@ -155,6 +155,16 @@ def test_raw_query_offset_has_no_global_window(gods):
     assert "Window" not in p, p
 
 
+def test_jaccard_pairs_has_no_cross_join(spark, sf_dir):
+    # exact n-gram Jaccard must plan as a prefix-filtered equi-join on
+    # the shingle key — the naive all-pairs cross product is O(n²)
+    from titan_spark.plans.catalog import QUERIES
+
+    p = plan_of(QUERIES["jaccard_dup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_embed_topk_pairs_has_no_cross_join(tables):
     # the catalog's embedding near-dup query must plan as an equi-join
     # on (table, bucket) — never a cartesian/nested-loop all-pairs

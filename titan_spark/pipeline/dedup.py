@@ -159,12 +159,100 @@ def lsh_candidate_pairs(
     )
 
 
+def prefix_filter_candidates(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT candidate generation for a Jaccard-threshold join without
+    the O(n²) cross product — prefix filtering over an inverted index
+    (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW'07; the PPJoin family).
+
+    Guarantee: every pair with n-gram Jaccard >= ``threshold`` is
+    emitted (recall 1.0), so an exact verify over these candidates
+    equals the all-pairs answer. Mechanism: order each doc's shingle
+    set by a global canonical order (corpus frequency asc, shingle
+    asc), keep only the first ``|S| - ceil(t*|S|) + 1`` shingles (any
+    qualifying pair must collide inside these prefixes), and self-join
+    the exploded prefixes on the shingle. A size filter
+    (``min >= t * max``, implied by J >= t) prunes the rest.
+
+    Scale: two shuffles on the shingle key (frequency count + prefix
+    join) and one per-doc window over ~|S| rows — everything is
+    proportional to corpus + collision volume, never n². Rare shingles
+    lead the order, so hot templated shingles stay out of the prefixes
+    and the join key distribution is anti-skewed by construction.
+
+    ``shingle_df``: optional precomputed ``(_id, _sh, _sz)`` table
+    (avoids re-shingling when the caller verifies afterwards).
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_df
+    if sh is None:
+        sh = df.select(
+            F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
+        ).withColumn("_sz", F.size("_sh"))
+    # (doc, shingle, set size) postings — materialized once; both the
+    # frequency agg and the ranked prefix read from it
+    posts = cut_lineage(
+        sh.select("_id", "_sz", F.explode("_sh").alias("_g")), eager=True
+    )
+    freq = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
+    ranked = (
+        posts.join(freq, "_g")
+        .withColumn(
+            "_r",
+            F.row_number().over(Window.partitionBy("_id").orderBy("_f", "_g")),
+        )
+        # prefix length |S| - ceil(t|S|) + 1
+        .filter(F.col("_r") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select("_id", "_sz", "_g", "_r")
+    )
+    ranked = cut_lineage(ranked, eager=True)
+    a, b = ranked.alias("a"), ranked.alias("b")
+    # positional filter (PPJoin): a collision at prefix ranks (ra, rb)
+    # bounds the overlap by 1 + min(|A|-ra, |B|-rb); J >= t needs
+    # overlap >= t/(1+t) * (|A|+|B|). The FIRST collision of a
+    # qualifying pair always satisfies the bound, so keeping pairs
+    # where ANY collision passes preserves recall 1.0.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a._sz") + F.col("b._sz"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._id") < F.col("b._id"))
+            # size filter: J(A,B) >= t  =>  min(|A|,|B|) >= t * max(|A|,|B|)
+            & (
+                F.least("a._sz", "b._sz").cast("double")
+                >= F.lit(threshold) * F.greatest("a._sz", "b._sz")
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("a._sz") - F.col("a._r"), F.col("b._sz") - F.col("b._r")
+                )
+                >= alpha
+            ),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage).
 
@@ -172,7 +260,8 @@ def jaccard_pairs(
     semi-join against the candidate id set runs first, so the verify
     stage costs O(candidates), not two full-corpus shingle passes —
     at 100 TB the candidate set is orders of magnitude smaller than
-    the corpus.
+    the corpus. ``shingle_df``: optional precomputed ``(_id, _sh)``
+    table (skips re-shingling when the candidate stage already did).
     """
     # (id_a, id_b) pairs only — materialized once because the plan
     # references the candidate set four times (id union + two joins)
@@ -182,10 +271,15 @@ def jaccard_pairs(
         .unionByName(candidates.select(F.col("id_b").alias("_jid")))
         .distinct()
     )
-    sh = df.select(F.col(id_col).alias("_jid"), F.col(text_col)).join(
-        cand_ids, "_jid", "left_semi"
-    )
-    sh = sh.select("_jid", shingles(F.col(text_col), shingle_n).alias("_sh"))
+    if shingle_df is not None:
+        sh = shingle_df.select(F.col("_id").alias("_jid"), "_sh").join(
+            cand_ids, "_jid", "left_semi"
+        )
+    else:
+        sh = df.select(F.col(id_col).alias("_jid"), F.col(text_col)).join(
+            cand_ids, "_jid", "left_semi"
+        )
+        sh = sh.select("_jid", shingles(F.col(text_col), shingle_n).alias("_sh"))
     j = (
         candidates.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
@@ -211,6 +305,10 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     from titan_spark.compute.algorithms import connected_components
     from titan_spark.graph import PropertyGraph
 
+    # the pair pipeline upstream (LSH / prefix-filter + verify) is the
+    # expensive part; materialize it once — the id union and the edge
+    # relation below would otherwise each re-run it
+    pairs = cut_lineage(pairs, eager=True)
     ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionByName(pairs.select(F.col("id_b").alias("id")))
