@@ -41,6 +41,11 @@ HEADLINE = [
     "hash_sample",
     "minhash_lsh_pairs",
     "cosine_topk",
+    # iterative / bucketed paths (regressions here are scale regressions)
+    "shortest_distance",
+    "dedup_clusters",
+    "repeat_emit_bfs",
+    "embed_topk_pairs",
 ]
 
 
@@ -64,14 +69,13 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = None
-        for _ in range(2):  # min of 2 runs: steady-state, standard practice
+        runs = []
+        for _ in range(3):  # median of 3: robust to load spikes either way
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             _ = df.count()  # full materialization of the result
-            el = time.perf_counter() - t0
-            best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     # OLAP full-scan shape (BASELINE: 200k-vertex/2M-edge scan workload,
     # TitanGraphIterativeBenchmark.java:77): PageRank over the WHOLE graph
