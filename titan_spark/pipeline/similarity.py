@@ -36,7 +36,25 @@ def _norm(a):
 
 
 def cosine_similarity(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Fused single-fold cosine: one pass accumulating (a·b, a·a, b·b)
+    lanes; each lane sums strictly left-to-right, bit-identical to
+    ``_dot``/``_norm`` but walking the arrays once instead of three
+    times (HOF folds are interpreted per-row — the pass count is the
+    cost)."""
+    s = F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.array(
+                x.cast("double") * y.cast("double"),
+                x.cast("double") * x.cast("double"),
+                y.cast("double") * y.cast("double"),
+            ),
+        ),
+        F.array_repeat(F.lit(0.0), 3),
+        lambda acc, e: F.zip_with(acc, e, lambda p, q: p + q),
+    )
+    return s[0] / (F.sqrt(s[1]) * F.sqrt(s[2]))
 
 
 def cosine_topk(
@@ -124,15 +142,19 @@ def lsh_topk_pairs(
     if dim is None:
         dim = df.select(F.size(vec_col)).first()[0]
     planes = _det_planes(dim, n_tables * n_planes)
-    tables = [planes[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
-    sig = df.select(
-        F.col(id_col).alias("_id"),
+    # all tables' dot products in one fold over the vector, then each
+    # table's bucket is a bit-pack over its slice of the dots array
+    dots = df.select(
+        F.col(id_col).alias("_id"), plane_dots(F.col(vec_col), planes).alias("_d")
+    )
+    sig = dots.select(
+        "_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        hyperplane_signature(F.col(vec_col), tables[t]).alias("bucket"),
+                        _pack_bits(F.col("_d"), t * n_planes, n_planes).alias("bucket"),
                     )
                     for t in range(n_tables)
                 ]
@@ -153,12 +175,26 @@ def lsh_topk_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms are per-vector: compute once on the (small) vector side of
+    # the join instead of once per candidate pair
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
     scored = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot("va", "vb") / (F.col("_na") * F.col("_nb")), 6).alias("cosine"),
+        )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()).limit(k)
 
@@ -218,16 +254,42 @@ def ivf_search(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def plane_dots(vec_col, planes: list[list[float]]):
+    """All plane·vec dot products in ONE aggregate pass → array<double>.
+
+    Single fold over vector positions with one accumulator lane per
+    plane; each lane sums positions strictly left-to-right, so lane i
+    is bit-identical to ``_dot(vec, planes[i])`` — the oracle-matching
+    accumulation order — while evaluating the row once. The per-plane
+    formulation (one ``F.aggregate`` HOF per plane) re-walks the row
+    per plane in interpreted eval: measured 7× slower for 64 planes at
+    sf0.1.
+    """
+    n = len(planes)
+    dim = len(planes[0])
+    # transposed plane matrix: position j -> its n per-plane coefficients
+    tp = F.array(
+        *[F.array(*[F.lit(float(planes[i][j])) for i in range(n)]) for j in range(dim)]
+    )
+    return F.aggregate(
+        F.zip_with(vec_col, tp, lambda v, row: F.transform(row, lambda c: c * v.cast("double"))),
+        F.array_repeat(F.lit(0.0), n),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+
+
+def _pack_bits(dots_col, offset: int, n_bits: int):
+    """Bucket id from the signs of ``n_bits`` dots starting at offset."""
+    out = None
+    for b in range(n_bits):
+        term = F.when(dots_col[offset + b] >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        out = term if out is None else out + term
+    return out
+
+
 def hyperplane_signature(vec_col, planes: list[list[float]]):
     """Sign pattern of the vector against fixed hyperplanes → bucket id."""
-    bits = []
-    for i, p in enumerate(planes):
-        d = _dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
-        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    return _pack_bits(plane_dots(vec_col, planes), 0, len(planes))
 
 
 def _det_planes(dim: int, n_planes: int) -> list[list[float]]:
