@@ -71,3 +71,24 @@ def test_prefix_filter_shares_shingle_table(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_simhash_dup_pairs_equals_brute_force(spark):
+    # pigeonhole banding must find EVERY pair within the hamming radius
+    from itertools import combinations
+
+    from titan_spark.pipeline.dedup import simhash, simhash_dup_pairs
+
+    docs = _corpus(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == want
+    assert want  # corpus contains in-radius pairs

@@ -362,3 +362,63 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         lambda acc, x: acc + x,
     )
     return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming <= max_hamming).
+
+    Banded pigeonhole join — the classic Manku/Jain/Sarma trick
+    (WWW'07, "Detecting Near-Duplicates for Web Crawling"): split the
+    signature into ``max_hamming + 1`` bit-bands; a pair within the
+    hamming radius differs in at most ``max_hamming`` bits, so at
+    least one band matches EXACTLY. Join on (band, band bits) —
+    recall 1.0, shuffle proportional to band-collision volume, never
+    the O(n²) signature cross product — then verify with the exact
+    ``bit_count(xor)``.
+    """
+    sig = cut_lineage(
+        simhash(df, text_col, id_col, bits).select(
+            F.col(id_col).alias("_id"), "simhash"
+        ),
+        eager=True,
+    )
+    nb = max_hamming + 1
+    w = bits // nb
+    bands = []
+    for i in range(nb):
+        lo = i * w
+        width = bits - lo if i == nb - 1 else w
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("simhash", lo)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+        )
+    banded = sig.select(
+        "_id", "simhash", F.explode(F.array(*bands)).alias("bb")
+    ).select("_id", "simhash", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

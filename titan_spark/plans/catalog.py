@@ -373,6 +373,16 @@ def q_geo_disjoint(spark, sf_dir):
     )
 
 
+def q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at hamming<=3 via the banded pigeonhole
+    join (Manku et al. WWW'07) — recall 1.0 at the radius, verified by
+    exact bit_count(xor); value-checked against the all-pairs oracle."""
+    from titan_spark.pipeline.dedup import simhash_dup_pairs
+
+    docs = tables(spark, sf_dir)["documents"]
+    return simhash_dup_pairs(docs, max_hamming=3)
+
+
 def q_simhash_sig(spark, sf_dir):
     """SimHash signatures — value-checked against _simhash_oracle (the
     md5-derived portable hash has a bit-identical DuckDB twin)."""
@@ -1375,6 +1385,34 @@ def _simhash_oracle(bits: int = 32) -> str:
 ORACLE_SQL["simhash_sig"] = _simhash_oracle()
 
 
+def _simhash_pairs_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    """All-pairs oracle for simhash_dup_pairs: same signature CTEs as
+    _simhash_oracle, then exact hamming over the n² pairs (fine at
+    sf0.01; the engine side uses the banded join)."""
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+        WITH t AS (SELECT doc_id, list_distinct({_toks()}) AS toks FROM documents),
+        u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        h AS (SELECT doc_id, {_h60_sql('tok')} AS hv FROM u),
+        v AS (SELECT doc_id, {votes}
+              FROM h GROUP BY doc_id),
+        s AS (SELECT t.doc_id,
+                     CAST(COALESCE({sig}, 0) AS BIGINT) AS simhash
+              FROM t LEFT JOIN v ON t.doc_id = v.doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+ORACLE_SQL["simhash_dup_pairs"] = _simhash_pairs_oracle()
+
+
 def _minhash_lsh_oracle(
     num_hashes: int = 32, bands: int = 8, prime: int = 2_147_483_647
 ) -> str:
@@ -1513,7 +1551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_contains": q_text_contains,
     "text_contains_regex": q_text_contains_regex,
     "text_prefix": q_text_prefix,
-    "text_regex": q_text_regex,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
     "geo_within": q_geo_within,
     "geo_disjoint": q_geo_disjoint,
     "simhash_sig": q_simhash_sig,
@@ -1551,6 +1589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_part": q_degree_part,
     "degree_out_customer": q_degree_out_customer,
     "text_contains_prefix": q_text_contains_prefix,
+    "text_regex": q_text_regex,
     "embed_topk_pairs_exact": q_embed_topk_pairs_exact,
 }
 
