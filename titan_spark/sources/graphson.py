@@ -2,9 +2,9 @@
 
 Reference: GraphSON & Gryo registered via
 ``graphdb/tinkerpop/TitanIoRegistry.java:14``; test fixture
-``titan-test/data/v10k.graphml.gz``. Gryo is a JVM binary format with
-no Spark value — GraphSON (JSON-lines of vertices with inlined
-adjacency) is the interchange format worth supporting.
+``titan-test/data/v10k.graphml.gz``. GraphSON (JSON-lines of vertices
+with inlined adjacency) is the primary interchange format; the Gryo
+binary twin lives in ``sources/gryo.py``.
 
 Format handled here: one JSON object per line,
 ``{"id": .., "label": .., "properties": {k: v | [v, ...]}, "outE":
