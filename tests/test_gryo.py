@@ -127,3 +127,36 @@ def test_read_gryo_multi_properties_and_meta(spark):
     assert marko["location"] == ["san diego", "santa cruz", "brussels", "santa fe"]
     meta = json.loads(marko["_meta"])
     assert meta["location:6"] == {"startTime": 1997, "endTime": 2001}
+
+
+@pytest.mark.parametrize("name", ["tinkerpop-modern", "tinkerpop-crew"])
+def test_encode_decode_roundtrip(name):
+    from titan_spark.sources.gryo import encode_gryo_record, parse_gryo_stream
+
+    with open(f"{DATA}/{name}.kryo", "rb") as fh:
+        recs = list(parse_gryo_stream(fh.read()))
+    blob = b"".join(encode_gryo_record(r) for r in recs)
+    back = list(parse_gryo_stream(blob))
+    assert back == recs
+
+
+def test_write_read_gryo_roundtrip(spark, tmp_path):
+    from titan_spark.sources.gryo import read_gryo, write_gryo
+
+    g = read_gryo(
+        spark,
+        f"{DATA}/tinkerpop-modern.kryo",
+        vertex_props={"name": "string", "age": "int"},
+        edge_props={"weight": "double"},
+    )
+    out = str(tmp_path / "gryo_out")
+    write_gryo(g, out, n_files=2)
+    g2 = read_gryo(
+        spark,
+        out,
+        vertex_props={"name": "string", "age": "int"},
+        edge_props={"weight": "double"},
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(g2.vertices) == key(g.vertices)
+    assert key(g2.edges) == key(g.edges)

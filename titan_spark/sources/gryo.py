@@ -354,3 +354,245 @@ def read_gryo(
         ]
     edges = raw.filter(F.col("kind") == "e").select(*ecols)
     return PropertyGraph(vertices, edges)
+
+
+class _KryoOutput:
+    """Minimal Kryo 2.x encoder mirroring :class:`_KryoInput`'s grammar
+    (id accounting included: outer object, edge-prop map, every inner
+    map and string get reference ids in write order)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.string_ids: dict[str, int] = {}
+        self.next_id = 0
+
+    def _track(self, obj=None) -> int:
+        i = self.next_id
+        self.next_id += 1
+        return i
+
+    def varint(self, v: int) -> None:
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self.out.append(b | 0x80)
+            else:
+                self.out.append(b)
+                return
+
+    def zigzag(self, v: int) -> None:
+        self.varint((v << 1) ^ (v >> 63) if v < 0 else v << 1)
+
+    def string(self, s: str) -> None:
+        if s in self.string_ids:
+            self.varint(self.string_ids[s] + 2)
+            return
+        self.varint(1)
+        self.string_ids[s] = self._track()
+        data = s.encode("utf-8")
+        if 1 < len(s) < 64 and all(b < 0x80 for b in data):
+            self.out += data[:-1]
+            self.out.append(data[-1] | 0x80)
+        else:  # UTF8 length-prefixed mode (len+1, high bit on first byte)
+            n = len(s) + 1
+            first = 0x80 | (n & 0x3F)
+            rest = n >> 6
+            if rest:
+                first |= 0x40
+            self.out.append(first)
+            while rest:
+                b = rest & 0x7F
+                rest >>= 7
+                self.out.append(b | 0x80 if rest else b)
+            self.out += data
+
+    def class_and_object(self, v) -> None:
+        if v is None:
+            self.varint(0)
+        elif isinstance(v, bool):
+            self.varint(5)
+            self.out.append(1 if v else 0)
+        elif isinstance(v, int):
+            # longs keep inter-op with Titan property ids; ints cover
+            # the fixture ids — pick by range
+            if -(2**31) <= v < 2**31:
+                self.varint(2)
+            else:
+                self.varint(9)
+            self.zigzag(v)
+        elif isinstance(v, float):
+            self.varint(10)
+            self.out += struct.pack(">d", v)
+        elif isinstance(v, str):
+            self.varint(3)
+            self.string(v)
+        else:
+            raise TypeError(f"unsupported Gryo value type {type(v)}")
+
+    def prop_map(self, m: dict) -> None:
+        self.varint(0x0D)
+        self.varint(1)
+        self._track()
+        self.varint(len(m))
+        for k, v in m.items():
+            self.class_and_object(k)
+            self.class_and_object(v)
+
+
+def encode_gryo_record(rec: dict) -> bytes:
+    """Inverse of :func:`parse_gryo_record` (semantic round-trip; value
+    types may widen, e.g. float32 weights re-encode as doubles)."""
+    w = _KryoOutput()
+    w.varint(1)
+    w._track()  # outer
+    edge_props = rec.get("edge_props") or {}
+    if edge_props:
+        w.varint(_HASHMAP_CLASS)
+        w._track()
+        w.varint(len(edge_props))
+        for eid, m in edge_props.items():
+            w.class_and_object(eid)
+            w.prop_map(m)
+    else:
+        w.varint(0)
+    meta_props = rec.get("meta_props") or {}
+    if meta_props:
+        w.varint(1)
+        w._track()
+        w.varint(len(meta_props))
+        for pid, m in meta_props.items():
+            w.class_and_object(pid)
+            w.prop_map(m)
+    else:
+        w.varint(0)
+    w.class_and_object(rec["id"])
+    w.string(rec["label"])
+    for key in ("in_edges", "out_edges"):
+        adj = rec.get(key) or {}
+        if adj:
+            w.varint(1)
+            w.zigzag(len(adj))
+            for lbl, pairs in adj.items():
+                w.string(lbl)
+                w.zigzag(len(pairs))
+                for eid, other in pairs:
+                    w.class_and_object(eid)
+                    w.class_and_object(other)
+        else:
+            w.varint(0)
+    props = rec.get("props") or {}
+    if props:
+        w.varint(1)
+        w.zigzag(len(props))
+        for key, vals in props.items():
+            w.string(key)
+            w.zigzag(len(vals))
+            for pid, val in vals:
+                w.class_and_object(pid)
+                w.class_and_object(val)
+    else:
+        w.varint(0)
+    return _HEADER + bytes(w.out) + _TRAILER
+
+
+def write_gryo(graph: PropertyGraph, path: str, n_files: int | None = None) -> None:
+    """Export a PropertyGraph as a directory of Gryo part files.
+
+    Spark-first sink: vertices are hash-distributed over ``n_files``
+    groups (default: the session's shuffle parallelism); each group
+    re-nests its adjacency (both directions, so records round-trip
+    like GryoWriter's ``writeVertices(BOTH)``) and an applyInPandas
+    task encodes and writes its own part file — the driver never sees
+    record bytes. Works on any task-writable filesystem; for object
+    stores front it with a committer.
+    """
+    import os
+
+    spark = graph.vertices.sparkSession
+    if n_files is None:
+        n_files = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    os.makedirs(path, exist_ok=True)
+
+    vprops = [c for c in graph.vertices.columns if c not in ("id", "label")]
+    eprops = [c for c in graph.edges.columns if c not in ("edge_id", "src", "dst", "label")]
+    # adjacency and properties travel as to_json strings: pandas would
+    # coerce nullable int columns to float64 (29 -> 29.0), while JSON
+    # keeps the integer/double distinction end-to-end
+    estruct = F.struct(
+        F.col("edge_id"), F.col("label"), *[F.col(c) for c in eprops]
+    )
+    out_adj = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.to_json(
+            F.collect_list(F.struct(F.col("dst").alias("other"), estruct.alias("e")))
+        ).alias("_out")
+    )
+    in_adj = graph.edges.groupBy(F.col("dst").alias("id")).agg(
+        F.to_json(
+            F.collect_list(F.struct(F.col("src").alias("other"), estruct.alias("e")))
+        ).alias("_in")
+    )
+    nested = (
+        graph.vertices.select(
+            "id",
+            "label",
+            F.to_json(F.struct(*[F.col(c) for c in vprops])).alias("_props"),
+        )
+        .join(out_adj, "id", "left")
+        .join(in_adj, "id", "left")
+        .withColumn("_g", F.pmod(F.hash("id"), F.lit(n_files)))
+    )
+
+    def write_group(key, pdf):
+        import pandas as pd
+
+        chunks = []
+        for _, row in pdf.iterrows():
+            pid = [0]
+
+            def prop_vals(v):
+                pid[0] += 1
+                return [(pid[0] - 1, x) for x in v] if isinstance(v, list) else [
+                    (pid[0] - 1, v)
+                ]
+
+            raw_props = json.loads(row["_props"]) if row["_props"] else {}
+            props = {
+                k: prop_vals(v) for k, v in raw_props.items() if v is not None
+            }
+            edge_props = {}
+
+            def adj(col):
+                out: dict = {}
+                if row[col] is None:
+                    return out
+                for item in json.loads(row[col]):
+                    e = item["e"]
+                    pm = {k: e[k] for k in eprops if e.get(k) is not None}
+                    if pm:
+                        edge_props[e["edge_id"]] = pm
+                    out.setdefault(e["label"], []).append(
+                        (e["edge_id"], item["other"])
+                    )
+                return out
+
+            in_e, out_e = adj("_in"), adj("_out")
+            chunks.append(
+                encode_gryo_record(
+                    dict(
+                        id=int(row["id"]),
+                        label=row["label"],
+                        in_edges=in_e,
+                        out_edges=out_e,
+                        props=props,
+                        edge_props=edge_props,
+                        meta_props={},
+                    )
+                )
+            )
+        fname = os.path.join(path, f"part-{int(key[0]):05d}.kryo")
+        with open(fname, "wb") as fh:
+            fh.write(b"".join(chunks))
+        return pd.DataFrame({"file": [fname], "n": [len(chunks)]})
+
+    nested.groupBy("_g").applyInPandas(write_group, "file string, n long").collect()
