@@ -1,0 +1,74 @@
+"""Repetition signals, n-gram decontamination, semantic dedup."""
+
+from pyspark.sql import functions as F
+
+from titan_spark.pipeline.decontam import hash_eval_split, ngram_decontaminate
+from titan_spark.pipeline.similarity import semantic_dedup_clusters
+from titan_spark.pipeline.text_quality import repetition_stats
+
+
+def test_repetition_stats_values(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a a a a"),           # one token repeated: all fracs maximal
+            (2, "a b c d"),           # all distinct: no repetition
+            (3, "a b a b a"),         # "a b"×2 + "b a"×2 of 4 bigrams
+            (4, ""),                  # empty doc: zeros, no NULLs
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["dup_2gram_frac"] == round(2 / 3, 4)  # "a a"×3 → 2 dups
+    assert rows[1]["top_2gram_frac"] == 1.0
+    assert rows[2]["top_token_frac"] == 0.25
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert rows[3]["dup_2gram_frac"] == 0.5
+    assert rows[3]["top_2gram_frac"] == 0.5
+    assert rows[4]["n_tokens"] == 0
+    assert rows[4]["top_token_frac"] == 0.0 and rows[4]["dup_2gram_frac"] == 0.0
+
+
+def test_ngram_decontaminate_flags_verbatim_copy(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix text the quick brown fox suffix"),  # one shared 4-gram
+            (2, "completely unrelated training text here"),
+            (3, "the quick brown fox jumps elsewhere"),     # two shared 4-grams
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_hit_grams"] for r in ngram_decontaminate(train, eval_df).collect()}
+    assert hits == {1: 1, 3: 2}
+
+
+def test_hash_eval_split_is_partition(spark):
+    d = spark.createDataFrame([(i, "x") for i in range(300)], "doc_id long, text string")
+    train, ev = hash_eval_split(d, mod=10)
+    t = {r["doc_id"] for r in train.collect()}
+    e = {r["doc_id"] for r in ev.collect()}
+    assert t | e == set(range(300)) and not (t & e)
+    assert 10 < len(e) < 60  # ~30 expected
+
+
+def test_semantic_dedup_clusters_near_dups(spark):
+    # two planted near-dup groups (identical vectors land in the same
+    # LSH bucket in every table) plus isolated vectors
+    base_a = [1.0, 0.0, 0.5, -0.25] * 4
+    base_b = [-0.5, 1.0, 0.0, 0.75] * 4
+    rows = [
+        (1, base_a), (2, base_a), (3, base_a),
+        (10, base_b), (11, base_b),
+        (20, [1.0, -1.0] * 8), (21, [0.0, 1.0, -1.0, 0.5] * 4),
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["cluster_rep"] for r in
+           semantic_dedup_clusters(d, threshold=0.95, dim=16).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == 10
+    assert 20 not in out and 21 not in out  # no near-dup ⇒ not in any cluster

@@ -1,0 +1,60 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/holdout set.
+
+The standard pre-training hygiene pass (GPT-3 App. C / PaLM §7 style):
+any training doc containing an n-gram that also occurs in the eval set
+is contaminated and gets down-weighted or dropped. Expressed as pure
+DataFrame algebra: shingle both sides with the engine's tokenizer,
+broadcast the (small) eval n-gram set, count distinct colliding grams
+per training doc.
+
+Scale shape: the eval set is benchmark-sized (thousands of docs) no
+matter how big the corpus is, so its distinct-gram set broadcasts and
+the training side stays a narrow scan → explode → broadcast hash join
+→ one map-side-combinable count keyed by doc id. No shuffle ever
+carries document text; nothing is O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from titan_spark.pipeline.dedup import shingles
+
+
+def ngram_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_hit_grams) for every training doc sharing ≥1 word n-gram
+    with the eval set. ``n_hit_grams`` counts the doc's *distinct*
+    contaminated grams (shingles are per-doc distinct).
+
+    Docs shorter than ``n`` tokens contribute their whole token stream
+    as one shingle (the :func:`~titan_spark.pipeline.dedup.shingles`
+    contract), so short eval probes still match verbatim copies.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("_g")).distinct()
+    )
+    return (
+        train_df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_g"))
+        .join(F.broadcast(eval_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_grams"))
+    )
+
+
+def hash_eval_split(
+    df: DataFrame, mod: int = 20, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, eval) split on the portable 60-bit hash of
+    the id — the same h60 used by the sampling operators, so the split
+    is reproducible in any engine (``hash % mod == 0`` → eval)."""
+    from titan_spark.functions.hashing import portable_hash64
+
+    is_eval = F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+    return df.filter(~is_eval), df.filter(is_eval)

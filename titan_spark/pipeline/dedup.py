@@ -293,8 +293,8 @@ def jaccard_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame) -> DataFrame:
-    """Collapse near-dup pairs into clusters: (doc_id, cluster_rep)
+def dedup_clusters(pairs: DataFrame, out_id: str = "doc_id") -> DataFrame:
+    """Collapse near-dup pairs into clusters: (out_id, cluster_rep)
     with rep = min doc id in the connected component of the pair graph.
 
     The canonical dedup finish: LSH/jaccard emits pairwise matches;
@@ -323,7 +323,7 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
     )
     g = PropertyGraph(ids, edges)
     cc = connected_components(g)
-    return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep"))
+    return cc.select(F.col("id").alias(out_id), F.col("component").alias("cluster_rep"))
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:

@@ -139,6 +139,45 @@ def lsh_topk_pairs(
     set — and therefore the result — exactly reproducible in the SQL
     oracle (plane-literal generation, same pattern as lsh_ann/ivf_ann).
     """
+    cand = _lsh_candidates(df, n_tables, n_planes, vec_col, id_col, dim)
+    # norms are per-vector: compute once on the (small) vector side of
+    # the join instead of once per candidate pair
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("_nb"),
+    )
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot("va", "vb") / (F.col("_na") * F.col("_nb")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()).limit(k)
+
+
+def _lsh_candidates(
+    df: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-table LSH candidate pairs (id_a < id_b, deduped): a pair
+    is a candidate iff it shares a bucket in ANY of the ``n_tables``
+    independent hyperplane tables. One fold computes every table's
+    plane dots; the join key is (table, bucket), so shuffle volume is
+    ~L·n²/2^planes, never the O(n²) cross join. ``n_planes`` should
+    grow with log₂(corpus) to hold per-bucket occupancy constant."""
     if dim is None:
         dim = df.select(F.size(vec_col)).first()[0]
     planes = _det_planes(dim, n_tables * n_planes)
@@ -164,7 +203,7 @@ def lsh_topk_pairs(
     # signatures are tiny (id, table, bucket); cut the lineage so the
     # self-join doesn't re-evaluate n_tables×n_planes dot products twice
     sig = cut_lineage(sig, eager=True)
-    cand = (
+    return (
         sig.alias("a")
         .join(
             sig.alias("b"),
@@ -175,19 +214,39 @@ def lsh_topk_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # norms are per-vector: compute once on the (small) vector side of
-    # the join instead of once per candidate pair
+
+
+def semantic_dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup clusters (SemDeDup-style: Abbas et al.
+    2023): multi-table LSH buckets propose candidates, the exact cosine
+    keeps pairs with rounded similarity ≥ ``threshold``, and connected
+    components collapse them into clusters → (vec_id, cluster_rep)
+    with rep = min id per component; keep rows where vec_id ==
+    cluster_rep to dedup.
+
+    The candidate stage is part of the operator's contract (pairs in
+    no common bucket are not near-dups by definition — the same
+    cluster-then-compare shape SemDeDup uses with k-means), which makes
+    the operator fully deterministic and oracle-reproducible from the
+    plane literals. Scale: bucketed join + pair-volume-proportional CC;
+    nothing O(n²).
+    """
+    cand = _lsh_candidates(df, n_tables, n_planes, vec_col, id_col, dim)
     va = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        _norm(F.col(vec_col)).alias("_na"),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), _norm(F.col(vec_col)).alias("_na")
     )
     vb = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        _norm(F.col(vec_col)).alias("_nb"),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), _norm(F.col(vec_col)).alias("_nb")
     )
-    scored = (
+    pairs = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
@@ -195,8 +254,12 @@ def lsh_topk_pairs(
             "id_b",
             F.round(_dot("va", "vb") / (F.col("_na") * F.col("_nb")), 6).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
     )
-    return scored.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()).limit(k)
+    from titan_spark.pipeline.dedup import dedup_clusters
+
+    return dedup_clusters(pairs, out_id=id_col)
 
 
 def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:

@@ -131,6 +131,72 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of tokens
+    that are the single most-frequent token, duplicate-bigram fraction,
+    and top-bigram fraction (Rae et al. 2021, "Scaling Language Models"
+    §A1.1 repetition filters, restated token-level because the synthetic
+    corpus has no line structure).
+
+    Plan shape: bigrams come from one ``zip_with`` against the shifted
+    token tail (tokenizer evaluated once per row — an index-based
+    ``transform(sequence, i -> slice(...))`` re-runs it per element),
+    then two explode → count pipelines keyed (doc, term) and (doc);
+    every aggregate is map-side combinable, so the shuffles carry one
+    row per distinct term per doc, never the corpus text.
+    """
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_grams",
+        # zip_with pads the shorter (shifted) side with NULL; concat
+        # propagates it so the trailing partial gram drops in the filter
+        F.filter(
+            F.zip_with(
+                F.col("_toks"),
+                F.slice(F.col("_toks"), 2, F.greatest(F.size("_toks") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            lambda g: g.isNotNull(),
+        ),
+    )
+    tok_agg = (
+        base.select(id_col, F.explode("_toks").alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("_nt"), F.max("_c").alias("_maxt"))
+    )
+    gram_agg = (
+        base.select(id_col, F.explode("_grams").alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n2"),
+            F.count(F.lit(1)).alias("_d2"),
+            F.max("_c").alias("_max2"),
+        )
+    )
+
+    def _frac(num, den):
+        return F.round(
+            F.coalesce(num.cast("double") / den, F.lit(0.0)), 4
+        )
+
+    return (
+        df.select(id_col)
+        .join(tok_agg, id_col, "left")
+        .join(gram_agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_nt"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            _frac(F.col("_maxt"), F.col("_nt")).alias("top_token_frac"),
+            _frac(F.col("_n2") - F.col("_d2"), F.col("_n2")).alias("dup_2gram_frac"),
+            _frac(F.col("_max2"), F.col("_n2")).alias("top_2gram_frac"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

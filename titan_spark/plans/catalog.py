@@ -536,6 +536,31 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style token/bigram repetition signals per document."""
+    from titan_spark.pipeline.text_quality import repetition_stats
+
+    return repetition_stats(tables(spark, sf_dir)["documents"])
+
+
+def q_ngram_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing a word 4-gram
+    with the hash-held-out eval split (portable h60 % 20 == 0)."""
+    from titan_spark.pipeline.decontam import hash_eval_split, ngram_decontaminate
+
+    docs = tables(spark, sf_dir)["documents"]
+    train, eval_df = hash_eval_split(docs, mod=20)
+    return ngram_decontaminate(train, eval_df, n=4)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style embedding near-dup clusters: multi-table LSH
+    candidates → exact cosine ≥ 0.35 → connected components."""
+    from titan_spark.pipeline.similarity import semantic_dedup_clusters
+
+    return semantic_dedup_clusters(tables(spark, sf_dir)["embeddings"])
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates verified by exact Jaccard —
     value-checked lane-for-lane against _minhash_lsh_oracle (portable
@@ -1522,6 +1547,118 @@ def _embed_topk_pairs_oracle(
 ORACLE_SQL["embed_topk_pairs"] = _embed_topk_pairs_oracle()
 
 
+# Gopher-style repetition signals: per-doc list algebra twin of
+# pipeline/text_quality.repetition_stats (mode via distinct×filter scan —
+# O(u·n) per doc is fine at oracle scale; the engine explodes instead)
+ORACLE_SQL["repetition_stats"] = f"""
+    WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, CAST(len(toks) AS BIGINT)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS grams
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS nt,
+               COALESCE(list_max(list_transform(list_distinct(toks),
+                   d -> len(list_filter(toks, x -> x = d)))), 0) AS maxt,
+               CAST(len(grams) AS BIGINT) AS n2,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS d2,
+               COALESCE(list_max(list_transform(list_distinct(grams),
+                   d -> len(list_filter(grams, x -> x = d)))), 0) AS max2
+        FROM g
+    )
+    SELECT doc_id,
+           nt AS n_tokens,
+           ROUND(CASE WHEN nt = 0 THEN 0.0 ELSE CAST(maxt AS DOUBLE) / nt END, 4)
+               AS top_token_frac,
+           ROUND(CASE WHEN n2 = 0 THEN 0.0 ELSE CAST(n2 - d2 AS DOUBLE) / n2 END, 4)
+               AS dup_2gram_frac,
+           ROUND(CASE WHEN n2 = 0 THEN 0.0 ELSE CAST(max2 AS DOUBLE) / n2 END, 4)
+               AS top_2gram_frac
+    FROM m
+"""
+
+
+# decontamination twin: same clamped-slice 4-gram shingles as the
+# dedup_clusters oracle, eval split on the portable h60 of the doc id
+ORACLE_SQL["ngram_decontaminate"] = f"""
+    WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               {_h60_sql("CAST(doc_id AS VARCHAR)")} % 20 = 0 AS is_eval,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(CAST(len(toks) AS INT) - 3, 1)),
+                   i -> array_to_string(toks[i:i+3], ' ')
+               )) AS sh
+        FROM t
+    ),
+    ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE is_eval),
+    tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE NOT is_eval)
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+    FROM tr JOIN ev USING (g)
+    GROUP BY tr.doc_id
+"""
+
+
+def _semantic_dedup_oracle(
+    threshold: float = 0.35, n_tables: int = 8, n_planes: int = 8, dim: int = 64
+) -> str:
+    """Semantic-dedup oracle: the _embed_topk_pairs_oracle candidate
+    CTEs (multi-table buckets from the engine's plane literals) with a
+    rounded-cosine threshold instead of top-k, then the same recursive
+    transitive closure as the dedup_clusters oracle → (vec_id,
+    cluster_rep = min reachable id)."""
+    from titan_spark.pipeline.similarity import _det_planes
+
+    planes = _det_planes(dim, n_tables * n_planes)
+
+    def bucket_expr(t: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(v, [{}]) >= 0 THEN {} ELSE 0 END)".format(
+                ", ".join(repr(float(x)) for x in planes[t * n_planes + i]), 1 << i
+            )
+            for i in range(n_planes)
+        )
+
+    bucket_cols = ",\n               ".join(
+        f"{bucket_expr(t)} AS b{t}" for t in range(n_tables)
+    )
+    any_shared = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+        WITH RECURSIVE v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id, v, {bucket_cols}
+            FROM v
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sig a JOIN sig b
+              ON a.vec_id < b.vec_id AND ({any_shared})
+            WHERE ROUND(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+        ),
+        und AS (
+            SELECT id_a AS u, id_b AS w FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, w) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM und)
+            UNION
+            SELECT r.u, e.w FROM reach r JOIN und e ON r.w = e.u
+        )
+        SELECT u AS vec_id, CAST(MIN(w) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY 1
+    """
+
+
+ORACLE_SQL["semantic_dedup"] = _semantic_dedup_oracle()
+
+
 
 
 # NOTE (driver contract, diagnosed round 3): the external driver checks at
@@ -1591,6 +1728,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_contains_prefix": q_text_contains_prefix,
     "text_regex": q_text_regex,
     "embed_topk_pairs_exact": q_embed_topk_pairs_exact,
+    "repetition_stats": q_repetition_stats,
+    "ngram_decontaminate": q_ngram_decontaminate,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 
