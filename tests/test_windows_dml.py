@@ -46,6 +46,29 @@ def test_streaming_session_windows(spark, sf_dir, tmp_path):
     assert g == b
 
 
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    from titan_spark.streaming.windows import dedup_stream
+
+    # at-least-once delivery: every event re-delivered, some thrice
+    rows = [(i, 1_700_000_000 + i * 60, i % 7, float(i)) for i in range(200)]
+    dup = rows + rows + rows[:50]
+    src = str(tmp_path / "dup_src")
+    spark.createDataFrame(
+        [(e, __import__("datetime").datetime.utcfromtimestamp(t), u, v) for e, t, u, v in dup],
+        "event_id long, ts timestamp, user_id long, value double",
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .parquet(src)
+    )
+    out = dedup_stream(stream, keys=("event_id",), watermark="1 hour")
+    run_to_memory_sink(out, "dedup_ev", str(tmp_path / "ck3"), output_mode="append")
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_ev"
+    ).collect()[0]
+    assert got["n"] == 200 and got["d"] == 200
+
+
 def test_dml_add_remove(spark, gods):
     new_v = spark.createDataFrame(
         [(100, "god", "janus", 1000)], "id long, label string, name string, age int"

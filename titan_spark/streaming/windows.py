@@ -68,6 +68,26 @@ def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str =
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication with bounded state: emit the first
+    occurrence of each key, drop re-deliveries that arrive within the
+    watermark horizon.
+
+    This is the ingest-side twin of the batch exact-dedup operator —
+    at-least-once sources (Kafka, CDC replays, retried uploads)
+    duplicate records, and an unbounded ``dropDuplicates`` would hold
+    every key ever seen in state. ``dropDuplicatesWithinWatermark``
+    evicts state once the event-time watermark passes, so state size
+    tracks the duplication window, not stream history.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, checkpoint: str, output_mode: str = "complete"):
     """Drain all available input through the streaming query into an
     in-memory table (test/bench harness; swap for kafka/delta sinks in
