@@ -46,6 +46,11 @@ HEADLINE = [
     "dedup_clusters",
     "repeat_emit_bfs",
     "embed_topk_pairs",
+    # curation ops (round 3): repetition filters, decontamination,
+    # semantic dedup — broadcast/bucketed plans, watch for scale creep
+    "repetition_stats",
+    "ngram_decontaminate",
+    "semantic_dedup",
 ]
 
 

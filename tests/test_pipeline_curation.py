@@ -56,6 +56,30 @@ def test_hash_eval_split_is_partition(spark):
     assert 10 < len(e) < 60  # ~30 expected
 
 
+def test_quality_funnel_monotone_and_counts(spark):
+    from titan_spark.pipeline.text_quality import quality_funnel
+
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and then it runs to the old barn while birds watch on"),
+            (2, "short"),                                   # fails length
+            (3, " ".join(["spam spam"] * 30)),              # fails repetition
+            # fails lang only (es markers, distinct tokens, decent quality)
+            (4, "el la de que uno dos tres cuatro cinco seis siete ocho "
+                "nueve diez once doce trece catorce quince mundo libro casa perro gato"),
+        ],
+        "doc_id long, text string",
+    )
+    r = quality_funnel(d, min_tokens=10).collect()[0]
+    assert r["n_docs"] == 4
+    # funnel counts are monotone non-increasing
+    seq = [r["n_docs"], r["n_pass_length"], r["n_pass_repetition"], r["n_pass_quality"], r["n_pass_lang"]]
+    assert seq == sorted(seq, reverse=True)
+    assert r["n_pass_length"] == 3          # doc 2 out
+    assert r["n_pass_repetition"] == 2      # doc 3 out
+    assert r["n_pass_lang"] == 1            # doc 4 out (es), doc 1 survives
+
+
 def test_semantic_dedup_clusters_near_dups(spark):
     # two planted near-dup groups (identical vectors land in the same
     # LSH bucket in every table) plus isolated vectors

@@ -197,6 +197,42 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def quality_funnel(
+    df: DataFrame,
+    min_tokens: int = 20,
+    max_dup_2gram: float = 0.05,
+    min_quality: float = 0.55,
+    lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style filter funnel: the standard corpus-cleaning cascade
+    (length → repetition → quality score → language), reported as one
+    row of cumulative survivor counts so each stage's cost is visible.
+
+    Every stage compares the ROUNDED feature the component operators
+    emit, so the funnel is bit-reproducible wherever they are. The
+    three feature frames join on the doc id (hash joins, broadcast
+    under AQE when small); no stage rescans document text after its
+    feature pass.
+    """
+    q = doc_quality(df, text_col, id_col).select(id_col, "quality_score")
+    r = repetition_stats(df, text_col, id_col).select(id_col, "n_tokens", "dup_2gram_frac")
+    lg = lang_id(df, text_col, id_col).select(id_col, "lang_pred")
+    j = r.join(q, id_col).join(lg, id_col)
+    f1 = F.col("n_tokens") >= min_tokens
+    f2 = f1 & (F.col("dup_2gram_frac") <= max_dup_2gram)
+    f3 = f2 & (F.col("quality_score") >= min_quality)
+    f4 = f3 & (F.col("lang_pred") == lang)
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(f1.cast("int")).cast("bigint").alias("n_pass_length"),
+        F.sum(f2.cast("int")).cast("bigint").alias("n_pass_repetition"),
+        F.sum(f3.cast("int")).cast("bigint").alias("n_pass_quality"),
+        F.sum(f4.cast("int")).cast("bigint").alias("n_pass_lang"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

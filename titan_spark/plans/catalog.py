@@ -553,6 +553,14 @@ def q_ngram_decontaminate(spark, sf_dir):
     return ngram_decontaminate(train, eval_df, n=4)
 
 
+def q_quality_funnel(spark, sf_dir):
+    """C4-style filter cascade: cumulative survivor counts through
+    length → repetition → quality-score → language stages."""
+    from titan_spark.pipeline.text_quality import quality_funnel
+
+    return quality_funnel(tables(spark, sf_dir)["documents"])
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style embedding near-dup clusters: multi-table LSH
     candidates → exact cosine ≥ 0.35 → connected components."""
@@ -1581,6 +1589,55 @@ ORACLE_SQL["repetition_stats"] = f"""
 """
 
 
+# C4-style funnel twin: the doc_quality + repetition_stats + lang_id
+# oracle formulas inlined as CTEs, cumulative-AND survivor counts; every
+# stage compares the ROUNDED feature, matching the Spark side exactly
+ORACLE_SQL["quality_funnel"] = f"""
+    WITH t AS (
+        SELECT doc_id, text, {_toks()} AS toks,
+               length(text) AS n_chars,
+               length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_alnum
+        FROM documents
+    ), f AS (
+        SELECT doc_id, toks,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(LEAST(len(toks) / 64.0, 1.0) * 0.4
+                     + CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1) * 0.3
+                     + (1.0 - CAST(n_chars - n_alnum AS DOUBLE) / GREATEST(n_chars, 1)) * 0.2
+                     + CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                           / GREATEST(len(toks), 1) * 0.1, 4) AS quality_score,
+               list_transform(range(1, CAST(len(toks) AS BIGINT)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS grams,
+               CAST(len(list_filter(toks, x -> x IN ('the','and','of','is'))) AS INT) AS en,
+               CAST(len(list_filter(toks, x -> x IN ('el','la','de','que'))) AS INT) AS es,
+               CAST(len(list_filter(toks, x -> x IN ('le','la','et','les'))) AS INT) AS fr,
+               CAST(len(list_filter(toks, x -> x IN ('der','die','und','das'))) AS INT) AS de
+        FROM t
+    ), r AS (
+        SELECT doc_id, n_tokens, quality_score,
+               ROUND(CASE WHEN len(grams) = 0 THEN 0.0
+                          ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                     END, 4) AS dup_2gram_frac,
+               CASE WHEN GREATEST(en, es, fr, de) = 0 THEN 'und'
+                    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                    WHEN en >= es AND en >= fr THEN 'en'
+                    WHEN es >= fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM f
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (n_tokens >= 20) AS BIGINT) AS n_pass_length,
+           CAST(count(*) FILTER (n_tokens >= 20 AND dup_2gram_frac <= 0.05) AS BIGINT)
+               AS n_pass_repetition,
+           CAST(count(*) FILTER (n_tokens >= 20 AND dup_2gram_frac <= 0.05
+                                 AND quality_score >= 0.55) AS BIGINT) AS n_pass_quality,
+           CAST(count(*) FILTER (n_tokens >= 20 AND dup_2gram_frac <= 0.05
+                                 AND quality_score >= 0.55 AND lang_pred = 'en') AS BIGINT)
+               AS n_pass_lang
+    FROM r
+"""
+
+
 # decontamination twin: same clamped-slice 4-gram shingles as the
 # dedup_clusters oracle, eval split on the portable h60 of the doc id
 ORACLE_SQL["ngram_decontaminate"] = f"""
@@ -1731,6 +1788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "ngram_decontaminate": q_ngram_decontaminate,
     "semantic_dedup": q_semantic_dedup,
+    "quality_funnel": q_quality_funnel,
 }
 
 
