@@ -152,10 +152,18 @@ def connected_components(
         .dropDuplicates(["u", "v"])
         .cache()
     )
+    n_und = und.count()  # materializes the cache; sizes the loop below
     state = graph.vertices.select("id", F.col("id").alias("component"))
     state = cut_lineage(state, eager=True)
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
     try:
-        state = _cc_loop(state, und, max_iterations)
+        # the per-round relations are edge-sized, not corpus-sized:
+        # shrink shuffle parallelism to match (dedup pair graphs are
+        # tiny even when the corpus is 100 TB; empty-task launch
+        # overhead otherwise dominates every round)
+        with scoped_shuffle_partitions(und.sparkSession, n_und):
+            state = _cc_loop(state, und, max_iterations)
     finally:
         und.unpersist(blocking=False)
     return state

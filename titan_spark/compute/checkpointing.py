@@ -17,6 +17,8 @@ superstep into the backend for exactly this recoverability
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 
@@ -26,3 +28,31 @@ def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark, rows: int, rows_per_partition: int = 50_000):
+    """Size shuffle parallelism to the loop's data for the duration of
+    an iterative loop, then restore the session default.
+
+    Iterated joins re-shuffle a SMALL state relation every round (a
+    near-dup pair graph is orders of magnitude smaller than its
+    corpus); at the session's corpus-sized partition count each round
+    pays rounds × partitions near-empty task launches. On local[*]
+    task launch is cheap enough that this is noise, but on a cluster
+    each empty task is a scheduler round-trip — a 20-round loop at
+    10k corpus-sized partitions is 200k wasted launches. AQE cannot
+    help here: the per-round eager lineage cut materializes through
+    the RDD boundary before AQE's final-stage coalescing applies. The
+    override never RAISES parallelism past the session setting, so
+    corpus-scale loops (PageRank over every edge) keep their full
+    partition count.
+    """
+    conf = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf)
+    target = max(1, min(int(old), rows // rows_per_partition + 1))
+    spark.conf.set(conf, str(target))
+    try:
+        yield target
+    finally:
+        spark.conf.set(conf, old)
