@@ -96,3 +96,34 @@ def test_semantic_dedup_clusters_near_dups(spark):
     assert out[1] == out[2] == out[3] == 1
     assert out[10] == out[11] == 10
     assert 20 not in out and 21 not in out  # no near-dup ⇒ not in any cluster
+
+
+def test_plane_dots_backends_agree_on_buckets(spark):
+    # the Arrow matmul backend and the JVM fold may differ in the last
+    # ulp of a dot product, but every consumer reads only the SIGN
+    # (bucket packing) — assert the two backends bucket the real
+    # corpus identically, and that the Arrow path propagates nulls
+    from titan_spark.pipeline.similarity import (
+        _det_planes,
+        _pack_bits,
+        _plane_dots_arrow,
+        _plane_dots_fold,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = _det_planes(64, 16)
+    both = df.select(
+        "vec_id",
+        _pack_bits(_plane_dots_arrow(F.col("embedding"), planes), 0, 16).alias("ba"),
+        _pack_bits(_plane_dots_fold(F.col("embedding"), planes), 0, 16).alias("bf"),
+    )
+    assert both.filter("ba <> bf").count() == 0
+
+    withnull = df.limit(3).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == df.limit(1).collect()[0]["vec_id"], F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    out = withnull.select(_plane_dots_arrow(F.col("embedding"), planes).alias("d")).collect()
+    assert sum(1 for r in out if r["d"] is None) == 1

@@ -6,15 +6,26 @@ TakeOrdered — no full sort). The LSH-bucketed variant is the scale
 path: random-hyperplane signatures (deterministic seeds) so only
 same-bucket vectors are compared.
 
-Dot products are computed in float64 with strict left-to-right
-accumulation (F.aggregate), which makes results bit-reproducible and
-oracle-comparable.
+Scored dot products (cosine values that appear in results) are
+computed in float64 with strict left-to-right accumulation
+(F.aggregate), which makes them bit-reproducible and
+oracle-comparable. Hyperplane bucketing dots — where only the sign is
+consumed — go through an Arrow-batched numpy matmul instead (see
+``plane_dots``), trading ulp-level reproducibility nobody reads for a
+~20× throughput win on the scale path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 from titan_spark.compute.checkpointing import cut_lineage
+
+try:  # optional fast path for plane_dots; the JVM fold needs neither
+    import numpy as np
+    import pandas as pd
+except ImportError:  # pragma: no cover - both are baked into the env
+    np = None
+    pd = None
 
 
 def _dot(a, b):
@@ -318,16 +329,59 @@ def ivf_search(
 
 
 def plane_dots(vec_col, planes: list[list[float]]):
-    """All plane·vec dot products in ONE aggregate pass → array<double>.
+    """All plane·vec dot products in one pass → array<double>.
 
-    Single fold over vector positions with one accumulator lane per
-    plane; each lane sums positions strictly left-to-right, so lane i
-    is bit-identical to ``_dot(vec, planes[i])`` — the oracle-matching
-    accumulation order — while evaluating the row once. The per-plane
-    formulation (one ``F.aggregate`` HOF per plane) re-walks the row
-    per plane in interpreted eval: measured 7× slower for 64 planes at
-    sf0.1.
+    Dispatches to an Arrow-batched numpy matmul (``_plane_dots_arrow``)
+    when numpy+pyarrow are importable, else the pure-JVM HOF fold
+    (``_plane_dots_fold``). Every consumer uses only the SIGNS of the
+    dots (bucket packing in ``_pack_bits``), so the ulp-level
+    accumulation-order difference between the two backends can only
+    matter for a dot within float error of zero — zero sign flips
+    observed across the test corpora, and the sf0.01 value-hash gate
+    re-verifies on every run.
+
+    Measured on 100k rows × 64 planes × dim 64 (local[32], sf0.1
+    vectors replicated): matmul 1.8–4.6 s, fold ~40 s (interpreted HOF
+    eval is per-element), fully unrolled codegen expression 84–130 s
+    (the 4096-term generated method exceeds JIT limits and runs in the
+    bytecode interpreter). The matmul path is the 100-TB route: one
+    BLAS call per Arrow batch.
     """
+    if np is None:  # pragma: no cover - numpy/pandas are baked in
+        return _plane_dots_fold(vec_col, planes)
+    return _plane_dots_arrow(vec_col, planes)
+
+
+def _plane_dots_arrow(vec_col, planes: list[list[float]]):
+    """Plane dots as a vectorized Pandas UDF: batch matrix multiply."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    tp = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _dots(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mask = v.isna()
+        if mask.any():
+            safe = v.copy()
+            safe[mask] = pd.Series([[0.0] * tp.shape[0]] * int(mask.sum()), index=v.index[mask])
+            d = np.vstack(safe.to_numpy()).astype(np.float64) @ tp
+            out = pd.Series(list(d), index=v.index)
+            out[mask] = None
+            return out
+        d = np.vstack(v.to_numpy()).astype(np.float64) @ tp
+        return pd.Series(list(d), index=v.index)
+
+    return _dots(vec_col)
+
+
+def _plane_dots_fold(vec_col, planes: list[list[float]]):
+    """Pure-JVM fallback: single aggregate fold with one accumulator
+    lane per plane; lane i sums positions strictly left-to-right,
+    bit-identical to ``_dot(vec, planes[i])``. (The per-plane
+    formulation — one ``F.aggregate`` per plane — re-walks the row per
+    plane: measured 7× slower for 64 planes.)"""
     n = len(planes)
     dim = len(planes[0])
     # transposed plane matrix: position j -> its n per-plane coefficients
