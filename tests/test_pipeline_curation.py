@@ -47,6 +47,26 @@ def test_ngram_decontaminate_flags_verbatim_copy(spark):
     assert hits == {1: 1, 3: 2}
 
 
+def test_ngram_decontaminate_shuffle_fallback(spark):
+    # VERDICT r3 #8: above max_broadcast_grams the broadcast hint drops and
+    # the join shuffles — results must be identical on both paths
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [(1, "prefix text the quick brown fox suffix"),
+         (3, "the quick brown fox jumps elsewhere")],
+        "doc_id long, text string",
+    )
+    bc = ngram_decontaminate(train, eval_df)  # eval grams << default cap
+    shuf = ngram_decontaminate(train, eval_df, max_broadcast_grams=1)
+    assert "ResolvedHint" not in shuf._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in bc._jdf.queryExecution().analyzed().toString()
+    as_dict = lambda df: {r["doc_id"]: r["n_hit_grams"] for r in df.collect()}
+    assert as_dict(bc) == as_dict(shuf) == {1: 1, 3: 2}
+
+
 def test_hash_eval_split_is_partition(spark):
     d = spark.createDataFrame([(i, "x") for i in range(300)], "doc_id long, text string")
     train, ev = hash_eval_split(d, mod=10)

@@ -56,3 +56,18 @@ def test_tfidf_ranks(spark):
     # 'banana' appears in 2 of 3 docs -> lower idf than 'apple' (2 docs) equal;
     # doc 3's top term is cherry (tf=3, df=2)
     assert by_doc[3][0][1] == "cherry"
+
+
+def test_tfidf_broadcasts_adaptively_not_forced(spark, sf_dir):
+    # VERDICT r3 #3: no forced F.broadcast on the |vocab|-row doc-frequency
+    # table (open-vocabulary corpora OOM the driver). AQE must still pick a
+    # broadcast join at test scale where the vocabulary IS small.
+    from titan_spark.sources.tpch import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = tfidf_top_terms(docs.select("doc_id", "text"), k=3)
+    static_plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in static_plan  # no forced broadcast hint
+    out.collect()
+    final_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final_plan  # AQE broadcast at this scale

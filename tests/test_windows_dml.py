@@ -19,9 +19,10 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     run_to_memory_sink(agg, "win_counts", str(tmp_path / "ck1"))
     got = spark.sql("SELECT * FROM win_counts")
     # must equal the batch rollup over the same data
+    from titan_spark.sources.tpch import load_tables
+
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        load_tables(spark, sf_dir)["events"]
         .groupBy(
             F.unix_timestamp(F.date_trunc("hour", "ts")).alias("win_start"), "event_type"
         )

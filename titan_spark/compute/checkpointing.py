@@ -47,6 +47,16 @@ def scoped_shuffle_partitions(spark, rows: int, rows_per_partition: int = 50_000
     override never RAISES parallelism past the session setting, so
     corpus-scale loops (PageRank over every edge) keep their full
     partition count.
+
+    Concurrency contract: this mutates the session-global
+    ``spark.sql.shuffle.partitions`` for the loop's duration, so
+    another query planned concurrently ON THE SAME SparkSession would
+    see the reduced value. That matches the engine's current
+    single-tenant batch model (one driver program per session, as in
+    every test/bench/catalog path). If a multi-tenant server mode is
+    added, scope the setting per plan instead: replace the conf
+    override with explicit ``.repartition(target, key)`` on the loop's
+    state relation, which is plan-local by construction.
     """
     conf = "spark.sql.shuffle.partitions"
     old = spark.conf.get(conf)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from titan_spark.functions.hashing import portable_hash64
+from titan_spark.functions.hashing import portable_hash64, resolve_hash_fn
 from titan_spark.functions.text import tokenize
 from titan_spark.compute.checkpointing import cut_lineage
 
@@ -72,17 +72,23 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc minhash signature: array of num_hashes min-values.
 
-    h_i(x) = (a_i * x + b_i) mod p over portable-h60 shingle hashes,
-    with fixed per-i coefficients — fully deterministic, no fitted
-    model.  Everything is built-in array algebra; no Python executes per
-    row, and the md5-derived hash has a bit-identical DuckDB twin so the
-    whole pipeline is oracle-checkable (see functions/hashing.py).
+    h_i(x) = (a_i * x + b_i) mod p over 64-bit shingle hashes, with
+    fixed per-i coefficients — fully deterministic, no fitted model.
+    Everything is built-in array algebra; no Python executes per row.
+
+    ``hash_fn``: ``'xxhash64'`` (production default — JVM intrinsic,
+    several× cheaper per shingle) or ``'portable'`` (md5-derived, has a
+    bit-identical DuckDB twin so the whole pipeline is oracle-checkable
+    — see functions/hashing.py). Either is a valid MinHash base hash;
+    only determinism and spread matter.
     """
+    h64 = resolve_hash_fn(hash_fn)
     sh = shingles(F.col(text_col), shingle_n)
-    hashed = F.transform(sh, lambda s: F.pmod(portable_hash64(s), F.lit(_MINHASH_PRIME)))
+    hashed = F.transform(sh, lambda s: F.pmod(h64(s), F.lit(_MINHASH_PRIME)))
 
     def _perms(h):
         # all num_hashes permutations of one shingle hash; h is a bound
@@ -108,14 +114,18 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     num_hashes: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures and self-join per bucket → candidate pairs.
 
     The join key is (band_index, band_hash): only docs agreeing on a
     whole band meet, so the shuffle is proportional to corpus size +
     true-duplicate volume, never O(n²). Output: (id_a, id_b) with
-    id_a < id_b, deduplicated across bands.
+    id_a < id_b, deduplicated across bands. ``hash_fn``: see
+    ``minhash_signatures`` (use the same mode as the signature stage so
+    an oracle can reproduce the band buckets).
     """
+    h64 = resolve_hash_fn(hash_fn)
     n = num_hashes if num_hashes is not None else signatures.select(F.size("signature")).first()[0]
     rows_per_band = max(1, n // bands)
     banded = signatures.select(
@@ -125,7 +135,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        portable_hash64(
+                        h64(
                             F.concat_ws(
                                 ",",
                                 *[
@@ -326,17 +336,26 @@ def dedup_clusters(pairs: DataFrame, out_id: str = "doc_id") -> DataFrame:
     return cc.select(F.col("id").alias(out_id), F.col("component").alias("cluster_rep"))
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """SimHash over portable-h60 token hashes (default 32 bits so the
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash over 64-bit token hashes (default 32 bits so the
     signature fits a signed long without overflow).
 
     For each bit: sum(+1/-1 weighted by token presence) → sign. Built
-    from array algebra over the token stream; deterministic, and the
-    md5-derived hash is reproducible in DuckDB so the signature itself
-    is value-checked by the oracle (see functions/hashing.py).
+    from array algebra over the token stream; deterministic.
+    ``hash_fn='portable'`` selects the md5-derived hash reproducible in
+    DuckDB so the signature itself is value-checked by the oracle (see
+    functions/hashing.py); ``'xxhash64'`` (default) is the cheaper
+    production hash.
     """
+    h64 = resolve_hash_fn(hash_fn)
     toks = F.array_distinct(tokenize(F.col(text_col)))
-    hashes = F.transform(toks, lambda t: portable_hash64(t))
+    hashes = F.transform(toks, lambda t: h64(t))
 
     def _votes(h):
         # ±1 vote per bit for one token hash (h is already evaluated)
@@ -370,6 +389,7 @@ def simhash_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: (id_a, id_b, hamming <= max_hamming).
 
@@ -383,7 +403,7 @@ def simhash_dup_pairs(
     ``bit_count(xor)``.
     """
     sig = cut_lineage(
-        simhash(df, text_col, id_col, bits).select(
+        simhash(df, text_col, id_col, bits, hash_fn=hash_fn).select(
             F.col(id_col).alias("_id"), "simhash"
         ),
         eager=True,

@@ -246,9 +246,12 @@ def tfidf_top_terms(
     vocabulary). Ties break on the term string ascending.
 
     Plan shape: explode → two hash aggregations (term×doc, term) → one
-    broadcastable join on term → per-doc window top-k. The doc-frequency
-    table is |vocab| rows — small relative to the corpus — so at 100 TB
-    the join broadcasts and the only big shuffles are the two partial
+    join on term → per-doc window top-k. The doc-frequency table is
+    |vocab| rows; over an open-vocabulary web corpus that can be
+    billions of distinct terms (ids, typos, urls), so the join is NOT
+    force-broadcast — AQE converts it to a broadcast join at runtime
+    when the vocabulary actually fits, and falls back to a shuffle join
+    when it doesn't. The only big shuffles are the two partial
     aggregations, both map-side combinable.
     """
     from pyspark.sql import Window
@@ -261,7 +264,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     # rank on the ROUNDED score: both engines order identical rounded
     # doubles, so a 1-ulp libm difference can't flip a rank
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    scored = tf.join(dfreq, "term").select(
         F.col(id_col),
         "term",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), 6).alias("tfidf"),

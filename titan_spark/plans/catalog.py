@@ -380,14 +380,14 @@ def q_simhash_dup_pairs(spark, sf_dir):
     from titan_spark.pipeline.dedup import simhash_dup_pairs
 
     docs = tables(spark, sf_dir)["documents"]
-    return simhash_dup_pairs(docs, max_hamming=3)
+    return simhash_dup_pairs(docs, max_hamming=3, hash_fn="portable")
 
 
 def q_simhash_sig(spark, sf_dir):
     """SimHash signatures — value-checked against _simhash_oracle (the
     md5-derived portable hash has a bit-identical DuckDB twin)."""
     docs = tables(spark, sf_dir)["documents"]
-    return simhash(docs, "text", "doc_id", bits=32).orderBy("doc_id")
+    return simhash(docs, "text", "doc_id", bits=32, hash_fn="portable").orderBy("doc_id")
 
 
 def q_lsh_ann(spark, sf_dir):
@@ -569,13 +569,15 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup_clusters(tables(spark, sf_dir)["embeddings"])
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
+def q_minhash_lsh_pairs(spark, sf_dir, hash_fn="portable"):
     """MinHash+LSH near-dup candidates verified by exact Jaccard —
     value-checked lane-for-lane against _minhash_lsh_oracle (portable
-    md5-derived hashing made the banding oracle-expressible)."""
+    md5-derived hashing made the banding oracle-expressible). The
+    bench harness passes ``hash_fn='xxhash64'`` to time the cheaper
+    production hash; the oracle-checked default stays portable."""
     docs = tables(spark, sf_dir)["documents"]
-    sigs = minhash_signatures(docs)
-    cands = lsh_candidate_pairs(sigs, num_hashes=32)
+    sigs = minhash_signatures(docs, hash_fn=hash_fn)
+    cands = lsh_candidate_pairs(sigs, num_hashes=32, hash_fn=hash_fn)
     j = jaccard_pairs(docs, cands)
     return j.filter(F.col("jaccard") >= 0.5).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")

@@ -61,16 +61,30 @@ EOFF = {
 }
 
 
+def normalize_events_ts(events: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-zone TIMESTAMP regardless of
+    how the parquet TIMESTAMP(NANOS) column surfaced.
+
+    Spark has no nanosecond timestamp type, and how it degrades depends
+    on the reader path: under ``nanosAsLong`` the column reads as
+    ``bigint`` (epoch nanos); newer readers surface it as
+    ``timestamp_ntz`` (nanos truncated to µs). Either way the target is
+    a µs TIMESTAMP — duckdb does the same ns→µs truncation, so oracle
+    comparisons line up. The NTZ→TIMESTAMP cast is value-preserving
+    because the engine pins the session zone to UTC (session.py).
+    """
+    dt = dict(events.dtypes).get("ts")
+    if dt == "bigint":
+        return events.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if dt == "timestamp_ntz":
+        return events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLE_NAMES}
-    # events.ts is TIMESTAMP(NANOS) in parquet — Spark reads it as long
-    # (nanosAsLong); convert to a microsecond timestamp (duckdb does the
-    # same ns→µs truncation, so oracle comparisons line up).
-    if dict(out["events"].dtypes).get("ts") == "bigint":
-        out["events"] = out["events"].withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    out["events"] = normalize_events_ts(out["events"])
     return out
 
 

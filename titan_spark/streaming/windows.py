@@ -13,21 +13,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
+    "event_id long, ts {ts_type}, user_id long, event_type string, value double, props string"
 )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a stream source (TIMESTAMP(NANOS) read as long
-    under nanosAsLong, converted to a proper timestamp)."""
+    """events.parquet as a stream source. The parquet column is
+    TIMESTAMP(NANOS), which Spark surfaces either as ``bigint`` (under
+    nanosAsLong) or ``timestamp_ntz`` depending on the reader path —
+    probe the batch schema so the stream schema matches, then normalize
+    to a µs TIMESTAMP via the shared loader helper."""
+    from titan_spark.sources.tpch import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_dt = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    ts_type = "long" if batch_dt == "bigint" else batch_dt
     # FileStreamSource requires a directory; glob-filter to the events file
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA.format(ts_type=ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return normalize_events_ts(raw)
 
 
 def windowed_counts(
