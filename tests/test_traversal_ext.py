@@ -123,3 +123,64 @@ def test_optional_identity(gods):
     names = sorted(r["name"] for r in t.values("name").collect())
     # jupiter -> saturn; neptune, pluto, saturn unchanged
     assert names == ["neptune", "pluto", "saturn", "saturn"]
+
+
+def test_geo_shape_intersect(spark):
+    # Geo.java:18-72 shape-vs-shape INTERSECT: circle-circle, box-box,
+    # circle-box (clamp-to-nearest-point on the haversine sphere)
+    from pyspark.sql import functions as F
+
+    from titan_spark.functions.geo import (
+        boxes_intersect,
+        circle_box_intersect,
+        circles_intersect,
+    )
+
+    circles = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, 100.0),   # ~1113 km from (10,0): 100+1000 < gap -> miss
+            (2, 5.0, 0.0, 100.0),   # ~556 km: 100+1000 covers -> hit
+            (3, 10.0, 0.0, 5.0),    # concentric-ish: 0 distance -> hit
+        ],
+        "id long, lat double, lon double, r double",
+    )
+    got = {
+        r["id"]
+        for r in circles.filter(
+            circles_intersect("lat", "lon", F.col("r"), 10.0, 0.0, 1000.0)
+        ).collect()
+    }
+    assert got == {2, 3}
+
+    boxes = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, 5.0, 5.0),     # overlaps corner of query box
+            (2, 6.0, 6.0, 8.0, 8.0),     # fully inside
+            (3, 20.0, 20.0, 30.0, 30.0), # disjoint
+            (4, 10.0, 0.0, 20.0, 4.0),   # edge-touch at lat=10 counts (closed)
+        ],
+        "id long, lo_lat double, lo_lon double, hi_lat double, hi_lon double",
+    )
+    got = {
+        r["id"]
+        for r in boxes.filter(
+            boxes_intersect("lo_lat", "lo_lon", "hi_lat", "hi_lon", 4.0, 3.0, 10.0, 10.0)
+        ).collect()
+    }
+    assert got == {1, 2, 4}
+
+    cb = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, 100.0),   # nearest box point (4,0) ~445km away -> miss
+            (2, 0.0, 0.0, 500.0),   # -> hit
+            (3, 5.0, 5.0, 1.0),     # center inside box -> hit at any radius
+        ],
+        "id long, lat double, lon double, r double",
+    )
+    got = {
+        r["id"]
+        for r in cb.filter(
+            circle_box_intersect("lat", "lon", F.col("r"), 4.0, -10.0, 10.0, 10.0)
+        ).collect()
+    }
+    assert got == {2, 3}

@@ -63,3 +63,72 @@ def geo_within_box(
 def geo_disjoint(*args, **kwargs) -> Column:
     """Geo.DISJOINT = NOT intersect; for point-vs-circle/box this is ~within."""
     return ~geo_within_circle(*args, **kwargs)
+
+
+# -------------------------------------------------- shape-vs-shape INTERSECT
+# Geo.java:18-72 defines INTERSECT over the full geometry lattice
+# (point/circle/box vs point/circle/box); the point-vs-region cases are
+# the within/disjoint predicates above. The shape-vs-shape cases below
+# complete the predicate surface; all remain plain Column algebra
+# (codegen'd trig + comparisons — still just scan predicates).
+
+
+def circles_intersect(
+    lat1: Column | str,
+    lon1: Column | str,
+    r1_km: Column | float,
+    lat2: Column | float,
+    lon2: Column | float,
+    r2_km: Column | float,
+) -> Column:
+    """Circle-circle Geo.INTERSECT: great-circle distance between the
+    centers ≤ r1 + r2 (Geoshape.java circle relations on the mean-radius
+    sphere)."""
+    r1 = F.lit(r1_km) if isinstance(r1_km, (int, float)) else r1_km
+    r2 = F.lit(r2_km) if isinstance(r2_km, (int, float)) else r2_km
+    return haversine_km(lat1, lon1, lat2, lon2) <= r1 + r2
+
+
+def boxes_intersect(
+    min_lat1: Column | str,
+    min_lon1: Column | str,
+    max_lat1: Column | str,
+    max_lon1: Column | str,
+    min_lat2: Column | float,
+    min_lon2: Column | float,
+    max_lat2: Column | float,
+    max_lon2: Column | float,
+) -> Column:
+    """Box-box Geo.INTERSECT: closed-interval overlap on both axes."""
+
+    def lit(x):
+        return F.lit(x) if isinstance(x, (int, float)) else _c(x)
+
+    return (
+        (_c(min_lat1) <= lit(max_lat2))
+        & (_c(max_lat1) >= lit(min_lat2))
+        & (_c(min_lon1) <= lit(max_lon2))
+        & (_c(max_lon1) >= lit(min_lon2))
+    )
+
+
+def circle_box_intersect(
+    clat: Column | str,
+    clon: Column | str,
+    radius_km: Column | float,
+    min_lat: Column | float,
+    min_lon: Column | float,
+    max_lat: Column | float,
+    max_lon: Column | float,
+) -> Column:
+    """Circle-box Geo.INTERSECT: clamp the circle's center to the box
+    (the box's nearest point) and test that point against the radius —
+    the standard rect-circle relation, here on the haversine sphere."""
+
+    def lit(x):
+        return F.lit(x) if isinstance(x, (int, float)) else _c(x)
+
+    r = F.lit(radius_km) if isinstance(radius_km, (int, float)) else radius_km
+    near_lat = F.greatest(lit(min_lat), F.least(lit(max_lat), _c(clat)))
+    near_lon = F.greatest(lit(min_lon), F.least(lit(max_lon), _c(clon)))
+    return haversine_km(clat, clon, near_lat, near_lon) <= r

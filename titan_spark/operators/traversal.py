@@ -560,6 +560,87 @@ class GraphTraversal:
             raise ValueError("choose branches must end on the same element kind")
         return t.union_(f)
 
+    def branch_(
+        self,
+        selector: Column,
+        options: dict[Any, Callable[["GraphTraversal"], "GraphTraversal"]],
+        none: Callable[["GraphTraversal"], "GraphTraversal"] | None = None,
+        any_: Callable[["GraphTraversal"], "GraphTraversal"] | None = None,
+    ) -> "GraphTraversal":
+        """Gremlin ``branch(selector).option(v, sub)…`` — the N-way
+        generalization of ``choose`` (BranchStep of the
+        ProcessStandardSuite, BerkeleyTitanProcessTest.java:12-15).
+
+        ``selector`` is a Column evaluated per traverser; the traverser
+        routes through ``options[value]`` when the selector equals that
+        option key, through ``none`` when no key matches (Pick.none,
+        incl. NULL selectors), and additionally through ``any_``
+        regardless (Pick.any). Compiled as a union of predicate-filtered
+        branches — each branch's filter pushes into its own copy of the
+        plan, so unreachable branches prune exactly like ``choose``'s.
+        """
+        outs = []
+        for val, fn in options.items():
+            outs.append(fn(self.filter_(selector.eqNullSafe(F.lit(val)))))
+        if none is not None:
+            unmatched = ~selector.isin(list(options)) | selector.isNull()
+            outs.append(none(self.filter_(unmatched)))
+        if any_ is not None:
+            outs.append(any_(self))
+        if not outs:
+            raise ValueError("branch_ needs at least one option")
+        kinds = {o.kind for o in outs}
+        if len(kinds) != 1:
+            raise ValueError("branch_ options must end on the same element kind")
+        out = outs[0]
+        if len(outs) > 1:
+            out = outs[0].union_(*outs[1:])
+        return out
+
+    # ------------------------------------------------------------------- sack
+    # The sack rides as a tag-struct column (_t___sack.val) so every hop
+    # join and union carries it exactly like as_() tags — no special
+    # casing in the hop compiler, and it shuffles with the traverser row
+    # (Gremlin: one sack per traverser, split on flatMap, SackStep of
+    # the ProcessStandardSuite).
+    _SACK = "_t___sack"
+
+    def with_sack(self, init) -> "GraphTraversal":
+        """``withSack(init)``: give every traverser a carried value."""
+        c = init if isinstance(init, Column) else F.lit(init)
+        return self._with(self._df.withColumn(self._SACK, F.struct(c.alias("val"))))
+
+    def sack_(self, op: str, value: Column | str | None = None) -> "GraphTraversal":
+        """``sack(op).by(value)``: fold ``value`` (a property key of the
+        current element, or any Column) into each traverser's sack.
+        Ops: assign, sum, minus, mult, div, min, max."""
+        if self._SACK not in self._df.columns:
+            raise ValueError("sack_() requires with_sack() earlier in the traversal")
+        v = self.col(value) if isinstance(value, str) else value
+        cur = F.col(f"{self._SACK}.val")
+        ops = {
+            "assign": v,
+            "sum": cur + v,
+            "minus": cur - v,
+            "mult": cur * v,
+            "div": cur / v,
+            "min": F.least(cur, v),
+            "max": F.greatest(cur, v),
+        }
+        if op not in ops:
+            raise ValueError(f"unknown sack op {op!r} (have {sorted(ops)})")
+        return self._with(
+            self._df.withColumn(self._SACK, F.struct(ops[op].alias("val")))
+        )
+
+    def sack_values(self, *keys: str) -> DataFrame:
+        """Terminal ``sack()``: one row per traverser with its sack value
+        (plus optional element property columns for context)."""
+        if self._SACK not in self._df.columns:
+            raise ValueError("sack_values() requires with_sack() earlier in the traversal")
+        cols = [self.col(k).alias(k) for k in keys]
+        return self._df.select(*cols, F.col(f"{self._SACK}.val").alias("sack"))
+
     def coalesce_(
         self, *branches: Callable[["GraphTraversal"], "GraphTraversal"]
     ) -> "GraphTraversal":
@@ -671,21 +752,13 @@ class GraphTraversal:
             )
         )
 
-    def path(self) -> DataFrame:
-        """Automatic TinkerPop ``path()`` — no ``as_()`` tags required
-        (PathStep of the ProcessStandardSuite the reference certifies,
-        BerkeleyTitanProcessTest.java:12-15).
-
-        Every public step records its provenance (parent, step, args);
-        ``path()`` replays that chain from the root, inserting an
-        id-only tag before each element step, and returns one row per
-        traverser with the element-id sequence as ``path``
-        (array<long>). Composite steps record once — ``out()`` adds
-        only the arriving vertex, matching Gremlin, while an explicit
-        ``outE().inV()`` records the edge too. The replay re-declares
-        the same lazy plan (no extra execution), and traversals that
-        never call path() pay nothing.
-        """
+    def _path_replay(self) -> tuple["GraphTraversal", list[str]]:
+        """Replay the traversal's provenance chain from the root,
+        inserting an id-only tag before each element step — the shared
+        machinery behind automatic ``path()``/``tree()``/
+        ``simple_path()``/``cyclic_path()``. Returns the replayed
+        traversal and the ordered tag names; ``path_ids(*tags)`` on the
+        result is the per-traverser element-id sequence."""
         chain: list[tuple[str, tuple, dict]] = []
         t = self
         while t._step_src is not None:
@@ -720,9 +793,93 @@ class GraphTraversal:
                 cur = cur._tag_id(tag)
                 tags.append(tag)
             cur = getattr(cur, name)(*a, **kw)
+        return cur, tags
+
+    def path(self) -> DataFrame:
+        """Automatic TinkerPop ``path()`` — no ``as_()`` tags required
+        (PathStep of the ProcessStandardSuite the reference certifies,
+        BerkeleyTitanProcessTest.java:12-15).
+
+        Every public step records its provenance (parent, step, args);
+        ``path()`` replays that chain from the root, inserting an
+        id-only tag before each element step, and returns one row per
+        traverser with the element-id sequence as ``path``
+        (array<long>). Composite steps record once — ``out()`` adds
+        only the arriving vertex, matching Gremlin, while an explicit
+        ``outE().inV()`` records the edge too. The replay re-declares
+        the same lazy plan (no extra execution), and traversals that
+        never call path() pay nothing.
+        """
+        cur, tags = self._path_replay()
         # project off the (possibly lazy) frontier directly — ids and
         # tags are always present, so no vertex materialization here
         return cur._df.select(cur.path_ids(*tags).alias("path"))
+
+    def tree(self) -> DataFrame:
+        """TinkerPop ``tree()`` (TreeStep of the ProcessStandardSuite,
+        BerkeleyTitanProcessTest.java:12-15) in relational form.
+
+        Gremlin's tree collapses the traversers' paths by shared
+        prefix into a nested map; the DataFrame encoding is one row
+        per tree NODE = one distinct path prefix:
+
+          (depth, node_id, parent_id, path, n_traversers)
+
+        ``parent_id`` is NULL at the roots; ``n_traversers`` counts
+        how many traverser paths pass through the node (the traverser
+        bag under the subtree — Gremlin's duplicate-path merging).
+        The nested map is recoverable by grouping on ``parent_id``;
+        keeping it flat keeps the result a first-class DataFrame
+        (joinable, aggregable) instead of a driver-side object.
+
+        Plan shape: path replay (same joins as the traversal itself) →
+        one explode over per-path prefixes → one hash aggregation.
+        Scales with Σ path-length, never materializes the nested
+        structure driver-side.
+        """
+        cur, tags = self._path_replay()
+        paths = cur._df.select(cur.path_ids(*tags).alias("_p"))
+        prefixes = paths.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_p")),
+                    lambda i: F.slice("_p", F.lit(1), i),
+                )
+            ).alias("path")
+        )
+        return (
+            prefixes.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_traversers"))
+            .select(
+                F.size("path").alias("depth"),
+                F.element_at("path", -1).alias("node_id"),
+                F.when(F.size("path") > 1, F.element_at("path", -2)).alias("parent_id"),
+                "path",
+                "n_traversers",
+            )
+        )
+
+    def _path_filter(self, cyclic: bool) -> "GraphTraversal":
+        cur, tags = self._path_replay()
+        p = cur.path_ids(*tags)
+        dup = F.size(F.array_distinct(p)) < F.size(p)
+        out = cur._with(cur._df.filter(dup if cyclic else ~dup))
+        # drop the internal replay tags; user-visible state is unchanged
+        out = out._with(out._df.drop(*[f"_t_{t}" for t in tags]))
+        out._step_src = (self, "_path_filter", (cyclic,), {})
+        return out
+
+    def simple_path(self) -> "GraphTraversal":
+        """Automatic ``simplePath()``: keep traversers whose path has no
+        repeated element (PathFilterStep; element-id ranges are disjoint
+        per kind, so vertex/edge ids can't falsely collide)."""
+        return self._path_filter(cyclic=False)
+
+    def cyclic_path(self) -> "GraphTraversal":
+        """Automatic ``cyclicPath()``: the complement of simple_path —
+        keep traversers that revisit an element (CyclicPathStep of the
+        ProcessStandardSuite)."""
+        return self._path_filter(cyclic=True)
 
     # ------------------------------------------------------------- tags/path
     def as_(self, name: str) -> "GraphTraversal":
@@ -897,9 +1054,9 @@ _CHAINING_METHODS = (
     "has", "has_not", "has_label", "has_id", "filter_", "is_", "adjacent",
     "simple_path_excluding", "out", "in_", "both", "outE", "inE", "bothE",
     "inV", "outV", "otherV", "originV", "bothV", "repeat", "repeat_until",
-    "union_", "choose", "coalesce_", "where_", "not_", "aggregate_",
+    "union_", "choose", "branch_", "coalesce_", "where_", "not_", "aggregate_",
     "where_within", "where_without", "as_", "order_by", "limit", "range_",
-    "local_top_k", "dedup",
+    "local_top_k", "dedup", "with_sack", "sack_",
 )
 
 _REC_DEPTH = 0

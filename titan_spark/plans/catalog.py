@@ -373,6 +373,29 @@ def q_geo_disjoint(spark, sf_dir):
     )
 
 
+def q_geo_intersect_circles(spark, sf_dir):
+    """G-extra: shape-vs-shape Geo.INTERSECT (Geo.java:18-72) —
+    per-customer circles (derived center + radius) against a literal
+    query circle; intersect iff center distance ≤ r1 + r2. The oracle
+    inlines the same haversine on the spatial4j mean radius."""
+    from titan_spark.functions.geo import circles_intersect
+
+    cust = tables(spark, sf_dir)["customer"]
+    lat = (F.col("c_custkey") % 120) - 60 + F.lit(0.25)
+    lon = (F.col("c_custkey") % 300) - 150 + F.lit(0.25)
+    rad = (F.col("c_custkey") % 5) * 100 + F.lit(50.0)
+    return (
+        cust.select(
+            F.col("c_custkey").cast("long").alias("key"),
+            lat.alias("lat"),
+            lon.alias("lon"),
+            rad.alias("radius_km"),
+        )
+        .filter(circles_intersect("lat", "lon", F.col("radius_km"), 10.0, 10.0, 3200.0))
+        .select("key")
+    )
+
+
 def q_simhash_dup_pairs(spark, sf_dir):
     """SimHash near-dup pairs at hamming<=3 via the banded pigeonhole
     join (Manku et al. WWW'07) — recall 1.0 at the radius, verified by
@@ -757,6 +780,57 @@ def q_sessionize_events(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def q_branch_segments(spark, sf_dir):
+    """§2.10 branch(): 3-way routing on mktsegment — BUILDING customers
+    hop to their nation, MACHINERY customers to their orders, the rest
+    stay put (Pick.none); bag-semantics group count by landing label.
+    The SQL twin is a CASE-routed union (BranchStep generalizes
+    choose; BerkeleyTitanProcessTest.java:12-15)."""
+    t = graph(spark, sf_dir).V().has_label("customer")
+    routed = t.branch_(
+        t.col("mktsegment"),
+        {
+            "BUILDING": lambda x: x.out("in_nation"),
+            "MACHINERY": lambda x: x.out("placed"),
+        },
+        none=lambda x: x,
+    )
+    return routed.group_count("label")
+
+
+def q_sack_order_margin(spark, sf_dir):
+    """§2.10 sack(): per-traverser accumulator carried across two hops —
+    start at low-key customers with sack 0, add the order's totalprice,
+    then add each lineitem's extendedprice on the contains edge. One
+    row per (customer→order→lineitem) traverser keyed by edge id; the
+    sack is the running sum, which SQL reproduces as a join-chain
+    expression (SackStep of the ProcessStandardSuite)."""
+    t = (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("key", P.lte(5))
+        .with_sack(F.lit(0.0))
+        .out("placed")
+        .sack_("sum", "totalprice")
+        .outE("contains")
+        .sack_("sum", "extendedprice")
+    )
+    return t.sack_values("id").select(
+        F.col("id"), F.round("sack", 2).alias("sack")
+    )
+
+
+def q_tree_geography(spark, sf_dir):
+    """§2.10 tree(): region → nation → customer/supplier paths collapsed
+    by shared prefix into tree nodes (depth, node, parent, traverser
+    count) — the relational TreeStep (path provenance + one explode +
+    one aggregation; the SQL twin groups the same path relation at
+    each depth)."""
+    t = graph(spark, sf_dir).V().has_label("region").in_("in_region").in_("in_nation")
+    return t.tree().select("depth", "node_id", "parent_id", "n_traversers")
 
 
 # ---------------------------------------------------------------------------
@@ -1717,6 +1791,71 @@ def _semantic_dedup_oracle(
 
 ORACLE_SQL["semantic_dedup"] = _semantic_dedup_oracle()
 
+ORACLE_SQL["geo_intersect_circles"] = """
+    WITH circles AS (
+        SELECT CAST(c_custkey AS BIGINT) AS key,
+               (c_custkey % 120) - 60 + 0.25 AS lat,
+               (c_custkey % 300) - 150 + 0.25 AS lon,
+               (c_custkey % 5) * 100 + 50.0 AS radius_km
+        FROM customer
+    )
+    SELECT key FROM circles
+    WHERE 2 * 6371.0087714 * asin(sqrt(
+            pow(sin((radians(10.0) - radians(lat)) / 2), 2)
+            + cos(radians(lat)) * cos(radians(10.0))
+              * pow(sin((radians(10.0) - radians(lon)) / 2), 2)
+          )) <= radius_km + 3200.0
+"""
+
+ORACLE_SQL["branch_segments"] = """
+    SELECT label, count(*) AS count FROM (
+        SELECT 'nation' AS label FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT 'order' AS label FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'MACHINERY'
+        UNION ALL
+        SELECT 'customer' AS label FROM customer
+        WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+    ) GROUP BY 1
+"""
+
+ORACLE_SQL["sack_order_margin"] = """
+    SELECT CAST(20000000000000 + l_orderkey * 8 + l_linenumber AS BIGINT) AS id,
+           ROUND(o_totalprice + l_extendedprice, 2) AS sack
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_custkey <= 5
+"""
+
+ORACLE_SQL["tree_geography"] = """
+    WITH paths AS (
+        SELECT CAST(600000000000 + r_regionkey AS BIGINT) AS n1,
+               CAST(500000000000 + n_nationkey AS BIGINT) AS n2,
+               CAST(100000000000 + c_custkey AS BIGINT) AS n3
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT CAST(600000000000 + r_regionkey AS BIGINT),
+               CAST(500000000000 + n_nationkey AS BIGINT),
+               CAST(200000000000 + s_suppkey AS BIGINT)
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN supplier ON s_nationkey = n_nationkey
+    )
+    SELECT CAST(1 AS INTEGER) AS depth, n1 AS node_id,
+           CAST(NULL AS BIGINT) AS parent_id, count(*) AS n_traversers
+    FROM paths GROUP BY n1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), n2, n1, count(*) FROM paths GROUP BY n1, n2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), n3, n2, count(*) FROM paths GROUP BY n1, n2, n3
+"""
+
 
 
 
@@ -1791,6 +1930,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_decontaminate": q_ngram_decontaminate,
     "semantic_dedup": q_semantic_dedup,
     "quality_funnel": q_quality_funnel,
+    "branch_segments": q_branch_segments,
+    "sack_order_margin": q_sack_order_margin,
+    "tree_geography": q_tree_geography,
+    "geo_intersect_circles": q_geo_intersect_circles,
 }
 
 
