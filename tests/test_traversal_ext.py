@@ -184,3 +184,43 @@ def test_geo_shape_intersect(spark):
         ).collect()
     }
     assert got == {2, 3}
+
+
+def test_mapping_legality_shim(spark):
+    # Mapping.java:16-21 / ElasticSearchIndex.java:957-984: warn when a
+    # predicate would be rejected by a reference mixed index with the
+    # key's declared mapping; compute the result anyway
+    import warnings
+
+    import pytest
+    from titan_spark.functions.predicates import P
+    from titan_spark.schema import Mapping
+    from titan_spark.sources.gods import graph_of_the_gods
+
+    g = graph_of_the_gods(spark)
+    g.schema.make_property_key("name", "string", mapping=Mapping.STRING)
+    g.schema.make_property_key("reason", "string", mapping=Mapping.TEXT)
+
+    with pytest.warns(UserWarning, match="Mapping.STRING"):
+        t = g.V().has("name", P.text_contains("hercules"))
+    assert t.count_value() == 1  # still computed
+
+    with pytest.warns(UserWarning, match="Mapping.TEXT"):
+        g.E().has("reason", P.text_prefix("loves"))
+    with pytest.warns(UserWarning, match="Mapping.TEXT"):
+        g.E().has("reason", "loves waves")  # Cmp.EQUAL illegal on TEXT
+
+    # legal combinations stay silent (warnings escalated to errors)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        g.V().has("name", P.text_prefix("herc"))
+        g.V().has("name", "hercules")
+        g.E().has("reason", P.text_contains("waves"))
+        g.V().has("age", P.gt(100))  # unmapped key: never warns
+
+    # TEXTSTRING permits everything
+    g.schema.make_property_key("name", "string", mapping=Mapping.TEXTSTRING)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        g.V().has("name", P.text_contains("hercules"))
+        g.V().has("name", P.text_regex("herc.*"))

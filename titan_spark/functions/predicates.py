@@ -109,6 +109,43 @@ class P:
         any Column->Column boolean function plugs into has()."""
         return Pred(name, fn)
 
+    # -- Text predicates as Pred factories (core/attribute/Text.java) so
+    # they compose with has(): has("name", P.text_contains("herc")).
+    # Names match Text.java's enum for the Mapping legality shim.
+    @staticmethod
+    def text_contains(query: str) -> Pred:
+        from titan_spark.functions.text import text_contains
+
+        return Pred(f"textContains({query!r})", lambda c: text_contains(c, query))
+
+    @staticmethod
+    def text_contains_prefix(prefix: str) -> Pred:
+        from titan_spark.functions.text import text_contains_prefix
+
+        return Pred(
+            f"textContainsPrefix({prefix!r})", lambda c: text_contains_prefix(c, prefix)
+        )
+
+    @staticmethod
+    def text_contains_regex(pattern: str) -> Pred:
+        from titan_spark.functions.text import text_contains_regex
+
+        return Pred(
+            f"textContainsRegex({pattern!r})", lambda c: text_contains_regex(c, pattern)
+        )
+
+    @staticmethod
+    def text_prefix(prefix: str) -> Pred:
+        from titan_spark.functions.text import text_prefix
+
+        return Pred(f"textPrefix({prefix!r})", lambda c: text_prefix(c, prefix))
+
+    @staticmethod
+    def text_regex(pattern: str) -> Pred:
+        from titan_spark.functions.text import text_regex
+
+        return Pred(f"textRegex({pattern!r})", lambda c: text_regex(c, pattern))
+
 
 def _flatten(values: tuple) -> list:
     if len(values) == 1 and isinstance(values[0], (list, tuple, set)):

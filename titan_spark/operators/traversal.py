@@ -238,6 +238,10 @@ class GraphTraversal:
         if value is _NOTSET:
             return self._with(self._df.filter(self.col(key).isNotNull()))
         pred: Pred = as_pred(value)
+        # Mapping legality shim (core/schema/Mapping.java:16-21): warn
+        # when a declared TEXT/STRING mapping would reject this
+        # predicate on a reference mixed index (porting hazard)
+        self.graph.schema.warn_mapping_legality(key, pred.name)
         return self._with(self._df.filter(pred(self.col(key))))
 
     def has_not(self, key: str) -> "GraphTraversal":

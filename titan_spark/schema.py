@@ -42,6 +42,23 @@ class Multiplicity(Enum):
     ONE2ONE = "one2one"
 
 
+class Mapping(Enum):
+    """Mixed-index field mapping (core/schema/Mapping.java:16-21).
+
+    On Spark every predicate is always computable — there is no index
+    backend to reject a query — so the mapping is an API-fidelity shim:
+    a predicate that a reference mixed index would REJECT for this
+    mapping (ElasticSearchIndex.java:957-984) raises a UserWarning, so
+    a query ported from the reference surfaces its latent porting bug
+    instead of silently "working" here and failing there.
+    """
+
+    DEFAULT = "default"
+    TEXT = "text"          # tokenized: Text.CONTAINS* legal; Cmp/PREFIX/REGEX not
+    STRING = "string"      # untokenized: Cmp/PREFIX/REGEX legal; CONTAINS* not
+    TEXTSTRING = "textstring"  # dual-indexed: everything legal
+
+
 @dataclass(frozen=True)
 class PropertyKeyDef:
     name: str
@@ -50,6 +67,7 @@ class PropertyKeyDef:
     # mgmt.setTTL on a property key (TitanManagement.java:290,
     # docs/advschema.txt:20-67): values older than this expire at read
     ttl_seconds: int | None = None
+    mapping: Mapping = Mapping.DEFAULT
 
 
 @dataclass(frozen=True)
@@ -106,10 +124,43 @@ class GraphSchema:
         data_type: str = "string",
         cardinality: Cardinality = Cardinality.SINGLE,
         ttl_seconds: int | None = None,
+        mapping: Mapping = Mapping.DEFAULT,
     ) -> PropertyKeyDef:
-        pk = PropertyKeyDef(name, data_type, cardinality, ttl_seconds)
+        pk = PropertyKeyDef(name, data_type, cardinality, ttl_seconds, mapping)
         self.property_keys[name] = pk
         return pk
+
+    # predicate families per Mapping.java legality
+    # (ElasticSearchIndex.java:957-984): a TEXT (tokenized) field
+    # supports only the token predicates; a STRING (untokenized) field
+    # supports only whole-string comparison/prefix/regex
+    _FULLTEXT_PREDS = frozenset({"textContains", "textContainsPrefix", "textContainsRegex"})
+    _STRING_PREDS = frozenset({"textPrefix", "textRegex", "eq", "neq", "within", "without"})
+
+    def warn_mapping_legality(self, key: str, pred_name: str) -> None:
+        """Warn when ``pred_name`` applied to ``key`` would be rejected
+        by a reference mixed index with the key's declared mapping.
+        Spark computes it anyway (every predicate is a plain Column
+        expression here) — the warning flags a porting hazard, not an
+        execution error."""
+        pk = self.property_keys.get(key)
+        if pk is None or pk.mapping in (Mapping.DEFAULT, Mapping.TEXTSTRING):
+            return
+        base = pred_name.split("(", 1)[0]
+        illegal = (
+            pk.mapping is Mapping.TEXT and base in self._STRING_PREDS
+        ) or (pk.mapping is Mapping.STRING and base in self._FULLTEXT_PREDS)
+        if illegal:
+            import warnings
+
+            warnings.warn(
+                f"predicate {base!r} on key {key!r} is not supported by a "
+                f"reference mixed index with Mapping.{pk.mapping.name} "
+                f"(Mapping.java:16-21, ElasticSearchIndex.java:957-984); "
+                f"computed here anyway — a port back to the reference would fail",
+                UserWarning,
+                stacklevel=4,
+            )
 
     def make_edge_label(
         self,
