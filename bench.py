@@ -56,6 +56,10 @@ HEADLINE = [
     "repetition_stats",
     "ngram_decontaminate",
     "semantic_dedup",
+    # round 4: regex scrubbing + training-layout passes
+    "pii_redact",
+    "chunk_docs",
+    "pack_windows",
 ]
 
 

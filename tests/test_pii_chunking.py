@@ -1,0 +1,105 @@
+"""PII detection/redaction + chunking/sequence-packing invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from titan_spark.pipeline.chunking import chunk_documents, pack_sequence_index
+from titan_spark.pipeline.pii import pii_redact, pii_stats
+
+
+def test_pii_stats_counts(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.co.uk or admin@test.io thanks"),
+            (2, "server 10.0.0.1 and 192.168.1.255 up"),
+            (3, "call 555-123-4567 now"),
+            (4, "clean text with no identifiers at all"),
+            (5, "mix: x@y.org from 8.8.8.8 dial 800-555-0100"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_stats(d).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_pii"]) == (2, 2)
+    assert (rows[2]["n_ipv4"], rows[2]["n_pii"]) == (2, 2)
+    assert (rows[3]["n_phone"], rows[3]["n_pii"]) == (1, 1)
+    assert rows[4]["n_pii"] == 0
+    assert (rows[5]["n_email"], rows[5]["n_ipv4"], rows[5]["n_phone"]) == (1, 1, 1)
+
+
+def test_pii_redact_replaces_and_preserves_rest(spark):
+    d = spark.createDataFrame(
+        [(1, "reach x@y.org at 10.1.2.3 or 555-123-4567 ok")],
+        "doc_id long, text string",
+    )
+    out = pii_redact(d).first()["text"]
+    assert out == "reach <EMAIL> at <IP> or <PHONE> ok"
+    # idempotent: a second pass changes nothing
+    d2 = spark.createDataFrame([(1, out)], "doc_id long, text string")
+    assert pii_redact(d2).first()["text"] == out
+
+
+def test_chunking_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(70))
+    d = spark.createDataFrame([(1, text), (2, "a b"), (3, "")], "doc_id long, text string")
+    rows = chunk_documents(d, chunk_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts at 0 and 56 -> 64-token + 14-token chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_tokens"] for r in c1] == [64, 14]
+    assert c1[0]["chunk_text"].split()[56:] == c1[1]["chunk_text"].split()[:8]  # overlap
+    # short doc: one whole-doc chunk; empty doc: no chunks
+    assert [r["n_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=8, overlap=8)
+
+
+def test_pack_sequence_index_invariants(spark):
+    import random
+
+    rng = random.Random(7)
+    docs = [(i, " ".join("w" for _ in range(rng.randint(1, 40)))) for i in range(100)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    budget = 64
+    idx = pack_sequence_index(d, budget=budget, num_parts=8).collect()
+    total = sum(len(t[1].split()) for t in docs)
+    # per-document spans partition the document exactly
+    by_doc = {}
+    for r in idx:
+        by_doc.setdefault(r["doc_id"], []).append((r["tok_start"], r["tok_end"]))
+    for i, text in docs:
+        spans = sorted(by_doc[i])
+        n = len(text.split())
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (a, b), (c, e) in zip(spans, spans[1:]):
+            assert b == c  # contiguous, non-overlapping
+    # per-window spans sum to budget (except the last window)
+    by_win = {}
+    for r in idx:
+        by_win.setdefault(r["window_id"], 0)
+        by_win[r["window_id"]] += r["tok_end"] - r["tok_start"]
+    last = max(by_win)
+    assert set(by_win) == set(range(last + 1))  # dense window ids
+    for w, n in by_win.items():
+        assert n == budget or (w == last and n == total - last * budget)
+
+
+def test_pack_matches_single_partition_reference(spark):
+    # distributed prefix sum == the obvious one-partition formulation
+    docs = [(i, " ".join("w" for _ in range(3 + (i * 7) % 13))) for i in range(50)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["window_id"], r["doc_id"], r["tok_start"], r["tok_end"])
+        for r in pack_sequence_index(d, budget=32, num_parts=5).collect()
+    }
+    # reference: python cumsum
+    off, ref = 0, set()
+    for i, text in docs:
+        n = len(text.split())
+        for w in range(off // 32, (off + n - 1) // 32 + 1):
+            lo, hi = max(w * 32, off), min((w + 1) * 32, off + n)
+            ref.add((w, i, lo - off, hi - off))
+        off += n
+    assert got == ref

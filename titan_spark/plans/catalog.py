@@ -833,6 +833,58 @@ def q_tree_geography(spark, sf_dir):
     return t.tree().select("depth", "node_id", "parent_id", "n_traversers")
 
 
+def _docs_with_pii(spark, sf_dir):
+    """documents + deterministically injected PII (emails on doc_id%3=0,
+    IPs on doc_id%5<2, phones on doc_id%7=1) — the corpus itself is PII-
+    free word soup, so both engines synthesize identical identifiers to
+    exercise the regex machinery non-vacuously."""
+    d = tables(spark, sf_dir)["documents"]
+    k = F.col("doc_id")
+    email = F.when(k % 3 == 0, F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@example.com"))).otherwise(F.lit(""))
+    ip = F.when(k % 5 < 2, F.concat(F.lit(" from 10."), (k % 200).cast("string"), F.lit(".3."), (k % 50).cast("string"))).otherwise(F.lit(""))
+    phone = F.when(k % 7 == 1, F.concat(F.lit(" call 555-"), F.lpad((k % 1000).cast("string"), 3, "0"), F.lit("-0142"))).otherwise(F.lit(""))
+    return d.select("doc_id", F.concat(F.col("text"), email, ip, phone).alias("text"))
+
+
+def q_pii_stats(spark, sf_dir):
+    """PII triage counts per document over the injected corpus — the
+    pattern set (email/IPv4/phone) uses only the portable regex subset
+    so Java regex and RE2 count identically."""
+    from titan_spark.pipeline.pii import pii_stats
+
+    return pii_stats(_docs_with_pii(spark, sf_dir))
+
+
+def q_pii_redact(spark, sf_dir):
+    """Redaction pass: every PII match replaced by its sentinel; the
+    scrubbed text is md5'd so the row stays narrow while still proving
+    byte-identical redaction in both engines."""
+    from titan_spark.pipeline.pii import pii_redact
+
+    out = pii_redact(_docs_with_pii(spark, sf_dir))
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+def q_chunk_docs(spark, sf_dir):
+    """RAG/embedding chunk layout: 32-token windows, 4-token overlap,
+    over the engine tokenizer — one explode, no shuffle."""
+    from titan_spark.pipeline.chunking import chunk_documents
+
+    d = tables(spark, sf_dir)["documents"]
+    return chunk_documents(d, chunk_tokens=32, overlap=4)
+
+
+def q_pack_windows(spark, sf_dir):
+    """GPT-style packed-sequence index at budget=512: distributed
+    prefix sum (range partition + local cumsum + broadcast totals —
+    never a one-task global window) mapping doc token spans to
+    training windows; the oracle uses DuckDB's global window cumsum."""
+    from titan_spark.pipeline.chunking import pack_sequence_index
+
+    d = tables(spark, sf_dir)["documents"]
+    return pack_sequence_index(d, budget=512, num_parts=8)
+
+
 # ---------------------------------------------------------------------------
 # OLAP / BSP compute (SURVEY §2.9)
 
@@ -1791,6 +1843,89 @@ def _semantic_dedup_oracle(
 
 ORACLE_SQL["semantic_dedup"] = _semantic_dedup_oracle()
 
+_PII_DOCS_SQL = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 < 2
+                       THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                            || '.3.' || CAST(doc_id % 50 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 1
+                       THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-0142'
+                       ELSE '' END AS text
+        FROM documents
+"""
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+ORACLE_SQL["pii_stats"] = f"""
+    WITH pii AS ({_PII_DOCS_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                + len(regexp_extract_all(text, '{_PII_IPV4}'))
+                + len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_pii
+    FROM pii
+"""
+
+ORACLE_SQL["pii_redact"] = f"""
+    WITH pii AS ({_PII_DOCS_SQL})
+    SELECT doc_id,
+           md5(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IPV4}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g')) AS text_md5
+    FROM pii
+"""
+
+ORACLE_SQL["chunk_docs"] = f"""
+    WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - 1, 0) + 1, 28)) AS s
+        FROM toks
+    ),
+    sliced AS (
+        SELECT doc_id, CAST(s // 28 AS INT) AS chunk_idx,
+               list_slice(t, s + 1, s + 32) AS sl
+        FROM starts
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(sl) AS INT) AS n_tokens,
+           array_to_string(sl, ' ') AS chunk_text
+    FROM sliced WHERE len(sl) > 0
+"""
+
+ORACLE_SQL["pack_windows"] = f"""
+    WITH counts AS (
+        SELECT doc_id, CAST(len({_toks()}) AS BIGINT) AS n
+        FROM documents WHERE len({_toks()}) > 0
+    ),
+    offs AS (
+        SELECT doc_id, n,
+               CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS o
+        FROM counts
+    ),
+    wins AS (
+        SELECT doc_id, n, o,
+               unnest(range(o // 512, (o + n - 1) // 512 + 1)) AS window_id
+        FROM offs
+    )
+    SELECT CAST(window_id AS BIGINT) AS window_id, doc_id,
+           CAST(greatest(window_id * 512, o) - o AS BIGINT) AS tok_start,
+           CAST(least((window_id + 1) * 512, o + n) - o AS BIGINT) AS tok_end
+    FROM wins
+"""
+
 ORACLE_SQL["geo_intersect_circles"] = """
     WITH circles AS (
         SELECT CAST(c_custkey AS BIGINT) AS key,
@@ -1934,6 +2069,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sack_order_margin": q_sack_order_margin,
     "tree_geography": q_tree_geography,
     "geo_intersect_circles": q_geo_intersect_circles,
+    "pii_stats": q_pii_stats,
+    "pii_redact": q_pii_redact,
+    "chunk_docs": q_chunk_docs,
+    "pack_windows": q_pack_windows,
 }
 
 
