@@ -103,3 +103,33 @@ def test_pack_matches_single_partition_reference(spark):
             ref.add((w, i, lo - off, hi - off))
         off += n
     assert got == ref
+
+
+def _plan(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pii_and_chunking_plans_are_narrow(spark, sf_dir):
+    # scrubbing and chunking must stay shuffle-free scan projections
+    from titan_spark.sources.tpch import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    assert "Exchange" not in _plan(pii_redact(docs))
+    assert "Exchange" not in _plan(pii_stats(docs))
+    assert "Exchange" not in _plan(chunk_documents(docs))
+
+
+def test_pack_windows_avoids_global_window(spark, sf_dir):
+    # the packing prefix sum must never plan a one-task global sort:
+    # no SinglePartition exchange anywhere in the plan
+    from titan_spark.sources.tpch import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    p = _plan(pack_sequence_index(docs, budget=256, num_parts=8))
+    assert "SinglePartition" not in p
