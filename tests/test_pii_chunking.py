@@ -133,3 +133,36 @@ def test_pack_windows_avoids_global_window(spark, sf_dir):
     docs = load_tables(spark, sf_dir)["documents"]
     p = _plan(pack_sequence_index(docs, budget=256, num_parts=8))
     assert "SinglePartition" not in p
+
+
+def test_kmeans_lloyd_deterministic_and_improves(spark, sf_dir):
+    from titan_spark.pipeline.similarity import _det_planes, kmeans_lloyd
+    from titan_spark.sources.tpch import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    a1, c1 = kmeans_lloyd(emb, k=4, n_iter=1)
+    a2, c2 = kmeans_lloyd(emb, k=4, n_iter=2)
+    # deterministic: same call, same result
+    a1b, c1b = kmeans_lloyd(emb, k=4, n_iter=1)
+    assert c1 == c1b
+    assert {(r["vec_id"], r["cell"]) for r in a1.collect()} == {
+        (r["vec_id"], r["cell"]) for r in a1b.collect()
+    }
+    # every vector lands in a valid cell
+    cells = {r["cell"] for r in a2.collect()}
+    assert cells <= set(range(4))
+
+    # Lloyd monotonicity: total within-cluster SSE never increases
+    def sse(cents):
+        import math
+
+        rows = emb.select("vec_id", "embedding").collect()
+        tot = 0.0
+        for r in rows:
+            v = [float(x) for x in r["embedding"]]
+            tot += min(sum((a - b) ** 2 for a, b in zip(v, c)) for c in cents)
+        return tot
+
+    c0 = [list(c) for c in _det_planes(len(c1[0]), 4)]
+    assert sse(c1) <= sse(c0) + 1e-6
+    assert sse(c2) <= sse(c1) + 1e-6

@@ -457,3 +457,59 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def kmeans_assignments(df: DataFrame, centroids, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, cell) for a fixed centroid list — one narrow argmin pass
+    (shared with IVF: -2<v,c> + ||c||², ties to the lowest cell)."""
+    return ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col), F.col("_cell").cast("int").alias("cell")
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+):
+    """Distributed Lloyd's k-means over an embedding column; returns
+    (assignments DataFrame (id, cell), final centroid list).
+
+    Deterministic end to end: init centroids come from the engine's
+    xorshift plane generator (`_det_planes` — no RNG state, no fitted
+    model), and every iteration's means are rounded to 9 decimals
+    before re-injection so independent engines reproduce the same
+    trajectory bit-for-bit (the same trick the IVF/LSH oracles use).
+
+    Scale shape per iteration:
+    - assignment: argmin over K literal centroids — a narrow scan
+      projection, no shuffle (ivf_assign);
+    - update: per-cell elementwise mean via posexplode + hash agg on
+      (cell, pos) — map-side combinable, so the shuffle carries at most
+      K × dim partial rows per task, NOT n × dim;
+    - the K × dim mean matrix collects to the driver (a scalar at any
+      corpus size) and becomes the next iteration's literals — the
+      standard broadcast-centroid loop every distributed k-means uses.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    cents = [list(c) for c in _det_planes(dim, k)]
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, cents, vec_col)
+        means = (
+            assigned.select(
+                "_cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val")
+            )
+            .groupBy("_cell", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("m"))
+            .select("_cell", F.col("m.mu").alias("mu"))
+            .collect()
+        )
+        got = {r["_cell"]: [round(float(x), 9) for x in r["mu"]] for r in means}
+        cents = [got.get(i, cents[i]) for i in range(k)]
+    return kmeans_assignments(df, cents, vec_col, id_col), cents

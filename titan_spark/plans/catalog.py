@@ -885,6 +885,19 @@ def q_pack_windows(spark, sf_dir):
     return pack_sequence_index(d, budget=512, num_parts=8)
 
 
+def q_kmeans_cells(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, 2 iterations) over the
+    embeddings — deterministic xorshift init, per-iteration means
+    rounded to 9 decimals before re-injection so the SQL twin
+    reproduces the exact trajectory (assignment = the IVF argmin;
+    update = map-side-combinable per-(cell,dim) mean)."""
+    from titan_spark.pipeline.similarity import kmeans_lloyd
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    assigned, _ = kmeans_lloyd(emb, k=8, n_iter=2)
+    return assigned
+
+
 # ---------------------------------------------------------------------------
 # OLAP / BSP compute (SURVEY §2.9)
 
@@ -1926,6 +1939,75 @@ ORACLE_SQL["pack_windows"] = f"""
     FROM wins
 """
 
+def _kmeans_oracle(k: int = 8, dim: int = 64, n_iter: int = 2) -> str:
+    """Inline Lloyd iterations from the engine's deterministic init
+    centroids (literals embedded like the IVF oracle): per iteration,
+    assignment by argmin of -2<v,c>+||c||² with ties to the lowest
+    cell, then update by per-(cell,dim) mean rounded to 9 decimals —
+    the same rounding the Spark loop applies before re-injecting means,
+    so both engines walk the identical trajectory. The FINAL assignment
+    (the query's output) is computed under the centroids after the last
+    update, matching ``kmeans_lloyd``'s return. One CTE layer per
+    iteration, generated programmatically."""
+    from titan_spark.pipeline.similarity import _det_planes
+
+    cents = _det_planes(dim, k)
+    rows = ",\n            ".join(
+        "({}, [{}], {!r})".format(
+            i, ", ".join(repr(float(x)) for x in c), float(sum(x * x for x in c))
+        )
+        for i, c in enumerate(cents)
+    )
+    layers = [
+        f"""c0(cell, c, cc) AS (VALUES
+            {rows}
+        ),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c0x AS (SELECT cell, CAST(c AS DOUBLE[]) AS c, CAST(cc AS DOUBLE) AS cc FROM c0)"""
+    ]
+    for i in range(n_iter):
+        layers.append(f"""a{i + 1} AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, cx.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -2 * list_dot_product(e.v, cx.c) + cx.cc ASC,
+                                    cx.cell ASC
+                       ) AS rn
+                FROM e CROSS JOIN c{i}x AS cx
+            ) WHERE rn = 1
+        ),
+        m{i + 1} AS (
+            SELECT cell, pos, round(avg(v[pos]), 9) AS mu
+            FROM a{i + 1} CROSS JOIN range(1, {dim + 1}) t(pos)
+            GROUP BY cell, pos
+        ),
+        c{i + 1}m AS (SELECT cell, list(mu ORDER BY pos) AS c FROM m{i + 1} GROUP BY cell),
+        c{i + 1}x AS (
+            SELECT prev.cell, COALESCE(m.c, prev.c) AS c,
+                   list_dot_product(COALESCE(m.c, prev.c), COALESCE(m.c, prev.c)) AS cc
+            FROM c{i}x AS prev LEFT JOIN c{i + 1}m AS m USING (cell)
+        )""")
+    final = f"""afinal AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, cx.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -2 * list_dot_product(e.v, cx.c) + cx.cc ASC,
+                                    cx.cell ASC
+                       ) AS rn
+                FROM e CROSS JOIN c{n_iter}x AS cx
+            ) WHERE rn = 1
+        )"""
+    with_block = ",\n        ".join(layers + [final])
+    return f"""
+        WITH {with_block}
+        SELECT vec_id, CAST(cell AS INT) AS cell FROM afinal
+    """
+
+
+ORACLE_SQL["kmeans_cells"] = _kmeans_oracle()
+
 ORACLE_SQL["geo_intersect_circles"] = """
     WITH circles AS (
         SELECT CAST(c_custkey AS BIGINT) AS key,
@@ -2073,6 +2155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "chunk_docs": q_chunk_docs,
     "pack_windows": q_pack_windows,
+    "kmeans_cells": q_kmeans_cells,
 }
 
 
