@@ -1,0 +1,94 @@
+"""Property-based verification of the dedup-family recall guarantees.
+
+The scale design rests on two exactness claims that deserve adversarial
+inputs, not just fixtures:
+
+- prefix filtering (PPJoin) emits EVERY pair with Jaccard >= t
+  (recall 1.0), so candidate-restricted verification equals all-pairs;
+- the SimHash banded pigeonhole join emits EVERY pair within the
+  hamming radius.
+
+Hypothesis generates small corpora from a tiny vocabulary (maximizing
+collisions — the adversarial regime for both algorithms) and compares
+against brute force computed in Python from the same tokenizer contract.
+"""
+
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from titan_spark.pipeline.dedup import (
+    jaccard_pairs,
+    prefix_filter_candidates,
+    simhash_dup_pairs,
+)
+
+VOCAB = ["a", "b", "c", "dd", "ee"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+def _py_tokens(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_shingles(text, n=3):
+    toks = _py_tokens(text)
+    if not toks:
+        return {""}
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_prefix_filter_recall_is_exact(spark, texts):
+    t = 0.5
+    rows = [(i, s) for i, s in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = prefix_filter_candidates(d, t)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(d, cands).filter(F.col("jaccard") >= t).collect()
+    }
+    # brute force over all pairs with the same shingle contract
+    want = set()
+    sh = {i: _py_shingles(s) for i, s in rows}
+    for i, _ in rows:
+        for j, _ in rows:
+            if i < j:
+                inter = len(sh[i] & sh[j])
+                union = len(sh[i] | sh[j]) or 1
+                if inter / union >= t:
+                    want.add((i, j))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_simhash_banding_recall_within_radius(spark, texts):
+    from titan_spark.pipeline.dedup import simhash
+
+    rows = [(i, s) for i, s in enumerate(texts)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(d).collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(d, max_hamming=3).collect()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = bin(sigs[i] ^ sigs[j]).count("1")
+                if h <= 3:
+                    want[(i, j)] = h
+    assert got == want
