@@ -166,3 +166,19 @@ def test_kmeans_lloyd_deterministic_and_improves(spark, sf_dir):
     c0 = [list(c) for c in _det_planes(len(c1[0]), 4)]
     assert sse(c1) <= sse(c0) + 1e-6
     assert sse(c2) <= sse(c1) + 1e-6
+
+
+def test_quantize_int8_roundtrip(spark, sf_dir):
+    from titan_spark.pipeline.similarity import dequantize_int8, quantize_int8
+    from titan_spark.sources.tpch import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = quantize_int8(emb)
+    rows = q.collect()
+    assert all(-127 <= c <= 127 for r in rows for c in r["qvec"])
+    # reconstruction error bounded by scale/2 per component
+    orig = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    deq = {r["vec_id"]: (r["scale"], r["embedding"]) for r in dequantize_int8(q).collect()}
+    for vid, (scale, recon) in deq.items():
+        err = max(abs(a - b) for a, b in zip(orig[vid], recon))
+        assert err <= scale / 2 + 1e-7

@@ -513,3 +513,47 @@ def kmeans_lloyd(
         got = {r["_cell"]: [round(float(x), 9) for x in r["mu"]] for r in means}
         cents = [got.get(i, cents[i]) for i in range(k)]
     return kmeans_assignments(df, cents, vec_col, id_col), cents
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column:
+    (id, scale, qvec) with qvec[i] = round(v[i] / scale) ∈ [-127, 127]
+    and scale = max|v| / 127 (zero vectors get scale 0 and all-zero
+    codes). 4× smaller than float32 at ~0.4% cosine error — the
+    standard memory layout for billion-vector ANN serving.
+
+    Pure array algebra (one fold for the max, one transform to emit
+    codes); the inverse is ``dequantize_int8``. Rounding is
+    HALF_AWAY_FROM_ZERO via floor(x + 0.5) on the magnitude so SQL
+    oracles agree (Spark's bround/java Math.round differ between
+    engines on exact .5)."""
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = (amax / F.lit(127.0)).alias("scale")
+    code = lambda x: F.when(  # noqa: E731
+        amax == 0.0, F.lit(0)
+    ).otherwise(
+        F.signum(x.cast("double"))
+        * F.floor(F.abs(x.cast("double")) / (amax / 127.0) + F.lit(0.5))
+    ).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.transform(v, code).alias("qvec"),
+    )
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "qvec", scale_col: str = "scale"
+) -> DataFrame:
+    """Inverse of quantize_int8: embedding ≈ qvec * scale (float array)."""
+    return df.withColumn(
+        "embedding",
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

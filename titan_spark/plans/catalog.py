@@ -885,6 +885,25 @@ def q_pack_windows(spark, sf_dir):
     return pack_sequence_index(d, budget=512, num_parts=8)
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric per-vector int8 quantization: (vec_id, scale, md5 of
+    the code string) — the code array is hashed so the row stays
+    narrow while still proving code-for-code agreement; rounding is
+    floor(|x|/s + 0.5) on the magnitude (engine-portable
+    HALF_AWAY_FROM_ZERO)."""
+    from titan_spark.pipeline.similarity import quantize_int8
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.md5(
+            F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")
+        ).alias("codes_md5"),
+    )
+
+
 def q_kmeans_cells(spark, sf_dir):
     """Distributed Lloyd's k-means (k=8, 2 iterations) over the
     embeddings — deterministic xorshift init, per-iteration means
@@ -2008,6 +2027,22 @@ def _kmeans_oracle(k: int = 8, dim: int = 64, n_iter: int = 2) -> str:
 
 ORACLE_SQL["kmeans_cells"] = _kmeans_oracle()
 
+ORACLE_SQL["quantize_embeddings"] = """
+    WITH q AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+        FROM embeddings
+    )
+    SELECT vec_id,
+           round(amax / 127.0, 9) AS scale,
+           md5(array_to_string(
+               list_transform(v, x -> CASE WHEN amax = 0 THEN 0
+                                           ELSE CAST(sign(x) * floor(abs(x) / (amax / 127.0) + 0.5) AS INT)
+                                      END), ',')) AS codes_md5
+    FROM q
+"""
+
 ORACLE_SQL["geo_intersect_circles"] = """
     WITH circles AS (
         SELECT CAST(c_custkey AS BIGINT) AS key,
@@ -2156,6 +2191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs": q_chunk_docs,
     "pack_windows": q_pack_windows,
     "kmeans_cells": q_kmeans_cells,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 
