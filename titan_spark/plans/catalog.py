@@ -2136,12 +2136,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "both_degree_nation": q_both_degree_nation,
     "agg_pricing_summary": q_agg_pricing_summary,
     "text_contains": q_text_contains,
-    "text_contains_regex": q_text_contains_regex,
     "text_prefix": q_text_prefix,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "geo_within": q_geo_within,
-    "geo_disjoint": q_geo_disjoint,
-    "simhash_sig": q_simhash_sig,
     "lsh_ann": q_lsh_ann,
     "multimodal_features": q_multimodal_features,
     "events_hourly": q_events_hourly,
@@ -2150,10 +2147,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "hash_sample": q_hash_sample,
     "stratified_sample": q_stratified_sample,
-    "hash_split_counts": q_hash_split_counts,
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
-    "fingerprint_distinct": q_fingerprint_distinct,
     "jaccard_dup_pairs": q_jaccard_dup_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2162,7 +2157,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shortest_distance": q_shortest_distance,
     "multi_card_values": q_multi_card_values,
     "raw_query_score": q_raw_query_score,
-    "bpe_token_count": q_bpe_token_count,
     "embed_topk_pairs": q_embed_topk_pairs,
     "ivf_ann": q_ivf_ann,
     "choose_branch": q_choose_branch,
@@ -2171,7 +2165,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "motif_unification": q_motif_unification,
     "repeat_emit_bfs": q_repeat_emit_bfs,
     "sessionize_events": q_sessionize_events,
+    "branch_segments": q_branch_segments,
+    "sack_order_margin": q_sack_order_margin,
+    "tree_geography": q_tree_geography,
+    "kmeans_cells": q_kmeans_cells,
+    "pack_windows": q_pack_windows,
+    "pii_redact": q_pii_redact,
     # ---- driver-overflow region (position 51+): local-gate-checked only ----
+    "text_contains_regex": q_text_contains_regex,
+    "geo_disjoint": q_geo_disjoint,
+    "simhash_sig": q_simhash_sig,
+    "hash_split_counts": q_hash_split_counts,
+    "fingerprint_distinct": q_fingerprint_distinct,
+    "bpe_token_count": q_bpe_token_count,
     "batch_point_lookups": q_batch_point_lookups,
     "degree_part": q_degree_part,
     "degree_out_customer": q_degree_out_customer,
@@ -2182,15 +2188,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_decontaminate": q_ngram_decontaminate,
     "semantic_dedup": q_semantic_dedup,
     "quality_funnel": q_quality_funnel,
-    "branch_segments": q_branch_segments,
-    "sack_order_margin": q_sack_order_margin,
-    "tree_geography": q_tree_geography,
     "geo_intersect_circles": q_geo_intersect_circles,
     "pii_stats": q_pii_stats,
-    "pii_redact": q_pii_redact,
     "chunk_docs": q_chunk_docs,
-    "pack_windows": q_pack_windows,
-    "kmeans_cells": q_kmeans_cells,
     "quantize_embeddings": q_quantize_embeddings,
 }
 
