@@ -56,10 +56,12 @@ HEADLINE = [
     "repetition_stats",
     "ngram_decontaminate",
     "semantic_dedup",
-    # round 4: regex scrubbing + training-layout passes
+    # round 4: regex scrubbing + training-layout passes + clustering
     "pii_redact",
     "chunk_docs",
     "pack_windows",
+    "kmeans_cells",
+    "quantize_embeddings",
 ]
 
 
