@@ -46,3 +46,41 @@ def test_dedup_clusters_transitive(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
     out = {r["doc_id"]: r["cluster_rep"] for r in dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_label_propagation_clique_converges(spark):
+    from titan_spark.compute.algorithms import label_propagation
+    from titan_spark.graph import PropertyGraph
+
+    # triangle {1,2,3} + isolated vertex 9: the clique converges to the
+    # min-id community in 3 sync rounds; the isolate keeps its own label
+    v = spark.createDataFrame([(1, "n"), (2, "n"), (3, "n"), (9, "n")], "id long, label string")
+    e = spark.createDataFrame(
+        [(1, 1, 2, "x"), (2, 2, 3, "x"), (3, 1, 3, "x")],
+        "edge_id long, src long, dst long, label string",
+    )
+    g = PropertyGraph(v, e)
+    got = {r["id"]: r["community"] for r in label_propagation(g, iterations=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_label_propagation_modal_beats_min(spark):
+    from titan_spark.compute.algorithms import label_propagation
+    from titan_spark.graph import PropertyGraph
+
+    # vertex 5's neighbors: {1, 2, 3} all pre-labeled... after round 1,
+    # hub 4 sees three spokes labeled 4 vs one neighbor labeled 0 — the
+    # MODAL label (4) must win over the smaller label (0)
+    v = spark.createDataFrame(
+        [(0, "n"), (4, "n"), (7, "n"), (8, "n"), (9, "n")], "id long, label string"
+    )
+    e = spark.createDataFrame(
+        [(1, 4, 7, "x"), (2, 4, 8, "x"), (3, 4, 9, "x"), (4, 0, 4, "x")],
+        "edge_id long, src long, dst long, label string",
+    )
+    g = PropertyGraph(v, e)
+    # round 1: spokes 7/8/9 adopt 4; hub 4 adopts min neighbor 0; 0 adopts 4
+    # round 2: hub's neighbors are labeled {4,4,4,4} -> modal 4 (not min 0)
+    got = {r["id"]: r["community"] for r in label_propagation(g, iterations=2).collect()}
+    assert got[4] == 4
+    assert got[7] == got[8] == got[9] == 0  # spokes see only the hub's r1 label

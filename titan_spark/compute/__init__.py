@@ -1,6 +1,7 @@
 from titan_spark.compute.pregel import aggregate_messages, pregel
 from titan_spark.compute.algorithms import (
     connected_components,
+    label_propagation,
     degree_count,
     pagerank,
     shortest_distance,
@@ -14,5 +15,6 @@ __all__ = [
     "shortest_distance",
     "degree_count",
     "connected_components",
+    "label_propagation",
     "triangle_count",
 ]

@@ -256,3 +256,59 @@ def degree_count(graph: PropertyGraph, direction: str = "both") -> DataFrame:
         .join(deg, "id", "left")
         .select("id", F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
     )
+
+
+def label_propagation(
+    graph: PropertyGraph,
+    iterations: int = 3,
+    edge_labels: tuple[str, ...] = (),
+) -> DataFrame:
+    """Synchronous label-propagation community detection →
+    DataFrame(id, community).
+
+    Init: every vertex labels itself with its own id. Per round, each
+    vertex adopts the MODAL label among its (undirected) neighbors,
+    ties broken to the smallest label; vertices with no neighbors keep
+    their label. Fully deterministic — the async/random variants of
+    LPA are not reproducible across runs, which disqualifies them for
+    an oracle-checked engine (reference parity: Titan runs LPA-style
+    programs through FulgoraGraphComputer's BSP rounds; the sync
+    schedule is the BSP one).
+
+    Scale shape per round: one edges⋈state join (message send), one
+    map-side-combinable (vertex, label) count, one per-vertex argmax
+    window over the count relation — all keyed on vertex id; lineage
+    cut per round like every other BSP loop here.
+    """
+    from pyspark.sql import Window
+
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    und = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .dropDuplicates(["u", "v"])
+        .cache()
+    )
+    state = graph.vertices.select("id", F.col("id").alias("community"))
+    state = cut_lineage(state, eager=True)
+    w = Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("community").asc())
+    for _ in range(iterations):
+        msgs = und.join(state.withColumnRenamed("id", "u"), "u").select(
+            F.col("v").alias("id"), "community"
+        )
+        modal = (
+            msgs.groupBy("id", "community")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("community").alias("_new"))
+        )
+        state = (
+            state.join(modal, "id", "left")
+            .select("id", F.coalesce("_new", "community").alias("community"))
+        )
+        state = cut_lineage(state, eager=True)
+    und.unpersist(blocking=False)
+    return state

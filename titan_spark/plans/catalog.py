@@ -885,6 +885,17 @@ def q_pack_windows(spark, sf_dir):
     return pack_sequence_index(d, budget=512, num_parts=8)
 
 
+def q_label_propagation(spark, sf_dir):
+    """Synchronous LPA community detection (2 rounds) on the geography
+    subgraph — per round every vertex adopts its neighbors' modal
+    label, ties to the smallest; the oracle replays the identical
+    rounds as generated CTE layers."""
+    from titan_spark.compute.algorithms import label_propagation
+
+    sub = _geo_subgraph(spark, sf_dir)
+    return label_propagation(sub, iterations=2)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Symmetric per-vector int8 quantization: (vec_id, scale, md5 of
     the code string) — the code array is hashed so the row stays
@@ -2027,6 +2038,57 @@ def _kmeans_oracle(k: int = 8, dim: int = 64, n_iter: int = 2) -> str:
 
 ORACLE_SQL["kmeans_cells"] = _kmeans_oracle()
 
+def _lpa_oracle(n_iter: int = 2) -> str:
+    """Generated LPA oracle: the geography subgraph's undirected edge
+    relation inline, then one CTE layer per synchronous round (modal
+    neighbor label, ties to smallest, isolated vertices keep theirs)."""
+    layers = ["""v(id) AS (
+            SELECT CAST(100000000000 + c_custkey AS BIGINT) FROM customer
+            UNION ALL SELECT CAST(200000000000 + s_suppkey AS BIGINT) FROM supplier
+            UNION ALL SELECT CAST(500000000000 + n_nationkey AS BIGINT) FROM nation
+            UNION ALL SELECT CAST(600000000000 + r_regionkey AS BIGINT) FROM region
+        ),
+        dir_e(src, dst) AS (
+            SELECT CAST(100000000000 + c_custkey AS BIGINT),
+                   CAST(500000000000 + c_nationkey AS BIGINT) FROM customer
+            UNION ALL
+            SELECT CAST(200000000000 + s_suppkey AS BIGINT),
+                   CAST(500000000000 + s_nationkey AS BIGINT) FROM supplier
+            UNION ALL
+            SELECT CAST(500000000000 + n_nationkey AS BIGINT),
+                   CAST(600000000000 + n_regionkey AS BIGINT) FROM nation
+        ),
+        ed(u, w) AS (
+            SELECT src, dst FROM dir_e UNION SELECT dst, src FROM dir_e
+        ),
+        s0 AS (SELECT id, id AS community FROM v)"""]
+    for i in range(1, n_iter + 1):
+        layers.append(f"""m{i} AS (
+            SELECT ed.w AS id, s.community FROM ed JOIN s{i - 1} s ON s.id = ed.u
+        ),
+        c{i} AS (SELECT id, community, count(*) AS n FROM m{i} GROUP BY 1, 2),
+        p{i} AS (
+            SELECT id, community FROM (
+                SELECT id, community,
+                       row_number() OVER (
+                           PARTITION BY id ORDER BY n DESC, community ASC
+                       ) AS rn
+                FROM c{i}
+            ) WHERE rn = 1
+        ),
+        s{i} AS (
+            SELECT s.id, COALESCE(p.community, s.community) AS community
+            FROM s{i - 1} s LEFT JOIN p{i} p USING (id)
+        )""")
+    with_block = ",\n        ".join(layers)
+    return f"""
+        WITH {with_block}
+        SELECT id, community FROM s{n_iter}
+    """
+
+
+ORACLE_SQL["label_propagation"] = _lpa_oracle()
+
 ORACLE_SQL["quantize_embeddings"] = """
     WITH q AS (
         SELECT vec_id,
@@ -2192,6 +2254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_stats": q_pii_stats,
     "chunk_docs": q_chunk_docs,
     "quantize_embeddings": q_quantize_embeddings,
+    "label_propagation": q_label_propagation,
 }
 
 
