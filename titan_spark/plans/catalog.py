@@ -885,6 +885,25 @@ def q_pack_windows(spark, sf_dir):
     return pack_sequence_index(d, budget=512, num_parts=8)
 
 
+def q_weighted_distance(spark, sf_dir):
+    """C5 with weights (ShortestDistanceVertexProgram.java semantics:
+    message = dist + edge weight, min combiner): single-source weighted
+    distance from one order over contains(quantity) →
+    supplied_by(quantity) edges; only reached vertices returned. The
+    subgraph is a DAG so the frontier loop reaches fixpoint in 2
+    rounds; the oracle relaxes the same two layers."""
+    from titan_spark.compute import shortest_distance
+
+    g = graph(spark, sf_dir)
+    v = g.vertices.filter(F.col("label").isin(["order", "part", "supplier"]))
+    e = g.edges.filter(F.col("label").isin(["contains", "supplied_by"]))
+    sub = PropertyGraph(v, e)
+    d = shortest_distance(sub, seed_id=OFF["order"] + 7, weight_col="quantity", max_iterations=6)
+    return d.filter(F.col("distance").isNotNull()).select(
+        "id", F.round("distance", 2).alias("distance")
+    )
+
+
 def q_label_propagation(spark, sf_dir):
     """Synchronous LPA community detection (2 rounds) on the geography
     subgraph — per round every vertex adopts its neighbors' modal
@@ -2089,6 +2108,24 @@ def _lpa_oracle(n_iter: int = 2) -> str:
 
 ORACLE_SQL["label_propagation"] = _lpa_oracle()
 
+ORACLE_SQL["weighted_distance"] = """
+    WITH d1 AS (
+        SELECT CAST(300000000000 + l_partkey AS BIGINT) AS id,
+               min(l_quantity) AS d
+        FROM lineitem WHERE l_orderkey = 7 GROUP BY l_partkey
+    ),
+    d2 AS (
+        SELECT CAST(200000000000 + l.l_suppkey AS BIGINT) AS id,
+               min(d1.d + l.l_quantity) AS d
+        FROM d1 JOIN lineitem l
+          ON CAST(300000000000 + l.l_partkey AS BIGINT) = d1.id
+        GROUP BY l.l_suppkey
+    )
+    SELECT CAST(400000000007 AS BIGINT) AS id, 0.0 AS distance
+    UNION ALL SELECT id, ROUND(d, 2) FROM d1
+    UNION ALL SELECT id, ROUND(d, 2) FROM d2
+"""
+
 ORACLE_SQL["quantize_embeddings"] = """
     WITH q AS (
         SELECT vec_id,
@@ -2255,6 +2292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs": q_chunk_docs,
     "quantize_embeddings": q_quantize_embeddings,
     "label_propagation": q_label_propagation,
+    "weighted_distance": q_weighted_distance,
 }
 
 
