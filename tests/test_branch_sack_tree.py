@@ -180,3 +180,20 @@ def test_simple_path_composes_with_later_steps(gods):
     )
     # neptune->{jupiter,pluto}, pluto->{jupiter,neptune}
     assert out.count_value() == 4
+
+
+# ----------------------------------------------------------------- sample
+
+
+def test_sample_deterministic_subset(gods):
+    t = gods.V().has_label("god", "demigod", "monster")
+    s3 = t.sample_(3)
+    a = sorted(r["id"] for r in s3.df.select("id").collect())
+    b = sorted(r["id"] for r in t.sample_(3).df.select("id").collect())
+    assert a == b and len(a) == 3  # stable across runs
+    full = {r["id"] for r in t.df.select("id").collect()}
+    assert set(a) <= full
+    c = sorted(r["id"] for r in t.sample_(3, seed=7).df.select("id").collect())
+    assert c != a  # different seed, different draw
+    # n >= frontier size returns everything
+    assert t.sample_(100).count_value() == len(full)

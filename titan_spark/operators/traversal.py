@@ -947,6 +947,25 @@ class GraphTraversal:
             raise ValueError(f"local_top_k needs hop metadata column {by!r}")
         return self._with(top_k_per_group(self._df, [by], list(specs), k))
 
+    def sample_(self, n: int, seed: int = 0) -> "GraphTraversal":
+        """Gremlin ``sample(n)``, deterministically: keep the n
+        traversers whose element id hashes lowest (portable h60 of
+        (seed, id), ties broken by id). Gremlin's SampleStep draws
+        RANDOM traversers; a reproducible engine can't do that and stay
+        oracle-checkable, so this is the same deterministic-hash
+        contract as pipeline/sampling.py — uniform-ish, stable across
+        runs and engines. Compiles to TakeOrdered (per-partition top-n,
+        merge n·p rows) — no global sort at any scale."""
+        from titan_spark.functions.hashing import portable_hash64
+
+        h = portable_hash64(
+            F.concat(F.lit(f"{seed}:"), F.col(self._id_col()).cast("string"))
+        )
+        return self._with(
+            self._df.orderBy(h.asc(), F.col(self._id_col()).asc()).limit(n),
+            order_specs=(),
+        )
+
     def dedup(self, *cols: str) -> "GraphTraversal":
         """Dedup traversers by current element id (U1/U2)."""
         if cols and any(c not in self._df.columns for c in cols):
@@ -1060,7 +1079,7 @@ _CHAINING_METHODS = (
     "inV", "outV", "otherV", "originV", "bothV", "repeat", "repeat_until",
     "union_", "choose", "branch_", "coalesce_", "where_", "not_", "aggregate_",
     "where_within", "where_without", "as_", "order_by", "limit", "range_",
-    "local_top_k", "dedup", "with_sack", "sack_",
+    "local_top_k", "dedup", "with_sack", "sack_", "sample_",
 )
 
 _REC_DEPTH = 0

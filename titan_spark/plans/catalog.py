@@ -885,6 +885,21 @@ def q_pack_windows(spark, sf_dir):
     return pack_sequence_index(d, budget=512, num_parts=8)
 
 
+def q_sample_step(spark, sf_dir):
+    """§2.10 sample(n), deterministic variant: the n traversers whose
+    portable-h60(seed, id) hashes lowest — reproducible in any engine,
+    unlike Gremlin's random SampleStep (documented divergence). The
+    oracle orders by the identical hash expression."""
+    t = (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("mktsegment", "BUILDING")
+        .sample_(12)
+    )
+    return t.values("key")
+
+
 def q_weighted_distance(spark, sf_dir):
     """C5 with weights (ShortestDistanceVertexProgram.java semantics:
     message = dist + edge weight, min combiner): single-source weighted
@@ -2108,6 +2123,14 @@ def _lpa_oracle(n_iter: int = 2) -> str:
 
 ORACLE_SQL["label_propagation"] = _lpa_oracle()
 
+ORACLE_SQL["sample_step"] = f"""
+    SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    ORDER BY {_h60_sql("'0:' || CAST(100000000000 + c_custkey AS BIGINT)")} ASC,
+             CAST(100000000000 + c_custkey AS BIGINT) ASC
+    LIMIT 12
+"""
+
 ORACLE_SQL["weighted_distance"] = """
     WITH d1 AS (
         SELECT CAST(300000000000 + l_partkey AS BIGINT) AS id,
@@ -2293,6 +2316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "label_propagation": q_label_propagation,
     "weighted_distance": q_weighted_distance,
+    "sample_step": q_sample_step,
 }
 
 
