@@ -62,6 +62,8 @@ HEADLINE = [
     "pack_windows",
     "kmeans_cells",
     "quantize_embeddings",
+    "label_propagation",
+    "weighted_distance",
 ]
 
 
