@@ -62,7 +62,27 @@ def test_branch_kind_mismatch_raises(gods):
         )
 
 
+def test_branch_null_option_key_routes_once(gods):
+    # a None option key claims NULL selectors via eqNullSafe; the `none`
+    # branch must NOT double-route them (single Pick dispatch)
+    t = gods.V()
+    sel = F.when(F.col("label") == "god", F.col("name"))  # NULL for non-gods
+    out = t.branch_(
+        sel,
+        {None: lambda x: x, "jupiter": lambda x: x.out("father")},
+        none=lambda x: x,
+    )
+    # 9 non-gods via the None key, jupiter's 1 father hop, 2 other gods
+    # via none — each traverser routed exactly once
+    assert out.count_value() == 9 + 1 + 2
+
+
 # ------------------------------------------------------------------- sack
+
+
+def test_sack_requires_operand(gods):
+    with pytest.raises(ValueError, match="requires a value"):
+        gods.V().with_sack(0).sack_("sum")
 
 
 def test_sack_sum_along_hops(gods):

@@ -56,6 +56,28 @@ def test_chunking_windows_and_overlap(spark):
         chunk_documents(d, chunk_tokens=8, overlap=8)
 
 
+def test_chunking_skips_redundant_tail(spark):
+    # 60-token doc, chunk=64, overlap=8: the window at 56 would hold
+    # only tokens 56..59, all inside the previous window's overlap tail
+    d = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(60)))], "doc_id long, text string"
+    )
+    rows = chunk_documents(d, chunk_tokens=64, overlap=8).collect()
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in rows] == [(0, 60)]
+    # overlap > chunk/2 drops several tail windows; surviving indexes
+    # stay dense and the doc stays fully covered
+    d2 = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11)))], "doc_id long, text string"
+    )
+    rows2 = sorted(
+        chunk_documents(d2, chunk_tokens=10, overlap=8).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in rows2] == [(0, 10), (1, 9)]
+    assert rows2[1]["chunk_text"].split()[0] == "t2"  # start = idx * stride
+    assert rows2[1]["chunk_text"].split()[-1] == "t10"  # tail token covered
+
+
 def test_pack_sequence_index_invariants(spark):
     import random
 

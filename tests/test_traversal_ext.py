@@ -224,3 +224,14 @@ def test_mapping_legality_shim(spark):
         warnings.simplefilter("error")
         g.V().has("name", P.text_contains("hercules"))
         g.V().has("name", P.text_regex("herc.*"))
+
+    # Cmp order predicates (P.lt/gte/...) are rejected by the reference
+    # on BOTH string mappings (ElasticSearchIndex.supports() admits only
+    # EQUAL/NOT_EQUAL/PREFIX/REGEX for STRING, CONTAINS* for TEXT)
+    g.schema.make_property_key("name", "string", mapping=Mapping.STRING)
+    with pytest.warns(UserWarning, match="Mapping.STRING"):
+        g.V().has("name", P.gte("a"))
+    with pytest.warns(UserWarning, match="Mapping.TEXT"):
+        g.E().has("reason", P.lt("z"))
+    with pytest.warns(UserWarning, match="Mapping.TEXT"):
+        g.E().has("reason", P.between("a", "z"))

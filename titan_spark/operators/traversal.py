@@ -587,7 +587,16 @@ class GraphTraversal:
         for val, fn in options.items():
             outs.append(fn(self.filter_(selector.eqNullSafe(F.lit(val)))))
         if none is not None:
-            unmatched = ~selector.isin(list(options)) | selector.isNull()
+            # A None option key claims the NULL selectors (eqNullSafe
+            # above), so they must NOT also route through the `none`
+            # branch — Gremlin's Pick dispatch sends each traverser to
+            # exactly one option (plus any_).
+            non_null_keys = [k for k in options if k is not None]
+            unmatched = ~selector.isin(non_null_keys) if non_null_keys else F.lit(True)
+            if None in options:
+                unmatched = unmatched & selector.isNotNull()
+            else:
+                unmatched = unmatched | selector.isNull()
             outs.append(none(self.filter_(unmatched)))
         if any_ is not None:
             outs.append(any_(self))
@@ -620,6 +629,10 @@ class GraphTraversal:
         Ops: assign, sum, minus, mult, div, min, max."""
         if self._SACK not in self._df.columns:
             raise ValueError("sack_() requires with_sack() earlier in the traversal")
+        if value is None:
+            # every sack op folds an operand; a missing .by() would
+            # silently fold NULL into every traverser's sack
+            raise ValueError(f"sack_({op!r}) requires a value (property key or Column)")
         v = self.col(value) if isinstance(value, str) else value
         cur = F.col(f"{self._SACK}.val")
         ops = {

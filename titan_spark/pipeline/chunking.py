@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from titan_spark.compute.checkpointing import cut_lineage
 from titan_spark.functions.text import tokenize
 
 
@@ -43,16 +44,24 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokenize(F.col(text_col))
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    tk = F.col("_toks")
+    n = F.size(tk)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    # A window starting at s > 0 with s + overlap >= n is entirely
+    # contained in its predecessor's overlap tail — it adds no new
+    # tokens, only duplicate content downstream. Dropping it keeps the
+    # surviving starts a stride-spaced prefix, so the transform index
+    # still equals s // stride.
+    starts = F.filter(starts, lambda s: (s == 0) | (s + F.lit(overlap) < n))
     chunks = F.transform(
         starts,
         lambda s, i: F.struct(
             i.alias("chunk_idx"),
-            F.slice(toks, s + 1, chunk_tokens).alias("toks"),
+            F.slice(tk, s + 1, chunk_tokens).alias("toks"),
         ),
     )
-    exploded = df.select(
+    exploded = base.select(
         F.col(id_col), F.explode(chunks).alias("_c")
     ).filter(F.size("_c.toks") > 0)
     return exploded.select(
@@ -77,7 +86,12 @@ def _distributed_offsets(
         "_pid", F.spark_partition_id()
     )
     w = Window.partitionBy("_pid").orderBy(id_col)
-    local = parted.withColumn("_cum", F.sum(n_col).over(w))
+    # Materialize before the totals collect: the returned plan must see
+    # the SAME partition assignment the totals were computed from.
+    # Without the cut, the range shuffle re-executes for the returned
+    # plan and correctness would silently ride on RangePartitioner's
+    # boundary sampling being reproducible across jobs.
+    local = cut_lineage(parted.withColumn("_cum", F.sum(n_col).over(w)), eager=True)
     totals = (
         local.groupBy("_pid").agg(F.max("_cum").alias("_ptotal")).orderBy("_pid").collect()
     )

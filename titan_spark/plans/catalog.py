@@ -1966,10 +1966,15 @@ ORACLE_SQL["pii_redact"] = f"""
 
 ORACLE_SQL["chunk_docs"] = f"""
     WITH toks AS (SELECT doc_id, {_toks()} AS t FROM documents),
-    starts AS (
+    starts_all AS (
         SELECT doc_id, t,
                unnest(range(0, greatest(len(t) - 1, 0) + 1, 28)) AS s
         FROM toks
+    ),
+    starts AS (
+        -- mirror the engine: drop tail windows fully contained in the
+        -- previous window's overlap (s > 0 and s + overlap >= len)
+        SELECT * FROM starts_all WHERE s = 0 OR s + 4 < len(t)
     ),
     sliced AS (
         SELECT doc_id, CAST(s // 28 AS INT) AS chunk_idx,

@@ -136,6 +136,10 @@ class GraphSchema:
     # supports only whole-string comparison/prefix/regex
     _FULLTEXT_PREDS = frozenset({"textContains", "textContainsPrefix", "textContainsRegex"})
     _STRING_PREDS = frozenset({"textPrefix", "textRegex", "eq", "neq", "within", "without"})
+    # Cmp order predicates (and their interval composites) are legal on
+    # NEITHER string mapping: ElasticSearchIndex.supports() admits only
+    # EQUAL/NOT_EQUAL/PREFIX/REGEX for STRING and CONTAINS* for TEXT
+    _ORDER_PREDS = frozenset({"lt", "lte", "gt", "gte", "between", "inside", "outside"})
 
     def warn_mapping_legality(self, key: str, pred_name: str) -> None:
         """Warn when ``pred_name`` applied to ``key`` would be rejected
@@ -148,8 +152,10 @@ class GraphSchema:
             return
         base = pred_name.split("(", 1)[0]
         illegal = (
-            pk.mapping is Mapping.TEXT and base in self._STRING_PREDS
-        ) or (pk.mapping is Mapping.STRING and base in self._FULLTEXT_PREDS)
+            base in self._ORDER_PREDS
+            or (pk.mapping is Mapping.TEXT and base in self._STRING_PREDS)
+            or (pk.mapping is Mapping.STRING and base in self._FULLTEXT_PREDS)
+        )
         if illegal:
             import warnings
 
