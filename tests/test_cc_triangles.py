@@ -41,6 +41,37 @@ def test_triangle_count_gods(gods):
     assert tri_all.agg(F.sum("triangles")).first()[0] == 6
 
 
+def test_triangle_degree_orientation_bounds_hub_wedges(spark):
+    # supernode fixture: hub id 0 (the LOWEST id — the worst case for
+    # id-ordering, which would enumerate ~C(200,2)=19900 wedges at it)
+    # with 200 leaves, plus a 1-2-3 triangle among the first leaves
+    from titan_spark.compute.algorithms import degree_oriented_edges
+
+    n = 200
+    v = spark.createDataFrame([(i, "n") for i in range(n + 1)], "id long, label string")
+    edges = [(i, 0, i) for i in range(1, n + 1)] + [(n + 1, 1, 2), (n + 2, 2, 3), (n + 3, 1, 3)]
+    e = spark.createDataFrame(edges, "edge_id long, src long, dst long").withColumn(
+        "label", F.lit("x")
+    )
+    g = PropertyGraph(v, e)
+    rows = {r["id"]: r["triangles"] for r in triangle_count(g).collect()}
+    # triangles: (0,1,2),(0,2,3),(0,1,3),(1,2,3)
+    assert rows[0] == 3 and rows[1] == 3 and rows[2] == 3 and rows[3] == 3
+    assert sum(rows.values()) == 12 and rows[7] == 0
+    # the degree orientation points every hub edge INTO the hub: the
+    # hub enumerates zero wedges and total wedge work stays bounded by
+    # arboricity, not hub-degree²
+    und = (
+        g.edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    outdeg = {r["u"]: r["n"] for r in
+              degree_oriented_edges(und).groupBy("u").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0 not in outdeg  # hub is never a wedge source
+    wedges = sum(d * (d - 1) // 2 for d in outdeg.values())
+    assert wedges <= 4  # vs ~19900 under id-ordering
+
+
 def test_dedup_clusters_transitive(spark):
     # pairs (1,2),(2,3) and (7,9): clusters {1,2,3}->1 and {7,9}->7
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")

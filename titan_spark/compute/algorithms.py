@@ -202,12 +202,54 @@ def _cc_loop(state, und, max_iterations):
     return state
 
 
+def degree_oriented_edges(und: DataFrame) -> DataFrame:
+    """Orient each undirected edge (a, b) from its (degree, id)-smaller
+    endpoint to the larger → (u, v, dv) with dv = degree of the head.
+
+    This is the orientation that makes wedge enumeration
+    arboricity-bounded: out-degree under (degree, id) order is at most
+    O(sqrt(m)) on ANY graph (a vertex with out-degree d has d neighbors
+    of degree >= its own), so a hub with a million incident edges has
+    out-degree ~0 — all its edges point INTO it and no wedges are
+    enumerated there. Plain id-ordering gives the hub ~d²/2 wedges
+    whenever its id happens to sort low.
+    """
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    und_d = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return und_d.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+
+
 def triangle_count(graph: PropertyGraph, edge_labels: tuple[str, ...] = ()) -> DataFrame:
     """Undirected triangle count per vertex → (id, triangles).
 
-    Standard two-join formulation on the deduplicated undirected edge
-    set with the degree-ordering trick (join only a<b<c orientations)
-    so each triangle is counted once and the largest join side shrinks.
+    Degree-ordered ("compact-forward") formulation: orient every
+    deduplicated undirected edge from its (degree, id)-smaller endpoint
+    to the larger (:func:`degree_oriented_edges`), enumerate wedges
+    only at the orientation source with the two heads in (degree, id)
+    order, and close each wedge with a semi-join against the oriented
+    edge set. Each triangle is counted exactly once (its three edges
+    form exactly one source-plus-ordered-heads pattern under a total
+    order), and wedge work per vertex is oriented-out-degree², which
+    the orientation bounds by graph arboricity — feasible on power-law
+    graphs where id-ordering explodes at hubs.
+
+    Reference shape: degree-style OLAP aggregation of
+    olap/OLAPTest.java:194-219.
     """
     e = graph.edges
     if edge_labels:
@@ -216,20 +258,24 @@ def triangle_count(graph: PropertyGraph, edge_labels: tuple[str, ...] = ()) -> D
         e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
-        .cache()
     )
-    # wedges a<b<c from edges (a,b) and (b,c), closed by (a,c)
-    e1 = und.alias("e1")
-    e2 = und.alias("e2")
-    e3 = und.alias("e3")
+    oriented = degree_oriented_edges(und).cache()
+    # wedge (u→v, u→w) with (dv, v) < (dw, w); the closing edge {v, w},
+    # if present, is oriented v→w under the same total order
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.select("u", "v").alias("e3")
+    heads_ordered = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
     tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & heads_ordered)
         .join(
             e3,
-            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+            (F.col("e1.v") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
             "left_semi",
         )
-        .select(F.col("e1.a").alias("v1"), F.col("e1.b").alias("v2"), F.col("e2.b").alias("v3"))
+        .select(F.col("e1.u").alias("v1"), F.col("e1.v").alias("v2"), F.col("e2.v").alias("v3"))
     )
     per_vertex = (
         tri.select(F.explode(F.array("v1", "v2", "v3")).alias("id"))
@@ -244,7 +290,7 @@ def triangle_count(graph: PropertyGraph, edge_labels: tuple[str, ...] = ()) -> D
     # materialize before releasing the cached edge set (lazy plans
     # would re-scan after unpersist — still correct, just slower)
     out = cut_lineage(out, eager=True)
-    und.unpersist(blocking=False)
+    oriented.unpersist(blocking=False)
     return out
 
 

@@ -930,6 +930,35 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(sub, iterations=2)
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-vertex triangle count over the order–part–supplier
+    co-lineitem graph: contains + supplied_by edges plus a derived
+    order→supplier edge, so every lineitem closes one triangle. Runs
+    the degree-ordered wedge join of :func:`compute.triangle_count`
+    (orient each edge from its (degree, id)-smaller endpoint —
+    arboricity-bounded wedge work, each triangle counted once); the
+    oracle enumerates the same triangles by plain id-ordering, which
+    is orientation-invariant on counts."""
+    from titan_spark.compute import triangle_count
+
+    g = graph(spark, sf_dir)
+    li = tables(spark, sf_dir)["lineitem"]
+    v = g.vertices.filter(F.col("label").isin(["order", "part", "supplier"])).select(
+        "id", "label"
+    )
+    base = g.edges.filter(F.col("label").isin(["contains", "supplied_by"])).select(
+        "edge_id", "src", "dst", "label"
+    )
+    extra = li.select(
+        F.lit(0).cast("long").alias("edge_id"),
+        (F.lit(OFF["order"]) + F.col("l_orderkey")).cast("long").alias("src"),
+        (F.lit(OFF["supplier"]) + F.col("l_suppkey")).cast("long").alias("dst"),
+        F.lit("assigned").alias("label"),
+    )
+    sub = PropertyGraph(v, base.unionByName(extra))
+    return triangle_count(sub).filter(F.col("triangles") > 0)
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """Symmetric per-vector int8 quantization: (vec_id, scale, md5 of
     the code string) — the code array is hashed so the row stays
@@ -2170,6 +2199,36 @@ ORACLE_SQL["quantize_embeddings"] = """
     FROM q
 """
 
+ORACLE_SQL["triangle_count"] = """
+    WITH e AS (
+        SELECT DISTINCT CAST(400000000000 + l_orderkey AS BIGINT) AS s,
+                        CAST(300000000000 + l_partkey AS BIGINT) AS t
+        FROM lineitem
+        UNION
+        SELECT DISTINCT CAST(300000000000 + l_partkey AS BIGINT),
+                        CAST(200000000000 + l_suppkey AS BIGINT)
+        FROM lineitem
+        UNION
+        SELECT DISTINCT CAST(400000000000 + l_orderkey AS BIGINT),
+                        CAST(200000000000 + l_suppkey AS BIGINT)
+        FROM lineitem
+    ),
+    und AS (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM e WHERE s <> t
+    ),
+    tri AS (
+        SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT v1 AS id FROM tri
+          UNION ALL SELECT v2 FROM tri
+          UNION ALL SELECT v3 FROM tri)
+    GROUP BY id
+"""
+
 ORACLE_SQL["geo_intersect_circles"] = """
     WITH circles AS (
         SELECT CAST(c_custkey AS BIGINT) AS key,
@@ -2322,6 +2381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation": q_label_propagation,
     "weighted_distance": q_weighted_distance,
     "sample_step": q_sample_step,
+    "triangle_count": q_triangle_count,
 }
 
 
