@@ -1046,6 +1046,108 @@ class GraphTraversal:
         cols = [F.col(k) if isinstance(k, str) else k for k in keys]
         return self._df.groupBy(*cols).agg(F.count(F.lit(1)).alias("count"))
 
+    # ------------------------------------------- generic collection steps
+    # GroupStep / FoldStep / UnfoldStep / ProjectStep / InjectStep /
+    # SideEffectCapStep of the ProcessStandardSuite, which the reference
+    # passes wholesale (BerkeleyTitanProcessTest.java:12-15). Collected
+    # lists are emitted SORTED: Gremlin's list order is traversal
+    # iteration order, which no distributed engine reproduces — the
+    # sorted form is the deterministic, oracle-comparable equivalent
+    # (documented divergence, same policy as sample_()).
+
+    _GROUP_AGGS = ("list", "set", "count", "sum", "min", "max", "mean")
+
+    def group_(self, key, value=None, agg: str = "list") -> DataFrame:
+        """Gremlin ``group().by(key).by(value)`` → (key, value) rows.
+
+        ``key``/``value`` are property-key names or Columns; ``value``
+        defaults to the element id (Gremlin groups the elements
+        themselves). ``agg`` is the reduction the second ``by()``
+        applies: ``list`` (Gremlin's default traverser fold), ``set``,
+        ``count``, ``sum``, ``min``, ``max``, ``mean``.
+        """
+        self._ensure_cols()
+        kc = (self.col(key) if isinstance(key, str) else key).alias("key")
+        if value is None:
+            vc = F.col(self._id_col())
+        else:
+            vc = self.col(value) if isinstance(value, str) else value
+        aggs = {
+            "list": F.sort_array(F.collect_list(vc)),
+            "set": F.sort_array(F.collect_set(vc)),
+            "count": F.count(vc),
+            "sum": F.sum(vc),
+            "min": F.min(vc),
+            "max": F.max(vc),
+            "mean": F.avg(vc),
+        }
+        if agg not in aggs:
+            raise ValueError(f"unknown group agg {agg!r} (have {self._GROUP_AGGS})")
+        return self._df.groupBy(kc).agg(aggs[agg].alias("value"))
+
+    def fold(self, key: str | Column | None = None) -> DataFrame:
+        """Gremlin ``fold()``: collect every traverser's value into ONE
+        list row (column ``folded``); ``unfold`` reverses it."""
+        if key is None:
+            vc = F.col(self._id_col())
+        else:
+            vc = self.col(key) if isinstance(key, str) else key
+        return self._df.agg(F.sort_array(F.collect_list(vc)).alias("folded"))
+
+    def project_(self, **cols) -> DataFrame:
+        """Gremlin ``project('a', 'b').by(x).by(y)``: one row per
+        traverser with each named sub-projection as a column — the
+        relational form of ProjectStep's per-traverser map. Values are
+        property-key names or Columns (tag columns reachable via
+        ``self.col``/``select_``-style expressions)."""
+        self._ensure_cols()
+        out = []
+        for name, spec in cols.items():
+            c = self.col(spec) if isinstance(spec, str) else spec
+            out.append(c.alias(name))
+        return self._df.select(*out)
+
+    def inject_(self, *vertex_ids: int) -> "GraphTraversal":
+        """Gremlin ``inject(...)`` on an element frontier: append the
+        given vertices as extra traversers (bag semantics — a vertex
+        already in the frontier appears twice, as InjectStep does).
+        Arbitrary non-element objects cannot live in an element
+        frontier; use :func:`inject_values` on a projected value
+        DataFrame for the scalar form."""
+        self._require("V", "inject_")
+        extra = GraphTraversal._vertices(self.graph).has_id(*vertex_ids)
+        return self.union_(extra)
+
+    def cap_(self, name: str) -> DataFrame:
+        """Gremlin ``cap(name)``: emit the side-effect set collected by
+        ``aggregate_``/``store_`` as one folded list row (column named
+        after the set)."""
+        ids = self._side_effect_set(name)
+        return ids.agg(F.sort_array(F.collect_list("_se_id")).alias(name))
+
+    def subgraph_(self):
+        """Gremlin ``subgraph(name)`` terminal on an EDGE frontier: the
+        edge-induced subgraph as a new ``PropertyGraph`` (SubgraphStep;
+        the side-effect-name indirection is dropped — the graph is
+        returned directly, ready for further traversals/algorithms).
+        Vertices are the retained edges' endpoints with all their
+        properties; vertex_properties rows are restricted to them.
+        """
+        from titan_spark.graph import PropertyGraph
+
+        self._require("E", "subgraph_")
+        e = self._df.select(*self.graph.edges.columns).dropDuplicates(["edge_id"])
+        ids = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .dropDuplicates()
+        )
+        v = self.graph.vertices.join(ids, "id", "left_semi")
+        vp = self.graph.vertex_properties
+        if vp is not None:
+            vp = vp.join(ids.select(F.col("id").alias("vertex_id")), "vertex_id", "left_semi")
+        return PropertyGraph(v, e, vp, schema=self.graph.schema)
+
     def agg(self, *exprs: Column, group_by: Iterable = ()) -> DataFrame:
         self._ensure_cols()
         gb = [F.col(g) if isinstance(g, str) else g for g in group_by]
@@ -1120,4 +1222,23 @@ for _m in _CHAINING_METHODS:
     setattr(GraphTraversal, _m, _chained(getattr(GraphTraversal, _m)))
 
 
-__all__ = ["GraphTraversal", "P", "Pred"]
+def unfold(df: DataFrame, column: str = "folded", alias: str = "value") -> DataFrame:
+    """Gremlin ``unfold()``: explode a collected list column back into
+    one row per element (inverse of ``GraphTraversal.fold`` /
+    ``group_(agg='list')`` values)."""
+    return df.select(F.explode(F.col(column)).alias(alias))
+
+
+def inject_values(df: DataFrame, *values, column: str | None = None) -> DataFrame:
+    """Scalar InjectStep: append constant rows to a single-column value
+    stream (the non-element form of ``GraphTraversal.inject_``)."""
+    if len(df.columns) != 1:
+        raise ValueError("inject_values needs a single-column DataFrame")
+    col = column or df.columns[0]
+    extra = df.sparkSession.createDataFrame([(v,) for v in values], df.schema)
+    return df.withColumnRenamed(df.columns[0], col).unionByName(
+        extra.withColumnRenamed(extra.columns[0], col)
+    )
+
+
+__all__ = ["GraphTraversal", "P", "Pred", "unfold", "inject_values"]

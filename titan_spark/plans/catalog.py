@@ -930,6 +930,36 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(sub, iterations=2)
 
 
+def q_group_by_nation(spark, sf_dir):
+    """Generic GroupStep — ``group().by(key).by(valueTraversal)`` with
+    both by()s non-trivial (the ProcessStandardSuite shape,
+    BerkeleyTitanProcessTest.java:12-15): customers tagged, hop to
+    their nation, group by nation name summing the TAGGED customer's
+    acctbal. Compiles to groupBy + agg over a carried tag column —
+    one shuffle, map-side combinable."""
+    t = graph(spark, sf_dir).V().has_label("customer").as_("c").out("in_nation")
+    out = t.group_("name", F.col("_t_c.acctbal"), agg="sum")
+    return out.select("key", F.round("value", 2).alias("value"))
+
+
+def q_subgraph_degree(spark, sf_dir):
+    """SubgraphStep — extract the edge-induced subgraph of BUILDING
+    customers' in_nation edges, then run an existing checked algorithm
+    (degree_count) on the extraction; the oracle is the same degree
+    count WHERE-restricted to the retained edges."""
+    from titan_spark.compute import degree_count
+
+    sub = (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("mktsegment", "BUILDING")
+        .outE("in_nation")
+        .subgraph_()
+    )
+    return degree_count(sub)
+
+
 def q_triangle_count(spark, sf_dir):
     """Per-vertex triangle count over the order–part–supplier
     co-lineitem graph: contains + supplied_by edges plus a derived
@@ -2199,6 +2229,23 @@ ORACLE_SQL["quantize_embeddings"] = """
     FROM q
 """
 
+ORACLE_SQL["group_by_nation"] = """
+    SELECT n_name AS key, round(sum(c_acctbal), 2) AS value
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+ORACLE_SQL["subgraph_degree"] = """
+    WITH e AS (
+        SELECT CAST(100000000000 + c_custkey AS BIGINT) AS src,
+               CAST(500000000000 + c_nationkey AS BIGINT) AS dst
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+    GROUP BY id
+"""
+
 ORACLE_SQL["triangle_count"] = """
     WITH e AS (
         SELECT DISTINCT CAST(400000000000 + l_orderkey AS BIGINT) AS s,
@@ -2382,6 +2429,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_distance": q_weighted_distance,
     "sample_step": q_sample_step,
     "triangle_count": q_triangle_count,
+    "group_by_nation": q_group_by_nation,
+    "subgraph_degree": q_subgraph_degree,
 }
 
 
