@@ -131,3 +131,49 @@ def test_subgraph_edge_induced(gods):
 def test_subgraph_requires_edge_frontier(gods):
     with pytest.raises(ValueError, match="requires a E frontier"):
         gods.V().subgraph_()
+
+
+# ------------------------------------------- collection-field predicates
+
+
+def test_collection_field_predicate_array_column(spark):
+    # SET-cardinality key stored as array<string>: ANY-element match via
+    # exists() (docs/searchpredicates.txt:131-149)
+    from titan_spark.functions.predicates import P
+    from titan_spark.graph import PropertyGraph
+    from titan_spark.schema import Cardinality, GraphSchema
+
+    v = spark.createDataFrame(
+        [(1, "doc", ["Zeus King", "sky father"]), (2, "doc", ["sea lord"]), (3, "doc", None)],
+        "id long, label string, aliases array<string>",
+    )
+    e = spark.createDataFrame([], "edge_id long, src long, dst long, label string")
+    s = GraphSchema()
+    s.make_property_key("aliases", "array<string>", Cardinality.SET)
+    g = PropertyGraph(v, e, schema=s)
+    got = [r["id"] for r in g.V().has("aliases", P.text_contains("zeus")).df.select("id").collect()]
+    assert got == [1]
+    assert g.V().has("aliases", P.text_contains_prefix("se")).count_value() == 1
+    assert g.V().has("aliases", P.text_contains("nothing")).count_value() == 0
+
+
+def test_collection_field_predicate_long_format(spark):
+    # LIST-cardinality key in the long-format vertex_properties table:
+    # semi-join of vertices owning a matching property row
+    from titan_spark.functions.predicates import P
+    from titan_spark.graph import PropertyGraph
+    from titan_spark.schema import Cardinality, GraphSchema
+
+    v = spark.createDataFrame([(1, "n"), (2, "n")], "id long, label string")
+    e = spark.createDataFrame([], "edge_id long, src long, dst long, label string")
+    vp = spark.createDataFrame(
+        [(1, "qty", 10.0, 100), (1, "qty", 50.0, 101), (2, "qty", 5.0, 102)],
+        "vertex_id long, key string, value double, prop_id long",
+    )
+    s = GraphSchema()
+    s.make_property_key("qty", "double", Cardinality.LIST)
+    g = PropertyGraph(v, e, vp, schema=s)
+    assert [r["id"] for r in g.V().has("qty", P.gte(50.0)).df.select("id").collect()] == [1]
+    assert g.V().has("qty", P.lt(1.0)).count_value() == 0
+    # multiple matching rows still yield the vertex once (semi-join)
+    assert g.V().has("qty", P.gt(1.0)).count_value() == 2

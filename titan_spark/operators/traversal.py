@@ -242,7 +242,41 @@ class GraphTraversal:
         # when a declared TEXT/STRING mapping would reject this
         # predicate on a reference mixed index (porting hazard)
         self.graph.schema.warn_mapping_legality(key, pred.name)
+        if (
+            self.kind == "V"
+            and self.graph.schema.cardinality_of(key).value != "single"
+        ):
+            return self._has_collection(key, pred)
         return self._with(self._df.filter(pred(self.col(key))))
+
+    def _has_collection(self, key: str, pred: Pred) -> "GraphTraversal":
+        """Collection-field predicate on a SET/LIST-cardinality key
+        (docs/searchpredicates.txt:131-149): the vertex matches when ANY
+        of its property values satisfies the scalar predicate — the
+        reference's ES array-field semantics, where e.g. Text.CONTAINS
+        over a SET<String> key matches if any member contains the
+        tokens. An array-typed vertex column compiles to ``exists()``
+        (element-wise, stays inside codegen); the long-format
+        vertex_properties encoding compiles to a semi-join of vertices
+        owning a matching property row (set-oriented; the property scan
+        carries the predicate as a pushed filter)."""
+        self._ensure_cols()
+        if key in self._df.columns:
+            from pyspark.sql.types import ArrayType
+
+            if isinstance(self._df.schema[key].dataType, ArrayType):
+                return self._with(
+                    self._df.filter(F.exists(F.col(key), lambda el: pred(el)))
+                )
+            return self._with(self._df.filter(pred(self.col(key))))
+        vp = self.graph.vertex_properties
+        if vp is None:
+            # no storage for the declared multi-card key: matches nothing
+            return self._with(self._df.filter(F.lit(False)))
+        matches = vp.filter((F.col("key") == key) & pred(F.col("value"))).select(
+            F.col("vertex_id").alias("id")
+        )
+        return self._with(self._df.join(matches, "id", "left_semi"))
 
     def has_not(self, key: str) -> "GraphTraversal":
         self._ensure_cols()

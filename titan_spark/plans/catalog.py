@@ -930,6 +930,33 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(sub, iterations=2)
 
 
+def q_multi_card_contains(spark, sf_dir):
+    """Collection-field mixed-index predicate
+    (docs/searchpredicates.txt:131-149): orders carry a LIST-cardinality
+    'partnames' property (one value per contained part); Text.CONTAINS
+    'red' matches an order when ANY member value contains the token —
+    the reference's ES array-field semantics, compiled to a semi-join
+    of the predicate-filtered long-format property rows."""
+    from titan_spark.schema import Cardinality
+
+    g = graph(spark, sf_dir)
+    li = tables(spark, sf_dir)["lineitem"]
+    pt = tables(spark, sf_dir)["part"]
+    vp = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        (F.lit(OFF["order"]) + F.col("l_orderkey")).cast("long").alias("vertex_id"),
+        F.lit("partnames").alias("key"),
+        F.col("p_name").alias("value"),
+        (F.lit(20_000_000_000_000) + F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("prop_id"),
+    )
+    gs = g.schema
+    gs.make_property_key("partnames", "string", Cardinality.LIST)
+    g2 = PropertyGraph(g.vertices, g.edges, vp, gs)
+    t = g2.V().has_label("order").has("partnames", P.text_contains("red"))
+    return t.values("key")
+
+
 def q_group_by_nation(spark, sf_dir):
     """Generic GroupStep — ``group().by(key).by(valueTraversal)`` with
     both by()s non-trivial (the ProcessStandardSuite shape,
@@ -2229,6 +2256,12 @@ ORACLE_SQL["quantize_embeddings"] = """
     FROM q
 """
 
+ORACLE_SQL["multi_card_contains"] = f"""
+    SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS key
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE len(list_filter({_toks("p_name")}, t -> t = 'red')) > 0
+"""
+
 ORACLE_SQL["group_by_nation"] = """
     SELECT n_name AS key, round(sum(c_acctbal), 2) AS value
     FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -2431,6 +2464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_count": q_triangle_count,
     "group_by_nation": q_group_by_nation,
     "subgraph_degree": q_subgraph_degree,
+    "multi_card_contains": q_multi_card_contains,
 }
 
 
