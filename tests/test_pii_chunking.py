@@ -157,6 +157,27 @@ def test_pack_windows_avoids_global_window(spark, sf_dir):
     assert "SinglePartition" not in p
 
 
+def test_ivf_assign_broadcast_path_matches_literal(spark, sf_dir):
+    # above LITERAL_CENTROID_MAX the centroids ship as one broadcast row
+    # instead of plan literals — identical assignments, O(1) plan size
+    from titan_spark.pipeline.similarity import ivf_assign, ivf_centroids
+    from titan_spark.sources.tpch import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    cents = ivf_centroids(dim, 12)
+    lit = {r["vec_id"]: r["_cell"] for r in ivf_assign(emb, cents).select("vec_id", "_cell").collect()}
+    bc = {
+        r["vec_id"]: r["_cell"]
+        for r in ivf_assign(emb, cents, literal_max=0).select("vec_id", "_cell").collect()
+    }
+    assert lit == bc and len(set(lit.values())) > 1
+    # the broadcast plan moves no data: a BroadcastExchange for the
+    # one-row centroid relation, no hash-partitioned shuffle
+    plan = ivf_assign(emb, cents, literal_max=0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan and "hashpartitioning" not in plan
+
+
 def test_kmeans_lloyd_deterministic_and_improves(spark, sf_dir):
     from titan_spark.pipeline.similarity import _det_planes, kmeans_lloyd
     from titan_spark.sources.tpch import load_tables

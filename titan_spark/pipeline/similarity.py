@@ -278,25 +278,70 @@ def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:
     return _det_planes(dim, n_cells)
 
 
-def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+# Above this k the centroid matrix stops being plan literals: k × dim
+# literal constants serialize into every plan fragment and task binary
+# (fine at benchmark k ~ 100s of cells, plan-bloat at k in the
+# thousands) — the broadcast-row path keeps plan size O(1) in k.
+LITERAL_CENTROID_MAX = 256
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    literal_max: int = LITERAL_CENTROID_MAX,
+) -> DataFrame:
     """Assign each vector to its nearest coarse centroid (IVF cell).
 
-    One pass, no shuffle: argmin over K fixed centroids via a single
-    aggregate over an array of (distance, cell) structs.
+    One pass, no shuffle, by either of two identical-result strategies:
+    argmin over K plan-literal (distance, cell) structs when
+    ``k <= literal_max``, else the centroids ride as ONE broadcast row
+    (array of structs) cross-joined onto the scan — same argmin
+    expression over the joined array, plan size independent of k.
     """
-    cells = F.array(
-        *[
-            F.struct(
-                (
-                    -2.0 * _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-                    + F.lit(sum(x * x for x in c))
-                ).alias("d"),  # ||v-c||² − ||v||² — same argmin, v-term constant
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    if len(centroids) <= literal_max:
+        cells = F.array(
+            *[
+                F.struct(
+                    (
+                        -2.0 * _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                        + F.lit(sum(x * x for x in c))
+                    ).alias("d"),  # ||v-c||² − ||v||² — same argmin, v-term constant
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return df.withColumn("_cell", F.sort_array(cells)[0]["cell"])
+    return _ivf_assign_broadcast(df, centroids, vec_col)
+
+
+def _ivf_assign_broadcast(df: DataFrame, centroids, vec_col: str) -> DataFrame:
+    """Large-k assignment path: the centroid matrix as a single
+    broadcast row. The cross join against one row is a broadcast
+    nested loop that adds a column without moving data (no shuffle);
+    ties on distance break to the smaller cell id exactly like the
+    literal path (struct sort on (d, cell))."""
+    rows = [
+        (i, [float(x) for x in c], float(sum(x * x for x in c)))
+        for i, c in enumerate(centroids)
+    ]
+    cent_df = (
+        df.sparkSession.createDataFrame(rows, "cell int, c array<double>, c2 double")
+        .agg(F.collect_list(F.struct("cell", "c", "c2")).alias("_cents"))
     )
-    return df.withColumn("_cell", F.sort_array(cells)[0]["cell"])
+    scored = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            (F.lit(-2.0) * _dot(F.col(vec_col), s["c"]) + s["c2"]).alias("d"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    return (
+        df.join(F.broadcast(cent_df))
+        .withColumn("_cell", F.sort_array(scored)[0]["cell"])
+        .drop("_cents")
+    )
 
 
 def ivf_search(
