@@ -29,6 +29,36 @@ def test_raw_query_edge_prefix(gods):
     assert df.count() == 2
 
 
+def test_raw_query_not_and_minus_prefix(gods):
+    import pytest
+
+    # NOT connector and '-' prefix both exclude; negated clauses filter
+    # but never score
+    df = raw_index_query(gods, "v.name:(hercules jupiter saturn) NOT name:jupiter")
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert set(rows) == {1, 6} and all(abs(s - 1 / 3) < 1e-6 for s in rows.values())
+    df2 = raw_index_query(gods, "v.name:(hercules jupiter saturn) -name:jupiter")
+    assert {r["id"] for r in df2.collect()} == {1, 6}
+    # negated range: only hercules (age 30) survives NOT [100 TO 99999]
+    df3 = raw_index_query(gods, "v.name:(hercules jupiter saturn) NOT age:[100 TO 99999]")
+    assert {r["id"] for r in df3.collect()} == {6}
+    with pytest.raises(ValueError, match="positive clause"):
+        raw_index_query(gods, "v.NOT name:jupiter")
+
+
+def test_raw_query_and_connector_and_phrase(gods):
+    # explicit AND == the bare conjunction default
+    a = raw_index_query(gods, "v.name:hercules AND age:[20 TO 40]")
+    b = raw_index_query(gods, "v.name:hercules age:[20 TO 40]")
+    assert [r["id"] for r in a.collect()] == [r["id"] for r in b.collect()] == [6]
+    # quoted phrase matches consecutive tokens only
+    assert raw_index_query(gods, 'e.reason:"loves waves"').count() == 1
+    assert raw_index_query(gods, 'e.reason:"waves loves"').count() == 0
+    # phrase scores 1.0 per matched phrase clause
+    [row] = raw_index_query(gods, 'e.reason:"loves waves"').collect()
+    assert abs(row["score"] - 1.0) < 1e-9
+
+
 def test_persist_vertex_properties(gods):
     from titan_spark.compute import degree_count
 

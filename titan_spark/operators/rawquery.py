@@ -8,16 +8,23 @@ returns per-result scores with ``offset(n).limit(m)`` pagination
 ``diskstorage/indexing/RawQuery.java:60-73``). Element prefixes
 ``v.`` / ``e.`` select vertices or edges.
 
-Supported syntax here (the subset Titan's own docs exercise):
+Supported syntax here (the subset Titan's own docs exercise,
+``docs/directindex.txt`` — incl. the boolean prefixes and quoted
+phrases the ES examples use):
 
     field:(term1 term2)      tokenized OR-match on field
     field:term               single term
+    field:"a phrase"         consecutive-token phrase match
     field:[lo TO hi]         inclusive numeric range
-    clause clause ...        conjunction of clauses
+    clause AND clause        conjunction (also the bare default)
+    NOT clause / -clause     negation (row must NOT match the clause)
+    +clause                  required (the conjunctive default)
 
 Scoring is deterministic (documented, reproducible — unlike
-Lucene TF-IDF): score = Σ over clauses of matched-term-fraction.
-Results order by (score desc, id asc) then offset/limit.
+Lucene TF-IDF): score = Σ over positive clauses of
+matched-term-fraction (1.0 for a matched phrase or range); negated
+clauses filter but never score. Results order by (score desc, id asc)
+then offset/limit.
 """
 
 from __future__ import annotations
@@ -29,37 +36,54 @@ from pyspark.sql import functions as F
 
 from titan_spark.functions.text import tokenize
 
-_CLAUSE = re.compile(
-    r"(?P<field>[A-Za-z_][A-Za-z0-9_]*):"
-    r"(?:\((?P<terms>[^)]*)\)|\[(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\]|(?P<term>\S+))"
+_TOKEN = re.compile(
+    r"(?P<connector>\bAND\b|\bNOT\b)"
+    r"|(?P<req>[+-])?(?P<field>[A-Za-z_][A-Za-z0-9_]*):"
+    r"(?:\((?P<terms>[^)]*)\)"
+    r"|\[(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\]"
+    r'|"(?P<phrase>[^"]*)"'
+    r"|(?P<term>\S+))"
 )
 
 
+def _toks(s: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
 def parse_raw_query(query: str) -> list[dict]:
-    """Parse the query string into clause dicts."""
+    """Parse the query string into clause dicts (each carries a
+    ``negated`` flag from a ``NOT`` connector or ``-`` prefix)."""
     prefix = None
     m = re.match(r"^\s*([vep])\.(.*)$", query, re.S)
     if m:
         prefix, query = m.group(1), m.group(2)
     clauses = []
-    for cm in _CLAUSE.finditer(query):
+    negate_next = False
+    for cm in _TOKEN.finditer(query):
+        if cm.group("connector") is not None:
+            if cm.group("connector") == "NOT":
+                negate_next = True
+            continue  # AND is the default conjunction — a no-op token
+        negated = negate_next or cm.group("req") == "-"
+        negate_next = False
+        c = {"field": cm.group("field"), "negated": negated}
         if cm.group("terms") is not None:
-            terms = [t for t in re.split(r"[^a-z0-9]+", cm.group("terms").lower()) if t]
-            clauses.append({"field": cm.group("field"), "kind": "terms", "terms": terms})
+            clauses.append({**c, "kind": "terms", "terms": _toks(cm.group("terms"))})
         elif cm.group("lo") is not None:
             clauses.append(
-                {
-                    "field": cm.group("field"),
-                    "kind": "range",
-                    "lo": float(cm.group("lo")),
-                    "hi": float(cm.group("hi")),
-                }
+                {**c, "kind": "range", "lo": float(cm.group("lo")), "hi": float(cm.group("hi"))}
             )
+        elif cm.group("phrase") is not None:
+            toks = _toks(cm.group("phrase"))
+            if not toks:
+                raise ValueError(f"empty phrase in raw query: {query!r}")
+            clauses.append({**c, "kind": "phrase", "phrase": toks})
         else:
-            terms = [t for t in re.split(r"[^a-z0-9]+", cm.group("term").lower()) if t]
-            clauses.append({"field": cm.group("field"), "kind": "terms", "terms": terms})
+            clauses.append({**c, "kind": "terms", "terms": _toks(cm.group("term"))})
     if not clauses:
         raise ValueError(f"unparseable raw query: {query!r}")
+    if all(c["negated"] for c in clauses):
+        raise ValueError(f"raw query needs at least one positive clause: {query!r}")
     return [{"prefix": prefix}] + clauses
 
 
@@ -91,17 +115,36 @@ def raw_index_query(
     cond = F.lit(True)
     for c in clauses:
         fld = F.col(c["field"]) if c["field"] in df.columns else F.lit(None)
+        neg = c.get("negated", False)
         if c["kind"] == "terms":
             toks = tokenize(fld.cast("string"))
             qarr = F.array(*[F.lit(t) for t in sorted(set(c["terms"]))])
             matched = F.size(F.array_intersect(toks, qarr))
-            clause_score = matched.cast("double") / max(len(set(c["terms"])), 1)
-            cond = cond & (matched > 0)
-            score = score + clause_score
+            # NULL field counts as "does not contain" — a negated
+            # clause must MATCH rows whose field is absent
+            hit = F.coalesce(matched > 0, F.lit(False))
+            if neg:
+                cond = cond & ~hit
+            else:
+                cond = cond & hit
+                score = score + matched.cast("double") / max(len(set(c["terms"])), 1)
+        elif c["kind"] == "phrase":
+            toks = tokenize(fld.cast("string"))
+            padded = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+            needle = " " + " ".join(c["phrase"]) + " "
+            hit = F.coalesce(padded.contains(needle), F.lit(False))
+            if neg:
+                cond = cond & ~hit
+            else:
+                cond = cond & hit
+                score = score + F.when(hit, 1.0).otherwise(0.0)
         else:
-            in_range = (fld >= c["lo"]) & (fld <= c["hi"])
-            cond = cond & in_range
-            score = score + F.when(in_range, 1.0).otherwise(0.0)
+            in_range = F.coalesce((fld >= c["lo"]) & (fld <= c["hi"]), F.lit(False))
+            if neg:
+                cond = cond & ~in_range
+            else:
+                cond = cond & in_range
+                score = score + F.when(in_range, 1.0).otherwise(0.0)
     out = (
         df.filter(cond)
         .select(F.col(id_col).alias("id"), F.round(score, 6).alias("score"))
