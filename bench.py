@@ -64,6 +64,8 @@ HEADLINE = [
     "quantize_embeddings",
     "label_propagation",
     "weighted_distance",
+    # round 5: supernode hop skew (AQE split proof at bench scale)
+    "skew_two_hop",
 ]
 
 
@@ -81,8 +83,12 @@ def run_suite() -> dict:
 
     # bench times the production hash (xxhash64); the driver's
     # correctness gate runs the catalog default (portable, oracle-green)
+    from titan_spark.plans.catalog import q_skew_two_hop
+
     overrides = {
         "minhash_lsh_pairs": lambda sp, d: q_minhash_lsh_pairs(sp, d, hash_fn="xxhash64"),
+        # bench the supernode hop at 10× the oracle fixture size
+        "skew_two_hop": lambda sp, d: q_skew_two_hop(sp, d, n=1_000_000),
     }
 
     timings: dict[str, float] = {}

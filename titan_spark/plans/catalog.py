@@ -930,6 +930,20 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(sub, iterations=2)
 
 
+def q_skew_two_hop(spark, sf_dir, n: int = 100_000):
+    """C9 supernode skew proof as a live query: two-hop through the hub
+    of the deterministic supernode fixture (sources/fixtures.py) —
+    ~10% of all edges funnel through ONE join key, the worst-case hop
+    skew of a power-law graph in miniature. AQE splits the hot
+    partition at runtime (test_skew_supernode asserts the split plan;
+    the 256MB production threshold applies at real scale). The fixture
+    is sf-independent; the oracle replays the ranges relationally."""
+    from titan_spark.sources.fixtures import supernode_graph
+
+    g = supernode_graph(spark, n)
+    return g.V().out("spoke").out("hubout").group_count("id")
+
+
 def q_multi_card_contains(spark, sf_dir):
     """Collection-field mixed-index predicate
     (docs/searchpredicates.txt:131-149): orders carry a LIST-cardinality
@@ -2256,6 +2270,13 @@ ORACLE_SQL["quantize_embeddings"] = """
     FROM q
 """
 
+ORACLE_SQL["skew_two_hop"] = """
+    WITH spokes AS (SELECT range AS i FROM range(1, 100000) WHERE range % 10 = 0),
+         hubout AS (SELECT range AS d FROM range(1, 33))
+    SELECT CAST(d AS BIGINT) AS id, CAST(count(*) AS BIGINT) AS count
+    FROM spokes, hubout GROUP BY d
+"""
+
 ORACLE_SQL["multi_card_contains"] = f"""
     SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS key
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -2465,6 +2486,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_by_nation": q_group_by_nation,
     "subgraph_degree": q_subgraph_degree,
     "multi_card_contains": q_multi_card_contains,
+    "skew_two_hop": q_skew_two_hop,
 }
 
 

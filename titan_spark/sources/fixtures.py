@@ -1,0 +1,57 @@
+"""Synthetic skew fixtures: supernode graphs built from ``spark.range``.
+
+The reference handles hot vertices by partitioning them across the
+cluster (``VertexIDAssigner``/``IDManager.java:24``; SURVEY §4.2). This
+engine's equivalent claim (SURVEY §2 C9) is that AQE splits skewed hop
+join partitions at runtime. This module generates the graph that
+PROVES that claim instead of asserting it: one hub vertex owning ~10%
+of all edges, deterministic (pure column arithmetic over ranges, no
+files, no RNG), sized by a single ``n``.
+
+Shape for ``supernode_graph(n, hub_fanout)``:
+- vertices ``0..n-1``; vertex 0 is the hub;
+- ``ring``  edges ``i -> (i % (n-1)) + 1`` for every i >= 1 (everyone
+  has an out-edge, the graph has no sinks);
+- ``spoke`` edges ``i -> 0`` for every 10th i (~10% of all edges point
+  at the hub);
+- ``hubout`` edges ``0 -> 1..hub_fanout`` (the hub's own adjacency).
+
+A two-hop ``V().out('spoke').out('hubout')`` then funnels ~n/10
+traversers through the single hub key — the worst-case join skew a
+power-law graph produces, in miniature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from titan_spark.graph import PropertyGraph
+
+
+def supernode_graph(
+    spark: SparkSession, n: int = 100_000, hub_fanout: int = 32
+) -> PropertyGraph:
+    """Deterministic supernode graph: ~n×1.1 edges, ~10% incident to
+    vertex 0."""
+    v = spark.range(n).select(F.col("id"), F.lit("node").alias("label"))
+    base = spark.range(1, n)
+    ring = base.select(
+        (F.col("id") + 1_000_000_000).alias("edge_id"),
+        F.col("id").alias("src"),
+        (F.col("id") % (n - 1) + 1).alias("dst"),
+        F.lit("ring").alias("label"),
+    )
+    spokes = base.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 2_000_000_000).alias("edge_id"),
+        F.col("id").alias("src"),
+        F.lit(0).cast("long").alias("dst"),
+        F.lit("spoke").alias("label"),
+    )
+    hub_out = spark.range(1, hub_fanout + 1).select(
+        (F.col("id") + 3_000_000_000).alias("edge_id"),
+        F.lit(0).cast("long").alias("src"),
+        F.col("id").alias("dst"),
+        F.lit("hubout").alias("label"),
+    )
+    return PropertyGraph(v, ring.unionByName(spokes).unionByName(hub_out))
