@@ -2408,11 +2408,16 @@ ORACLE_SQL["tree_geography"] = """
 # of 5 predicates).  Overflow entries remain value-checked by the local
 # replica gate: `python tools/check_correctness.py /root/testdata/sf0.01`.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ---- driver-checked slots 1-50 (round-5 rotation: the r4 overflow
+    # flagships label_propagation / weighted_distance /
+    # geo_intersect_circles / quantize_embeddings / chunk_docs /
+    # semantic_dedup and the r5 flagships triangle_count /
+    # group_by_nation / subgraph_degree / multi_card_contains /
+    # skew_two_hop rotate IN; eleven family-duplicates rotate to the
+    # overflow region, each family keeping >=1 driver row) ----
     "point_lookup": q_point_lookup,
     "scan_filter_order_limit": q_scan_filter_order_limit,
-    "pred_within": q_pred_within,
     "pred_interval": q_pred_interval,
-    "hop_order_count": q_hop_order_count,
     "two_hop_revenue": q_two_hop_revenue,
     "semi_join_exists": q_semi_join_exists,
     "three_hop_region": q_three_hop_region,
@@ -2423,30 +2428,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "both_degree_nation": q_both_degree_nation,
     "agg_pricing_summary": q_agg_pricing_summary,
     "text_contains": q_text_contains,
-    "text_prefix": q_text_prefix,
-    "simhash_dup_pairs": q_simhash_dup_pairs,
     "geo_within": q_geo_within,
+    "geo_intersect_circles": q_geo_intersect_circles,
     "lsh_ann": q_lsh_ann,
     "multimodal_features": q_multimodal_features,
-    "events_hourly": q_events_hourly,
     "dedup_exact": q_dedup_exact,
-    "token_stats": q_token_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "hash_sample": q_hash_sample,
-    "stratified_sample": q_stratified_sample,
     "doc_quality": q_doc_quality,
-    "lang_id": q_lang_id,
     "jaccard_dup_pairs": q_jaccard_dup_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "cosine_topk": q_cosine_topk,
+    "semantic_dedup": q_semantic_dedup,
     "pagerank": q_pagerank,
     "shortest_distance": q_shortest_distance,
+    "weighted_distance": q_weighted_distance,
+    "label_propagation": q_label_propagation,
+    "triangle_count": q_triangle_count,
     "multi_card_values": q_multi_card_values,
+    "multi_card_contains": q_multi_card_contains,
     "raw_query_score": q_raw_query_score,
     "embed_topk_pairs": q_embed_topk_pairs,
-    "ivf_ann": q_ivf_ann,
-    "choose_branch": q_choose_branch,
     "where_exists_twohop": q_where_exists_twohop,
     "path_strings": q_path_strings,
     "motif_unification": q_motif_unification,
@@ -2455,10 +2457,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "branch_segments": q_branch_segments,
     "sack_order_margin": q_sack_order_margin,
     "tree_geography": q_tree_geography,
+    "group_by_nation": q_group_by_nation,
+    "subgraph_degree": q_subgraph_degree,
+    "skew_two_hop": q_skew_two_hop,
     "kmeans_cells": q_kmeans_cells,
+    "quantize_embeddings": q_quantize_embeddings,
+    "chunk_docs": q_chunk_docs,
     "pack_windows": q_pack_windows,
     "pii_redact": q_pii_redact,
     # ---- driver-overflow region (position 51+): local-gate-checked only ----
+    "pred_within": q_pred_within,
+    "hop_order_count": q_hop_order_count,
+    "text_prefix": q_text_prefix,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "events_hourly": q_events_hourly,
+    "token_stats": q_token_stats,
+    "stratified_sample": q_stratified_sample,
+    "lang_id": q_lang_id,
+    "cosine_topk": q_cosine_topk,
+    "ivf_ann": q_ivf_ann,
+    "choose_branch": q_choose_branch,
     "text_contains_regex": q_text_contains_regex,
     "geo_disjoint": q_geo_disjoint,
     "simhash_sig": q_simhash_sig,
@@ -2473,20 +2491,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_topk_pairs_exact": q_embed_topk_pairs_exact,
     "repetition_stats": q_repetition_stats,
     "ngram_decontaminate": q_ngram_decontaminate,
-    "semantic_dedup": q_semantic_dedup,
     "quality_funnel": q_quality_funnel,
-    "geo_intersect_circles": q_geo_intersect_circles,
     "pii_stats": q_pii_stats,
-    "chunk_docs": q_chunk_docs,
-    "quantize_embeddings": q_quantize_embeddings,
-    "label_propagation": q_label_propagation,
-    "weighted_distance": q_weighted_distance,
     "sample_step": q_sample_step,
-    "triangle_count": q_triangle_count,
-    "group_by_nation": q_group_by_nation,
-    "subgraph_degree": q_subgraph_degree,
-    "multi_card_contains": q_multi_card_contains,
-    "skew_two_hop": q_skew_two_hop,
 }
 
 
