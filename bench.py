@@ -92,6 +92,12 @@ def run_suite() -> dict:
     }
 
     timings: dict[str, float] = {}
+    # "adaptive": one rep, plus a second (min taken) when the first is
+    # < 5 s — matches the sf0.1 min-of-warm protocol for cheap queries
+    # without doubling the expensive ones. Used by the sf1 scaling pass.
+    reps_env = os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")
+    adaptive = reps_env == "adaptive"
+    reps = 1 if adaptive else int(reps_env)
 
     # bulk-load shape: build the graph view and materialize counts
     t0 = time.perf_counter()
@@ -103,12 +109,18 @@ def run_suite() -> dict:
     for name in HEADLINE:
         fn = overrides.get(name, QUERIES[name])
         runs = []
-        for _ in range(3):  # median of 3: robust to load spikes either way
+        for _ in range(reps):  # median-of-reps: robust to load spikes either way
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             _ = df.count()  # full materialization of the result
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+        if adaptive and runs[0] < 5.0:
+            t0 = time.perf_counter()
+            _ = fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+        else:
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     # OLAP full-scan shape (BASELINE: 200k-vertex/2M-edge scan workload,
     # TitanGraphIterativeBenchmark.java:77): PageRank over the WHOLE graph
@@ -131,24 +143,79 @@ def run_suite() -> dict:
     }
 
 
+def _run_single(extra_env: dict[str, str] | None = None) -> dict | None:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--single"],
+        capture_output=True,
+        text=True,
+        env={**os.environ, **(extra_env or {})},
+    )
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    try:
+        return json.loads(line)
+    except (json.JSONDecodeError, IndexError):
+        sys.stderr.write(proc.stdout + proc.stderr)
+        return None
+
+
+def _scaling_block(base_queries: dict[str, float]) -> dict | None:
+    """Scale-up proof point (VERDICT r4 #4): one fresh-JVM suite pass at
+    sf1 (10x data, derived deterministically from sf0.1 by
+    tools/make_scaled_sf.py), reported as per-query sf1/sf0.1 ratios.
+    Linear scaling on a shuffle/scan-bound query is ratio ~10; constant-
+    overhead queries (point lookups, fixed-size fixtures) sit near 1.
+    Ratios > 15 are flagged as super-linear. Disable with
+    SPARK_GRAFT_SCALE_CHECK=0.
+    """
+    if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") == "0":
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", os.path.join(repo, "data", "sf1")
+    )
+    if not os.path.exists(os.path.join(scale_dir, "lineitem.parquet")):
+        gen = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "make_scaled_sf.py"),
+             "--dst", scale_dir],
+            capture_output=True,
+            text=True,
+        )
+        if gen.returncode != 0:
+            sys.stderr.write(gen.stdout + gen.stderr)
+            return None
+    res = _run_single(
+        {"SPARK_GRAFT_SF_DIR": scale_dir, "SPARK_GRAFT_BENCH_REPS": "adaptive"}
+    )
+    if res is None:
+        return None
+    ratios = {
+        q: round(t / base_queries[q], 1)
+        for q, t in res["queries"].items()
+        if base_queries.get(q)
+    }
+    return {
+        "sf": 1.0,
+        "data_ratio": 10.0,
+        "total": res["value"],
+        "queries": res["queries"],
+        "n_vertices": res.get("n_vertices"),
+        "n_edges": res.get("n_edges"),
+        "ratio_vs_sf0.1": ratios,
+        "flagged_superlinear": sorted(q for q, r in ratios.items() if r > 15),
+        "note": "one fresh JVM; adaptive reps (min-of-2 below 5s, single "
+        "rep above); sf1 derived from sf0.1 via tools/make_scaled_sf.py "
+        "(10x replication, key offsets, per-replica text/embedding "
+        "decorrelation)",
+    }
+
+
 def main() -> None:
     if "--single" in sys.argv:
         print(json.dumps(run_suite()))
         return
 
     # two fresh JVMs; per-query min-of-2 separates env drift from code drift
-    results = []
-    for _ in range(2):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single"],
-            capture_output=True,
-            text=True,
-        )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-        try:
-            results.append(json.loads(line))
-        except (json.JSONDecodeError, IndexError):
-            sys.stderr.write(proc.stdout + proc.stderr)
+    results = [r for _ in range(2) if (r := _run_single()) is not None]
     if not results:
         raise SystemExit("bench: no successful runs")
 
@@ -160,6 +227,16 @@ def main() -> None:
     merged["queries"] = queries
     merged["value"] = round(sum(queries.values()), 3)
     merged["runs"] = [r["value"] for r in results]  # raw totals, noise band
+    merged["config_note"] = (
+        "minhash_lsh_pairs is timed with the production hash_fn=xxhash64; "
+        "the correctness catalog pins the portable md5 hash so DuckDB can "
+        "reproduce signatures — bench and CORRECTNESS rows differ in hash "
+        "backend only. skew_two_hop is timed on a 1M-edge supernode "
+        "fixture (10x the oracle fixture)."
+    )
+    scaling = _scaling_block(queries)
+    if scaling is not None:
+        merged["scaling"] = scaling
     print(json.dumps(merged))
 
 
