@@ -162,3 +162,59 @@ def test_aggregate_messages_weighted_sum(degree_graph):
     got = {r["id"]: r["total"] for r in msgs.collect()}
     exp = {r["id"]: r["total"] for r in expected.collect()}
     assert got == exp
+
+
+def test_cut_lineage_periodic_spill_keeps_long_loops_flat(spark):
+    # Regression for the chained-checkpoint blowup (r5): a loop whose
+    # round references the previous checkpointed state twice shows
+    # per-round cost DOUBLING from ~the 17th chained localCheckpoint
+    # (measured: 0.4s rounds hit 100s+ by round 23) with flat plans,
+    # flat RDD lineage, flat rows, and flat heap. cut_lineage resets
+    # the chain through parquet every SPILL_PERIOD rounds; this runs 26
+    # chained rounds and asserts the tail rounds stay in the same cost
+    # regime as the warm early rounds (the broken behavior is ~50-200x,
+    # so a 10x bound is a wide margin, not a flaky timing assert).
+    import time
+
+    from pyspark.sql import functions as F
+
+    from titan_spark.compute.checkpointing import cut_lineage
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(50)], "u long, v long")
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    und.count()
+    state = und.select(F.col("u").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    state = cut_lineage(state, eager=True)
+    times = []
+    for i in range(26):
+        t0 = time.perf_counter()
+        nbr = (
+            und.join(state, und["v"] == state["id"])
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        ptr = state.select(F.col("id").alias("component"), F.col("component").alias("jump"))
+        state = cut_lineage(
+            state.join(nbr, "id", "left")
+            .join(ptr, "component", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                    F.coalesce(F.col("jump"), F.col("component")),
+                ).alias("component"),
+            ),
+            eager=True,
+            round_idx=i,
+        )
+        times.append(time.perf_counter() - t0)
+    warm = sorted(times[2:8])[len(times[2:8]) // 2]
+    assert max(times[-4:]) < 10 * warm, f"late rounds blew up: {times}"
+    # and the loop still computes the right thing: one 50-node chain
+    comps = {r["component"] for r in state.collect()}
+    assert comps == {0}

@@ -147,3 +147,30 @@ def test_plane_dots_backends_agree_on_buckets(spark):
     )
     out = withnull.select(_plane_dots_arrow(F.col("embedding"), planes).alias("d")).collect()
     assert sum(1 for r in out if r["d"] is None) == 1
+
+
+def test_adaptive_planes_formula():
+    # holds expected bucket occupancy ~16 as the corpus grows; floors at
+    # the historical 8 so small-corpus results (and the pinned driver
+    # oracles at ~2k vectors) are bit-identical to the fixed-width era
+    from titan_spark.pipeline.similarity import adaptive_planes
+
+    assert adaptive_planes(0) == 8
+    assert adaptive_planes(2_000) == 8        # ceil(log2(125)) = 7 -> floor
+    assert adaptive_planes(20_000) == 11      # ceil(log2(1250))
+    assert adaptive_planes(200_000) == 14
+    assert adaptive_planes(2_000_000_000) == 27  # 100-TB-ish corpus: fine width
+    assert adaptive_planes(4_096, target_occupancy=16) == 8
+    assert adaptive_planes(8_192, target_occupancy=16) == 9
+
+
+def test_lsh_topk_pairs_default_matches_pinned_width(spark):
+    # at sub-threshold corpus sizes the adaptive default must reproduce
+    # the pinned n_planes=8 result exactly (that is what keeps the
+    # driver's baked plane-literal oracles green)
+    from titan_spark.pipeline.similarity import lsh_topk_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = lsh_topk_pairs(df, k=10).collect()
+    pinned = lsh_topk_pairs(df, k=10, n_planes=8).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in pinned]

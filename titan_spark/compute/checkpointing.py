@@ -17,13 +17,76 @@ superstep into the backend for exactly this recoverability
 
 from __future__ import annotations
 
+import atexit
+import itertools
+import os
+import shutil
+import tempfile
+import warnings
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
+# How many CHAINED lineage cuts may elapse before a storage-layer spill.
+# Measured pathology (r5, Spark 4.1, reproduced on a 200-row fixture):
+# an iterative loop whose round references the previous checkpointed
+# state twice (min-label CC: state + the pointer-jump self-view) shows
+# per-round wall cost DOUBLING from ~the 17th chained round (0.4 s →
+# 0.6, 1.0, 2.2, 4.8, 15.7, 32.9, 104.6 s ...) even though the optimized
+# plan, the RDD debug string, row counts, partition counts, and driver
+# heap all stay flat — i.e. some driver-side structure in the
+# Dataset.checkpoint/LogicalRDD path still nests the two parent
+# references per round and is walked at 2^depth cost. The blowup is
+# identical under reliable checkpoint(), AQE off, and constraint
+# propagation off; routing the state through parquet write+read every
+# round is flat for 30+ rounds (~0.5 s/round). The hybrid below keeps
+# the cheap localCheckpoint for short chains and resets the chain
+# through storage every SPILL_PERIOD cuts — at depth ≤ 10 the hidden
+# 2^depth term is microseconds.
+SPILL_PERIOD = 10
 
-def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
-    """Truncate ``df``'s lineage, reliably when the session allows it."""
+_spill_ids = itertools.count()
+_local_spill_root: str | None = None
+
+
+def _spill_path(spark) -> str:
+    """A fresh directory for one lineage spill: under the session's
+    reliable checkpoint dir when configured (shared FS on a cluster),
+    else a driver-local tempdir (correct on local[*], where executors
+    share the driver's filesystem). Files live until session exit —
+    a later plan may still lazily read an earlier spill, so eager
+    deletion would be a use-after-free; the atexit hook (local) or the
+    checkpoint-dir lifecycle (cluster) reclaims them."""
+    global _local_spill_root
+    n = next(_spill_ids)
+    ckdir = spark.sparkContext.getCheckpointDir()
+    if ckdir is not None:
+        return ckdir.rstrip("/") + f"/titan-spill-{n}"
+    if _local_spill_root is None:
+        _local_spill_root = tempfile.mkdtemp(prefix="titan-spark-spill-")
+        atexit.register(shutil.rmtree, _local_spill_root, ignore_errors=True)
+    return os.path.join(_local_spill_root, str(n))
+
+
+def cut_lineage(df: DataFrame, eager: bool = True, round_idx: int | None = None) -> DataFrame:
+    """Truncate ``df``'s lineage, reliably when the session allows it.
+
+    Iterative loops pass their ``round_idx`` so every SPILL_PERIOD-th
+    cut routes through parquet write+read, resetting the chained-cut
+    depth that otherwise decays exponentially past ~17 rounds (see
+    SPILL_PERIOD). One-shot cuts (no ``round_idx``) never spill.
+    """
+    if round_idx is not None and (round_idx + 1) % SPILL_PERIOD == 0:
+        try:
+            path = _spill_path(df.sparkSession)
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+        except Exception as exc:  # e.g. a NullType column parquet rejects
+            warnings.warn(
+                f"lineage spill fell back to localCheckpoint ({exc}); "
+                "loops beyond ~17 rounds may slow down",
+                RuntimeWarning,
+            )
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)

@@ -173,7 +173,7 @@ def pregel(
             *[update.get(n, F.col(n)).alias(n) for n in initial.keys()],
         )
         if (i + 1) % checkpoint_every == 0 or active_col is not None:
-            v = cut_lineage(v, eager=True)
+            v = cut_lineage(v, eager=True, round_idx=i)
         if active_col is not None and v.filter(F.col(active_col)).limit(1).count() == 0:
             break
     if active_col is None and max_iterations % checkpoint_every != 0:
@@ -199,5 +199,5 @@ def run_iterations(
     for i in range(max_iterations):
         state = step(state, i)
         if (i + 1) % checkpoint_every == 0:
-            state = cut_lineage(state, eager=True)
+            state = cut_lineage(state, eager=True, round_idx=i)
     return state

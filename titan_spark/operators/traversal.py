@@ -552,7 +552,9 @@ class GraphTraversal:
             # checkpoint preserves the lazy flag: the checkpointed df is
             # still the (id, tags) projection when the step ended lazily
             act = act._with(
-                cut_lineage(act._df, eager=(i + 1) % checkpoint_every == 0),
+                cut_lineage(
+                    act._df, eager=(i + 1) % checkpoint_every == 0, round_idx=i
+                ),
                 lazy_v=act._lazy_v,
             )
             if emit:

@@ -129,11 +129,43 @@ def embedding_topk_pairs(
     return scored.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()).limit(k)
 
 
+def adaptive_planes(n_rows: int, target_occupancy: int = 16, floor: int = 8) -> int:
+    """Hash width that holds expected bucket occupancy ~``target_occupancy``
+    as the corpus grows: ``max(floor, ceil(log2(n / target)))``.
+
+    With a FIXED plane count, candidate volume is L·n²/2^planes —
+    latent-quadratic no matter how the constant is tuned (the r5 sf1
+    measurement made this visible: 100× candidate growth hiding under
+    job overhead). Width ∝ log₂(n) is the classic Indyk–Motwani scaling:
+    occupancy, and therefore candidates per vector, stays constant and
+    total candidate volume is linear in n. The trade-off is per-table
+    recall at the similarity threshold; the candidate stage is part of
+    these operators' contracts (see semantic_dedup_clusters), so the
+    width — like the plane seeds — is simply part of the reproducible
+    definition, and pinning ``n_planes`` explicitly recovers any fixed
+    geometry.
+    """
+    import math
+
+    if n_rows <= target_occupancy:
+        return floor
+    return max(floor, math.ceil(math.log2(n_rows / target_occupancy)))
+
+
+def _resolve_planes(df: DataFrame, n_planes: int | None) -> int:
+    if n_planes is not None:
+        return n_planes
+    # one count job; scalar result. At the driver's correctness scales
+    # (2k vectors) this resolves to the historical 8, so pinned oracles
+    # stay bit-identical; growth only kicks in where it matters.
+    return adaptive_planes(df.count())
+
+
 def lsh_topk_pairs(
     df: DataFrame,
     k: int = 20,
     n_tables: int = 8,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
@@ -144,12 +176,15 @@ def lsh_topk_pairs(
     ``n_tables`` independent hyperplane tables of ``n_planes`` bits
     each; a pair is a candidate iff it shares a bucket in ANY table
     (explode → one equi-join on (table, bucket), shuffle volume ~
-    L·n²/2^planes, never the O(n²) cross join). Candidates are
-    re-scored with the exact cosine and the global top-k is taken under
-    a total order. Deterministic planes (xorshift) make the candidate
-    set — and therefore the result — exactly reproducible in the SQL
-    oracle (plane-literal generation, same pattern as lsh_ann/ivf_ann).
+    L·n·occupancy with the default adaptive width — see
+    :func:`adaptive_planes` — never the O(n²) cross join). Candidates
+    are re-scored with the exact cosine and the global top-k is taken
+    under a total order. Deterministic planes (xorshift) make the
+    candidate set — and therefore the result — exactly reproducible in
+    the SQL oracle (plane-literal generation, same pattern as
+    lsh_ann/ivf_ann).
     """
+    n_planes = _resolve_planes(df, n_planes)
     cand = _lsh_candidates(df, n_tables, n_planes, vec_col, id_col, dim)
     # norms are per-vector: compute once on the (small) vector side of
     # the join instead of once per candidate pair
@@ -231,7 +266,7 @@ def semantic_dedup_clusters(
     df: DataFrame,
     threshold: float = 0.35,
     n_tables: int = 8,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
@@ -248,8 +283,10 @@ def semantic_dedup_clusters(
     cluster-then-compare shape SemDeDup uses with k-means), which makes
     the operator fully deterministic and oracle-reproducible from the
     plane literals. Scale: bucketed join + pair-volume-proportional CC;
-    nothing O(n²).
+    nothing O(n²) — the default hash width grows with log₂(corpus)
+    (:func:`adaptive_planes`) so candidate volume stays linear.
     """
+    n_planes = _resolve_planes(df, n_planes)
     cand = _lsh_candidates(df, n_tables, n_planes, vec_col, id_col, dim)
     va = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), _norm(F.col(vec_col)).alias("_na")
