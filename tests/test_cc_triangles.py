@@ -115,3 +115,24 @@ def test_label_propagation_modal_beats_min(spark):
     got = {r["id"]: r["community"] for r in label_propagation(g, iterations=2).collect()}
     assert got[4] == 4
     assert got[7] == got[8] == got[9] == 0  # spokes see only the hub's r1 label
+
+
+def test_connected_components_warns_when_capped(spark):
+    # a 12-node path needs several rounds; capping at 1 must not return
+    # silently under-merged components without saying so
+    import warnings as w
+
+    from pyspark.sql import functions as F
+
+    from titan_spark.compute.algorithms import connected_components
+    from titan_spark.graph import PropertyGraph
+
+    v = spark.range(12).select(F.col("id"), F.lit("n").alias("label"))
+    e = spark.createDataFrame(
+        [(i, i, i + 1, "l") for i in range(11)],
+        "edge_id long, src long, dst long, label string",
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        connected_components(PropertyGraph(v, e), max_iterations=1).collect()
+    assert any("did not converge" in str(c.message) for c in caught)

@@ -92,3 +92,43 @@ def test_simhash_banding_recall_within_radius(spark, texts):
                 if h <= 3:
                     want[(i, j)] = h
     assert got == want
+
+
+def test_line_dedup_keeps_first_occurrence_and_reassembles(spark):
+    from titan_spark.pipeline.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 defines lines A, B; B repeats inside the same doc
+            (1, "alpha alpha\nbravo bravo\nbravo bravo"),
+            # doc 2 repeats A (dropped), adds C
+            (2, "alpha alpha\ncharlie charlie"),
+            # doc 3 is entirely duplicates -> no surviving lines
+            (3, "bravo bravo\nalpha alpha"),
+            # doc 4 empty -> contributes nothing
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == "alpha alpha\nbravo bravo" and out[1]["kept_lines"] == 2
+    assert out[2]["text"] == "charlie charlie" and out[2]["kept_lines"] == 1
+
+
+def test_line_dedup_token_mode_windows(spark):
+    from titan_spark.pipeline.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # windows (k=3): "a b c", "d e f"
+            (2, "a b c x"),       # "a b c" duplicate of doc1 pos0; "x" kept
+            (3, "d e f"),         # fully duplicate -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           line_dedup(docs, mode="tokens", tokens_per_line=3).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == "a b c d e f"
+    assert out[2]["text"] == "x" and out[2]["kept_lines"] == 1

@@ -71,3 +71,35 @@ def test_tfidf_broadcasts_adaptively_not_forced(spark, sf_dir):
     out.collect()
     final_plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final_plan  # AQE broadcast at this scale
+
+
+def test_mix_corpus_epochs_and_determinism(spark):
+    from titan_spark.pipeline.sampling import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "s_up" if i < 50 else "s_down", "w " * 10) for i in range(150)],
+        "doc_id long, source string, text string",
+    )
+    # s_up: 50 docs x 10 tokens = 500 toks, target 1500 -> 3.0 epochs
+    # s_down: 100 docs x 10 toks = 1000 toks, target 500 -> 0.5 epochs
+    out = mix_corpus(
+        docs,
+        proportions={"s_up": 3.0, "s_down": 1.0},
+        total_tokens=2000,
+        token_count=F.lit(10),
+    )
+    rows = out.select("doc_id", "source", "epoch").collect()
+    up = [r for r in rows if r["source"] == "s_up"]
+    down = [r for r in rows if r["source"] == "s_down"]
+    # upsampled source appears in exactly 3 full epochs (frac = 0 -> no 4th)
+    assert len(up) == 150 and {r["epoch"] for r in up} == {0, 1, 2}
+    # downsampled source keeps ~half its docs in epoch 0 only
+    assert {r["epoch"] for r in down} == {0}
+    assert 30 <= len(down) <= 70
+    # pure function of (corpus, weights, seed)
+    again = mix_corpus(
+        docs, {"s_up": 3.0, "s_down": 1.0}, 2000, F.lit(10)
+    ).select("doc_id", "source", "epoch").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # unlisted source is dropped
+    assert not [r for r in rows if r["source"] not in ("s_up", "s_down")]

@@ -129,7 +129,7 @@ def shortest_distance(
 
 def connected_components(
     graph: PropertyGraph,
-    max_iterations: int = 30,
+    max_iterations: int = 60,
     edge_labels: tuple[str, ...] = (),
 ) -> DataFrame:
     """Weakly-connected components → DataFrame(id, component) where
@@ -203,6 +203,20 @@ def _cc_loop(state, und, max_iterations):
         state = new_state.select("id", "component")
         if changed == 0:
             break
+    else:
+        # labels were still moving when the cap hit: the returned
+        # components are an UNDER-merged partition of the true ones.
+        # Silent truncation here poisons every dedup-cluster consumer
+        # downstream, so say so loudly. (The sf1 near-dup pair graph
+        # converged at exactly round 30 — the old default cap.)
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iterations} "
+            "rounds; components may be under-merged. Raise max_iterations "
+            "(rounds needed track the pair-graph diameter).",
+            RuntimeWarning,
+        )
     return state
 
 

@@ -97,3 +97,92 @@ def hash_split(
         out.append(df.filter((b >= F.lit(lo)) & (b < F.lit(hi))))
         lo = hi
     return out
+
+
+_EPOCH_STRIDE = 1_000_000_007  # decorrelates per-epoch keep decisions
+
+
+def mix_corpus(
+    df: DataFrame,
+    proportions: dict[str, float],
+    total_tokens: int,
+    token_count: Column,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic training-mixture sampling: hit a token budget with
+    target source proportions, up- OR down-sampling each source.
+
+    For each source s with weight w_s, the target is
+    ``total_tokens * w_s / sum(w)``; with ``T_s`` tokens available the
+    required multiplicity is ``n_s = target_s / T_s`` — e.g. 2.35
+    epochs. Every document of s appears in floor(n_s) full epochs plus
+    a fractional epoch that keeps ~frac(n_s) of documents, decided by
+    the same closed-form hash as :func:`hash_sample` keyed on
+    (id + epoch·stride), so the sampled mixture is a pure function of
+    (corpus, weights, seed): re-runs, retries, and the SQL oracle all
+    produce the identical multiset. Output rows carry ``epoch`` so
+    downstream packing treats repetitions as distinct sequences.
+
+    Scale shape: one tiny per-source aggregate (collected — one row per
+    source), then a narrow explode+filter pass; no corpus-sized
+    shuffle. Unlisted sources are dropped (weight 0).
+    """
+    totw = sum(proportions.values())
+    stats = {
+        r["s"]: r["toks"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(token_count).alias("toks"))
+        .collect()
+    }
+    full_e = F.lit(None).cast("int")
+    frac_th = F.lit(None).cast("long")
+    for s, w in sorted(proportions.items()):
+        if s not in stats or not stats[s]:
+            continue
+        n_epochs = (total_tokens * w / totw) / stats[s]
+        k = int(n_epochs)
+        th = int((n_epochs - k) * _BUCKETS)
+        full_e = F.when(F.col(source_col) == s, F.lit(k)).otherwise(full_e)
+        frac_th = F.when(F.col(source_col) == s, F.lit(th)).otherwise(frac_th)
+    b = lambda epoch: hash_bucket(  # noqa: E731
+        F.col(id_col) + epoch.cast("long") * F.lit(_EPOCH_STRIDE), seed
+    )
+    return (
+        df.withColumn("_k", full_e)
+        .withColumn("_th", frac_th)
+        .filter(F.col("_k").isNotNull())
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_k"))))
+        .filter((F.col("epoch") < F.col("_k")) | (b(F.col("epoch")) < F.col("_th")))
+        .drop("_k", "_th")
+    )
+
+
+def mix_rates_sql(
+    proportions: dict[str, float], total_tokens: int, token_len_sql: str
+) -> str:
+    """Oracle twin of the driver-side rate arithmetic in
+    :func:`mix_corpus`: a CTE yielding (source, k, th) with the same
+    double-precision expression order so floor/threshold agree bit-for-bit."""
+    totw = sum(proportions.values())
+    rows = ", ".join(
+        f"('{s}', CAST({w!r} AS DOUBLE))" for s, w in sorted(proportions.items())
+    )
+    return f"""
+        weights(source, w) AS (VALUES {rows}),
+        stats AS (
+            SELECT source, CAST(sum({token_len_sql}) AS DOUBLE) AS toks
+            FROM documents GROUP BY source
+        ),
+        rates AS (
+            -- floor(), not CAST: DuckDB CAST(double AS INT) rounds
+            -- half-even while the driver-side Python int() truncates
+            SELECT s.source,
+                   CAST(floor(({total_tokens} * w.w / {totw!r}) / s.toks) AS INT) AS k,
+                   CAST(floor(((({total_tokens} * w.w / {totw!r}) / s.toks)
+                        - floor(({total_tokens} * w.w / {totw!r}) / s.toks))
+                        * {_BUCKETS}) AS BIGINT) AS th
+            FROM stats s JOIN weights w USING (source)
+        )
+    """

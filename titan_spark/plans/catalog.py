@@ -2500,3 +2500,83 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship smoke query at sf0.001 (driver contract)."""
     return q_two_hop_revenue(spark, "/root/testdata/sf0.001")
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus line dedup (Raffel et al. 2020): every distinct
+    segment survives only at its first (doc_id, pos) occurrence and
+    documents are reassembled from surviving segments. The synthetic
+    corpus has no newlines, so segmentation is the 10-token-window
+    mode; winner election groups on md5(line) — reproduced verbatim by
+    the oracle's PARTITION BY line (identical modulo 128-bit
+    collisions)."""
+    from titan_spark.pipeline.dedup import line_dedup
+
+    d = tables(spark, sf_dir)["documents"]
+    return line_dedup(d, mode="tokens", tokens_per_line=10)
+
+
+QUERIES["line_dedup"] = q_line_dedup
+
+ORACLE_SQL["line_dedup"] = f"""
+    WITH base AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+    seg0 AS (
+        SELECT doc_id, CAST(gs.i AS INT) AS pos,
+               array_to_string(toks[gs.i*10+1 : gs.i*10+10], ' ') AS line
+        FROM base, LATERAL (
+            SELECT unnest(range(greatest(CAST(ceil(len(toks)/10.0) AS BIGINT), 1))) AS i
+        ) gs
+    ),
+    seg AS (SELECT * FROM seg0 WHERE length(line) > 0),
+    kept AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        FROM seg
+    )
+    SELECT doc_id, count(*) AS kept_lines,
+           string_agg(line, ' ' ORDER BY pos) AS text
+    FROM kept WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+def q_mix_corpus(spark, sf_dir):
+    """Training-mixture sampling to a token budget: src0 upsampled
+    (multiple epochs), src1 roughly one epoch, src2 downsampled;
+    deterministic hash keeps the fractional epoch reproducible in SQL.
+    Returns the sampled (doc_id, source, epoch) multiset."""
+    from titan_spark.functions.text import tokenize
+    from titan_spark.pipeline.sampling import mix_corpus
+
+    d = tables(spark, sf_dir)["documents"]
+    out = mix_corpus(
+        d,
+        proportions={"src0": 5.0, "src1": 2.0, "src2": 1.0},
+        total_tokens=40_000,
+        token_count=F.size(tokenize(F.col("text"))),
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
+QUERIES["mix_corpus"] = q_mix_corpus
+
+
+def _mix_corpus_oracle() -> str:
+    from titan_spark.pipeline.sampling import _EPOCH_STRIDE, bucket_sql, mix_rates_sql
+
+    rates = mix_rates_sql(
+        {"src0": 5.0, "src1": 2.0, "src2": 1.0},
+        40_000,
+        f"len({_toks()})",
+    )
+    b = bucket_sql(f"(doc_id + CAST(e.epoch AS BIGINT) * {_EPOCH_STRIDE})")
+    return f"""
+        WITH {rates}
+        SELECT d.doc_id, d.source, CAST(e.epoch AS INT) AS epoch
+        FROM documents d
+        JOIN rates r ON d.source = r.source
+        CROSS JOIN LATERAL (SELECT unnest(range(r.k + 1)) AS epoch) e
+        WHERE e.epoch < r.k OR {b} < r.th
+    """
+
+
+ORACLE_SQL["mix_corpus"] = _mix_corpus_oracle()
