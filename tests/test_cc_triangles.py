@@ -136,3 +136,50 @@ def test_connected_components_warns_when_capped(spark):
         w.simplefilter("always")
         connected_components(PropertyGraph(v, e), max_iterations=1).collect()
     assert any("did not converge" in str(c.message) for c in caught)
+
+
+def test_k_core_cascading_peel(spark):
+    # path 0-1-2-3-4 hanging off a 4-cycle (5,6,7,8): the 2-core is the
+    # cycle alone, found only after the tail peels one layer per round
+    from pyspark.sql import functions as F
+
+    from titan_spark.compute.algorithms import k_core
+    from titan_spark.graph import PropertyGraph
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8), (8, 5)]
+    v = spark.range(9).select("id", F.lit("n").alias("label"))
+    e = spark.createDataFrame(
+        [(i, a, b, "l") for i, (a, b) in enumerate(edges)],
+        "edge_id long, src long, dst long, label string",
+    )
+    g = PropertyGraph(v, e)
+    core2 = {r["id"]: r["core_degree"] for r in k_core(g, k=2).collect()}
+    assert core2 == {5: 2, 6: 2, 7: 2, 8: 2}
+    # and an unconverged fixed-round prefix is still deterministic:
+    # round 1 peels the degree-1 endpoint 0; the output filter then
+    # also hides vertex 1, whose degree fell below k in the restricted
+    # edge set (it would be peeled next round)
+    one = {r["id"] for r in k_core(g, k=2, rounds=1).collect()}
+    assert one == {2, 3, 4, 5, 6, 7, 8}
+    # 3-core is empty (max degree in the 2-core is 2)
+    assert k_core(g, k=3).count() == 0
+
+
+def test_clustering_coefficient_closed_forms(spark):
+    # triangle with a pendant vertex: the apex (0) has d=3, T=1 -> 1/3;
+    # the two other triangle corners have d=2, T=1 -> 1.0; the pendant
+    # (3) has d=1 -> 0.0
+    from pyspark.sql import functions as F
+
+    from titan_spark.compute.algorithms import clustering_coefficient
+    from titan_spark.graph import PropertyGraph
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    v = spark.range(4).select("id", F.lit("n").alias("label"))
+    e = spark.createDataFrame(
+        [(i, a, b, "l") for i, (a, b) in enumerate(edges)],
+        "edge_id long, src long, dst long, label string",
+    )
+    got = {r["id"]: round(r["coefficient"], 6)
+           for r in clustering_coefficient(PropertyGraph(v, e)).collect()}
+    assert got == {0: round(1 / 3, 6), 1: 1.0, 2: 1.0, 3: 0.0}

@@ -1,6 +1,8 @@
 from titan_spark.compute.pregel import aggregate_messages, pregel
 from titan_spark.compute.algorithms import (
+    clustering_coefficient,
     connected_components,
+    k_core,
     label_propagation,
     degree_count,
     pagerank,
@@ -17,4 +19,6 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "triangle_count",
+    "k_core",
+    "clustering_coefficient",
 ]

@@ -376,3 +376,102 @@ def label_propagation(
         state = cut_lineage(state, eager=True, round_idx=i)
     und.unpersist(blocking=False)
     return state
+
+
+def k_core(
+    graph: PropertyGraph,
+    k: int,
+    rounds: int = 20,
+    edge_labels: tuple[str, ...] = (),
+) -> DataFrame:
+    """Vertices of the k-core (the maximal subgraph where every vertex
+    has degree ≥ k) → DataFrame(id, core_degree).
+
+    Iterative peeling: each round drops vertices whose degree within
+    the surviving subgraph is < k and restricts the edge set to
+    survivors; the fixpoint is the k-core (Matula & Beck 1983 — the
+    BSP form peels one "shell layer" per round). ``rounds`` bounds the
+    loop and is part of the operator's reproducible contract (an
+    unconverged prefix is still deterministic, which is what lets a
+    fixed-round SQL oracle replay it verbatim); the loop early-stops
+    the cheap way — when a round removes no edges the remaining rounds
+    are no-ops in both engines.
+
+    Scale shape: per round one degree aggregation plus two semi-joins,
+    all keyed on vertex id over the *surviving* edge set, which only
+    shrinks; lineage is cut per round (periodic storage spill — see
+    checkpointing.SPILL_PERIOD).
+    """
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    sym = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    sym = cut_lineage(sym, eager=True)
+    n_edges = sym.count()
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(sym.sparkSession, n_edges):
+        for i in range(rounds):
+            deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.filter(F.col("d") >= k).select(F.col("u").alias("id"))
+            new_sym = (
+                sym.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+                .select("u", "v")
+            )
+            new_sym = cut_lineage(new_sym, eager=True, round_idx=i)
+            n_new = new_sym.count()
+            sym = new_sym
+            if n_new == n_edges:
+                break
+            n_edges = n_new
+    return (
+        sym.groupBy(F.col("u").alias("id"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
+
+
+def clustering_coefficient(
+    graph: PropertyGraph, edge_labels: tuple[str, ...] = ()
+) -> DataFrame:
+    """Local clustering coefficient → (id, coefficient) = 2·T(v) /
+    (d(v)·(d(v)−1)) over the deduplicated undirected neighborhood;
+    degree-0/1 vertices get 0.0. Composition of the degree-ordered
+    triangle count and one degree aggregation — no new shuffle shape.
+    """
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    tri = triangle_count(graph, edge_labels)
+    return (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce(F.col("d"), F.lit(0)) >= 2,
+                2.0 * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coefficient"),
+        )
+    )

@@ -2580,3 +2580,64 @@ def _mix_corpus_oracle() -> str:
 
 
 ORACLE_SQL["mix_corpus"] = _mix_corpus_oracle()
+
+
+def q_k_core(spark, sf_dir):
+    """8-core of the order–part–supplier co-lineitem graph (the
+    triangle_count fixture): iterative peeling to the maximal subgraph
+    with min-degree ≥ 8. The oracle replays the same fixed-round peel
+    as nested CTEs (converges after one peel on this graph at sf0.01;
+    both sides run the identical deterministic prefix, so parity holds
+    converged or not)."""
+    from titan_spark.compute.algorithms import k_core
+
+    g = graph(spark, sf_dir)
+    li = tables(spark, sf_dir)["lineitem"]
+    v = g.vertices.filter(F.col("label").isin(["order", "part", "supplier"])).select(
+        "id", "label"
+    )
+    base = g.edges.filter(F.col("label").isin(["contains", "supplied_by"])).select(
+        "edge_id", "src", "dst", "label"
+    )
+    extra = li.select(
+        F.lit(0).cast("long").alias("edge_id"),
+        (F.lit(OFF["order"]) + F.col("l_orderkey")).cast("long").alias("src"),
+        (F.lit(OFF["supplier"]) + F.col("l_suppkey")).cast("long").alias("dst"),
+        F.lit("assigned").alias("label"),
+    )
+    sub = PropertyGraph(v, base.unionByName(extra))
+    return k_core(sub, k=8, rounds=3)
+
+
+QUERIES["k_core"] = q_k_core
+
+
+def _k_core_oracle(k: int = 8, rounds: int = 3) -> str:
+    head = """
+    WITH e AS (
+        SELECT DISTINCT CAST(400000000000 + l_orderkey AS BIGINT) AS s,
+                        CAST(300000000000 + l_partkey AS BIGINT) AS t FROM lineitem
+        UNION
+        SELECT DISTINCT CAST(300000000000 + l_partkey AS BIGINT),
+                        CAST(200000000000 + l_suppkey AS BIGINT) FROM lineitem
+        UNION
+        SELECT DISTINCT CAST(400000000000 + l_orderkey AS BIGINT),
+                        CAST(200000000000 + l_suppkey AS BIGINT) FROM lineitem
+    ),
+    s0 AS (
+        SELECT s AS u, t AS v FROM e WHERE s <> t
+        UNION SELECT t, s FROM e WHERE s <> t
+    )"""
+    parts = [head]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    k{i} AS (SELECT u AS id FROM s{i - 1} GROUP BY u HAVING count(*) >= {k}),
+    s{i} AS (SELECT u, v FROM s{i - 1}
+             WHERE u IN (SELECT id FROM k{i}) AND v IN (SELECT id FROM k{i}))""")
+    parts.append(f"""
+    SELECT u AS id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM s{rounds} GROUP BY u HAVING count(*) >= {k}""")
+    return "".join(parts)
+
+
+ORACLE_SQL["k_core"] = _k_core_oracle()
