@@ -235,3 +235,20 @@ def test_mapping_legality_shim(spark):
         g.E().has("reason", P.lt("z"))
     with pytest.warns(UserWarning, match="Mapping.TEXT"):
         g.E().has("reason", P.between("a", "z"))
+
+
+def test_coin_constant_ids_labels(gods):
+    # coin: deterministic subset, repeatable, and monotone in p
+    few = {r["id"] for r in gods.V().coin_(0.3).ids().collect()}
+    again = {r["id"] for r in gods.V().coin_(0.3).ids().collect()}
+    more = {r["id"] for r in gods.V().coin_(0.9).ids().collect()}
+    assert few == again and few <= more
+    assert 0 < len(few) < 12
+    # coin(1.0) keeps everyone
+    assert gods.V().coin_(1.0).count_value() == 12
+    # constant maps each traverser to the literal
+    rows = gods.V().has_label("god").constant_("x").collect()
+    assert [r["constant"] for r in rows] == ["x"] * 3
+    # label() projects the element label, incl. after a hop
+    labs = {r["label"] for r in gods.V().has("name", "hercules").out("father").labels().collect()}
+    assert labs == {"god"}

@@ -1015,6 +1015,36 @@ class GraphTraversal:
             order_specs=(),
         )
 
+    def coin_(self, p: float, seed: int = 0) -> "GraphTraversal":
+        """Gremlin ``coin(p)``, deterministically: keep a traverser iff
+        its element id's hash bucket falls below ``p`` — the same
+        closed-form hash (and the same documented divergence from
+        Gremlin's random draw) as :meth:`sample_` and
+        pipeline/sampling.py. A narrow filter: no shuffle, evaluated at
+        the scan, prunes early at any scale."""
+        from titan_spark.pipeline.sampling import _BUCKETS, hash_bucket
+
+        return self._with(
+            self._df.filter(
+                hash_bucket(F.col(self._id_col()), seed) < F.lit(int(p * _BUCKETS))
+            )
+        )
+
+    def constant_(self, value, name: str = "constant") -> DataFrame:
+        """Gremlin ``constant(v)``: map every traverser to ``v`` —
+        one literal column per surviving traverser."""
+        return self._df.select(F.lit(value).alias(name))
+
+    def ids(self) -> DataFrame:
+        """Gremlin ``id()``: the current element id per traverser."""
+        self._ensure_cols()
+        return self._df.select(F.col(self._id_col()).alias("id"))
+
+    def labels(self) -> DataFrame:
+        """Gremlin ``label()``: the current element label per traverser."""
+        self._ensure_cols()
+        return self._df.select(self.col("label").alias("label"))
+
     def dedup(self, *cols: str) -> "GraphTraversal":
         """Dedup traversers by current element id (U1/U2)."""
         if cols and any(c not in self._df.columns for c in cols):
