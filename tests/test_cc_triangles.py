@@ -183,3 +183,29 @@ def test_clustering_coefficient_closed_forms(spark):
     got = {r["id"]: round(r["coefficient"], 6)
            for r in clustering_coefficient(PropertyGraph(v, e)).collect()}
     assert got == {0: round(1 / 3, 6), 1: 1.0, 2: 1.0, 3: 0.0}
+
+
+def test_k_truss_peels_to_k4(spark):
+    # K4 on {0,1,2,3} (every edge in 2 triangles) plus a triangle
+    # {3,4,5} hanging off it (each of its edges in exactly 1 triangle):
+    # the 4-truss is K4 alone; the 3-truss keeps both
+    from pyspark.sql import functions as F
+
+    from titan_spark.compute.algorithms import k_truss
+    from titan_spark.graph import PropertyGraph
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(3, 4), (4, 5), (3, 5)]
+    edges = k4 + tail
+    v = spark.range(6).select("id", F.lit("n").alias("label"))
+    e = spark.createDataFrame(
+        [(i, a, b, "l") for i, (a, b) in enumerate(edges)],
+        "edge_id long, src long, dst long, label string",
+    )
+    g = PropertyGraph(v, e)
+    t4 = {(r["a"], r["b"]): r["support"] for r in k_truss(g, k=4).collect()}
+    assert set(t4) == set(k4) and all(s == 2 for s in t4.values())
+    t3 = {(r["a"], r["b"]) for r in k_truss(g, k=3).collect()}
+    assert t3 == set(edges)
+    # 5-truss of this graph is empty (K4 supports at most k=4)
+    assert k_truss(g, k=5).count() == 0

@@ -3,6 +3,7 @@ from titan_spark.compute.algorithms import (
     clustering_coefficient,
     connected_components,
     k_core,
+    k_truss,
     label_propagation,
     degree_count,
     pagerank,
@@ -20,5 +21,6 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "k_core",
+    "k_truss",
     "clustering_coefficient",
 ]

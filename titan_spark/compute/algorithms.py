@@ -252,6 +252,31 @@ def degree_oriented_edges(und: DataFrame) -> DataFrame:
     )
 
 
+def _enumerate_triangles(oriented: DataFrame) -> DataFrame:
+    """Each undirected triangle exactly once → (v1, v2, v3), where v1
+    is the wedge source and (v2, v3) the heads in (degree, id) order,
+    over a :func:`degree_oriented_edges` edge set. Wedge (u→v, u→w)
+    with (dv, v) < (dw, w); the closing edge {v, w}, if present, is
+    oriented v→w under the same total order."""
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.select("u", "v").alias("e3")
+    heads_ordered = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    return (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & heads_ordered)
+        .join(
+            e3,
+            (F.col("e1.v") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.u").alias("v1"), F.col("e1.v").alias("v2"), F.col("e2.v").alias("v3")
+        )
+    )
+
+
 def triangle_count(graph: PropertyGraph, edge_labels: tuple[str, ...] = ()) -> DataFrame:
     """Undirected triangle count per vertex → (id, triangles).
 
@@ -278,23 +303,7 @@ def triangle_count(graph: PropertyGraph, edge_labels: tuple[str, ...] = ()) -> D
         .dropDuplicates(["a", "b"])
     )
     oriented = degree_oriented_edges(und).cache()
-    # wedge (u→v, u→w) with (dv, v) < (dw, w); the closing edge {v, w},
-    # if present, is oriented v→w under the same total order
-    e1 = oriented.alias("e1")
-    e2 = oriented.alias("e2")
-    e3 = oriented.select("u", "v").alias("e3")
-    heads_ordered = (F.col("e1.dv") < F.col("e2.dv")) | (
-        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
-    )
-    tri = (
-        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & heads_ordered)
-        .join(
-            e3,
-            (F.col("e1.v") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
-            "left_semi",
-        )
-        .select(F.col("e1.u").alias("v1"), F.col("e1.v").alias("v2"), F.col("e2.v").alias("v3"))
-    )
+    tri = _enumerate_triangles(oriented)
     per_vertex = (
         tri.select(F.explode(F.array("v1", "v2", "v3")).alias("id"))
         .groupBy("id")
@@ -474,4 +483,80 @@ def clustering_coefficient(
             .otherwise(F.lit(0.0))
             .alias("coefficient"),
         )
+    )
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a normalized (a < b) undirected
+    edge set → (a, b, support). Triangles enumerate degree-oriented
+    (hub-safe); each triangle credits its three normalized edges."""
+    tri = _enumerate_triangles(degree_oriented_edges(und))
+    edges3 = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("v1", "v2").alias("a"), F.greatest("v1", "v2").alias("b")
+                ),
+                F.struct(
+                    F.least("v1", "v3").alias("a"), F.greatest("v1", "v3").alias("b")
+                ),
+                F.struct(
+                    F.least("v2", "v3").alias("a"), F.greatest("v2", "v3").alias("b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    return edges3.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+
+
+def k_truss(
+    graph: PropertyGraph,
+    k: int,
+    rounds: int = 20,
+    edge_labels: tuple[str, ...] = (),
+) -> DataFrame:
+    """Edges of the k-truss (the maximal subgraph where every edge lies
+    in ≥ k−2 triangles) → DataFrame(a, b, support), a < b, support
+    within the truss.
+
+    Edge-support peeling (Cohen 2008): each round recounts per-edge
+    triangle support over the surviving edges and drops edges below
+    k−2; the fixpoint is the k-truss. Like :func:`k_core`, ``rounds``
+    is part of the reproducible contract — a fixed-round prefix is
+    deterministic, so a generated SQL oracle replays it verbatim —
+    and the loop early-stops once a round removes nothing. The
+    per-round triangle pass reuses the degree-ordered enumeration, so
+    wedge work stays arboricity-bounded on every round (the edge set
+    only shrinks).
+    """
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    und = cut_lineage(und, eager=True)
+    n_edges = und.count()
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(und.sparkSession, n_edges):
+        for i in range(rounds):
+            sup = _edge_support(und)
+            new_und = (
+                und.join(sup, ["a", "b"], "left")
+                .filter(F.coalesce("support", F.lit(0)) >= k - 2)
+                .select("a", "b")
+            )
+            new_und = cut_lineage(new_und, eager=True, round_idx=i)
+            n_new = new_und.count()
+            und = new_und
+            if n_new == n_edges:
+                break
+            n_edges = n_new
+        final = _edge_support(und)
+    return (
+        und.join(final, ["a", "b"], "left")
+        .select("a", "b", F.coalesce("support", F.lit(0)).alias("support"))
     )

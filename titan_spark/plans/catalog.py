@@ -2641,3 +2641,58 @@ def _k_core_oracle(k: int = 8, rounds: int = 3) -> str:
 
 
 ORACLE_SQL["k_core"] = _k_core_oracle()
+
+
+def q_k_truss(spark, sf_dir):
+    """4-truss by edge-support peeling (Cohen 2008) on the
+    deterministic K4-chain fixture: 2,000 four-cliques whose edges each
+    lie in exactly 2 triangles (all kept at k=4) joined by connector
+    edges in no triangle (peeled in round 1). The oracle replays the
+    same fixed-round peel with id-ordered triangle CTEs
+    (orientation-invariant on support counts)."""
+    from titan_spark.compute.algorithms import k_truss
+    from titan_spark.sources.fixtures import k4_chain_graph
+
+    return k_truss(k4_chain_graph(spark, 2000), k=4, rounds=2)
+
+
+QUERIES["k_truss"] = q_k_truss
+
+
+def _k_truss_oracle(k: int = 4, rounds: int = 2, n_blocks: int = 2000) -> str:
+    head = f"""
+    WITH blocks AS (SELECT unnest(range({n_blocks})) AS b),
+    s0 AS (
+        SELECT b*4 + p.po AS a, b*4 + p.qo AS b FROM blocks,
+            (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) p(po, qo)
+        UNION ALL
+        SELECT b*4 + 3, b*4 + 4 FROM blocks WHERE b < {n_blocks - 1}
+    )"""
+    parts = [head]
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    t{i} AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+             FROM {prev} e1 JOIN {prev} e2 ON e1.b = e2.a
+             JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b),
+    p{i} AS (SELECT v1 AS a, v2 AS b FROM t{i}
+             UNION ALL SELECT v1, v3 FROM t{i}
+             UNION ALL SELECT v2, v3 FROM t{i}),
+    sup{i} AS (SELECT a, b, count(*) AS s FROM p{i} GROUP BY a, b),
+    s{i} AS (SELECT e.a, e.b FROM {prev} e JOIN sup{i} USING (a, b)
+             WHERE sup{i}.s >= {k - 2})""")
+        prev = f"s{i}"
+    parts.append(f""",
+    tf AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+           FROM {prev} e1 JOIN {prev} e2 ON e1.b = e2.a
+           JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pf AS (SELECT v1 AS a, v2 AS b FROM tf
+           UNION ALL SELECT v1, v3 FROM tf
+           UNION ALL SELECT v2, v3 FROM tf),
+    supf AS (SELECT a, b, count(*) AS s FROM pf GROUP BY a, b)
+    SELECT e.a, e.b, CAST(coalesce(supf.s, 0) AS BIGINT) AS support
+    FROM {prev} e LEFT JOIN supf USING (a, b)""")
+    return "".join(parts)
+
+
+ORACLE_SQL["k_truss"] = _k_truss_oracle()

@@ -55,3 +55,31 @@ def supernode_graph(
         F.lit("hubout").alias("label"),
     )
     return PropertyGraph(v, ring.unionByName(spokes).unionByName(hub_out))
+
+
+def k4_chain_graph(spark: SparkSession, n_blocks: int = 2000) -> PropertyGraph:
+    """Deterministic truss fixture: ``n_blocks`` disjoint K4 cliques
+    (vertices ``4b..4b+3``) chained by single connector edges
+    ``4b+3 → 4b+4``. Every clique edge lies in exactly 2 triangles
+    (the 4-truss keeps all of them); every connector lies in none (any
+    truss drops it on the first peel). Pure column arithmetic over
+    ``spark.range`` — replayable verbatim in a SQL oracle."""
+    v = spark.range(4 * n_blocks).select(F.col("id"), F.lit("node").alias("label"))
+    blocks = spark.range(n_blocks)
+    pair_offsets = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    clique = None
+    for i, (p, q) in enumerate(pair_offsets):
+        part = blocks.select(
+            (F.col("id") + (i + 1) * 1_000_000_000).alias("edge_id"),
+            (F.col("id") * 4 + p).alias("src"),
+            (F.col("id") * 4 + q).alias("dst"),
+            F.lit("clique").alias("label"),
+        )
+        clique = part if clique is None else clique.unionByName(part)
+    connectors = spark.range(n_blocks - 1).select(
+        (F.col("id") + 7_000_000_000).alias("edge_id"),
+        (F.col("id") * 4 + 3).alias("src"),
+        (F.col("id") * 4 + 4).alias("dst"),
+        F.lit("link").alias("label"),
+    )
+    return PropertyGraph(v, clique.unionByName(connectors))
