@@ -218,3 +218,26 @@ def test_cut_lineage_periodic_spill_keeps_long_loops_flat(spark):
     # and the loop still computes the right thing: one 50-node chain
     comps = {r["component"] for r in state.collect()}
     assert comps == {0}
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    from pyspark.sql import functions as F
+
+    from titan_spark.compute.algorithms import personalized_pagerank
+    from titan_spark.graph import PropertyGraph
+
+    # two disjoint 2-chains: 0->1, 2->3; seeding {0} must leave the
+    # {2,3} component at exactly zero mass, with closed-form values on
+    # the seeded chain
+    v = spark.range(4).select("id", F.lit("n").alias("label"))
+    e = spark.createDataFrame(
+        [(0, 0, 1, "l"), (1, 2, 3, "l")],
+        "edge_id long, src long, dst long, label string",
+    )
+    g = PropertyGraph(v, e)
+    got = {r["id"]: round(r["ppr"], 9)
+           for r in personalized_pagerank(g, [0], alpha=0.85, iterations=3).collect()}
+    # fixpoint on the chain: ppr(0) = 0.15, ppr(1) = 0.85 * ppr(0)
+    assert got[0] == 0.15
+    assert got[1] == round(0.85 * 0.15, 9)
+    assert got[2] == 0.0 and got[3] == 0.0

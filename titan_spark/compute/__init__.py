@@ -7,6 +7,7 @@ from titan_spark.compute.algorithms import (
     label_propagation,
     degree_count,
     pagerank,
+    personalized_pagerank,
     shortest_distance,
     triangle_count,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "aggregate_messages",
     "pregel",
     "pagerank",
+    "personalized_pagerank",
     "shortest_distance",
     "degree_count",
     "connected_components",

@@ -560,3 +560,60 @@ def k_truss(
         und.join(final, ["a", "b"], "left")
         .select("a", "b", F.coalesce("support", F.lit(0)).alias("support"))
     )
+
+
+def personalized_pagerank(
+    graph: PropertyGraph,
+    seed_ids,
+    alpha: float = 0.85,
+    iterations: int = 10,
+    edge_labels: tuple[str, ...] = (),
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Personalized PageRank → DataFrame(id, ppr): the random walk
+    restarts into the seed set instead of the uniform vector —
+    PR_{t+1}(v) = (1−α)·1[v ∈ S]/|S| + α·Σ_{u→v} PR_t(u)/outdeg(u),
+    initial mass 1/|S| on each seed. Same loop shape as
+    :func:`pagerank` (cached contribution edges, one shuffle per
+    round, lineage cut per round); the restart vector is a broadcast
+    ``isin`` literal — fine for seed sets up to thousands, beyond that
+    pass seeds as a DataFrame join instead.
+    """
+    seeds = [int(s) for s in seed_ids]
+    if not seeds:
+        raise ValueError("personalized_pagerank requires at least one seed")
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    e = e.select("src", "dst")
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    contrib_e = e.join(outdeg, "src").cache()
+
+    seed_mass = 1.0 / len(seeds)
+    is_seed = F.col("id").isin(seeds)
+    base = F.when(is_seed, F.lit((1.0 - alpha) * seed_mass)).otherwise(F.lit(0.0))
+    ranks = graph.vertices.select("id").withColumn(
+        "ppr", F.when(is_seed, F.lit(seed_mass)).otherwise(F.lit(0.0))
+    )
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        msgs = (
+            contrib_e.join(state, contrib_e["src"] == state["id"])
+            .select(F.col("dst").alias("id"), (F.col("ppr") / F.col("outdeg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        return (
+            state.drop("ppr")
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                (base + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias("ppr"),
+            )
+        )
+
+    try:
+        out = run_iterations(ranks, step, iterations, checkpoint_every)
+        return cut_lineage(out, eager=True)
+    finally:
+        contrib_e.unpersist(blocking=False)

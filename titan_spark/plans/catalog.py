@@ -2696,3 +2696,71 @@ def _k_truss_oracle(k: int = 4, rounds: int = 2, n_blocks: int = 2000) -> str:
 
 
 ORACLE_SQL["k_truss"] = _k_truss_oracle()
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank with the restart vector on customers
+    1..50 over the geography DAG (3 iterations reach the fixpoint on a
+    depth-2 DAG); nonzero mass only on the seeds and their
+    nation/region closure."""
+    from titan_spark.compute.algorithms import personalized_pagerank
+
+    sub = _geo_subgraph(spark, sf_dir)
+    seeds = [OFF["customer"] + i for i in range(1, 51)]
+    pr = personalized_pagerank(sub, seeds, alpha=0.85, iterations=3)
+    return pr.select("id", F.round("ppr", 12).alias("ppr")).filter(F.col("ppr") > 0)
+
+
+QUERIES["personalized_pagerank"] = q_personalized_pagerank
+
+ORACLE_SQL["personalized_pagerank"] = """
+    WITH verts AS (
+        SELECT CAST(100000000000 + c_custkey AS BIGINT) AS id FROM customer
+        UNION ALL SELECT CAST(200000000000 + s_suppkey AS BIGINT) FROM supplier
+        UNION ALL SELECT CAST(500000000000 + n_nationkey AS BIGINT) FROM nation
+        UNION ALL SELECT CAST(600000000000 + r_regionkey AS BIGINT) FROM region
+    ),
+    e AS (
+        SELECT CAST(100000000000 + c_custkey AS BIGINT) AS src,
+               CAST(500000000000 + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST(200000000000 + s_suppkey AS BIGINT),
+               CAST(500000000000 + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST(500000000000 + n_nationkey AS BIGINT),
+               CAST(600000000000 + n_regionkey AS BIGINT) FROM nation
+    ),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+    s AS (SELECT CAST(100000000000 + i AS BIGINT) AS id
+          FROM (SELECT unnest(range(1, 51)) AS i)),
+    r0 AS (SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0 / 50 ELSE 0.0 END AS pr
+           FROM verts v LEFT JOIN s ON s.id = v.id),
+    r1 AS (
+        SELECT v.id,
+               (CASE WHEN s.id IS NOT NULL THEN (1 - 0.85) * (1.0 / 50) ELSE 0.0 END)
+               + 0.85 * COALESCE(m.sm, 0) AS pr
+        FROM verts v LEFT JOIN s ON s.id = v.id
+        LEFT JOIN (SELECT e.dst AS id, SUM(r.pr / d.outdeg) AS sm
+                   FROM e JOIN r0 r ON r.id = e.src
+                   JOIN deg d ON d.src = e.src GROUP BY 1) m ON m.id = v.id
+    ),
+    r2 AS (
+        SELECT v.id,
+               (CASE WHEN s.id IS NOT NULL THEN (1 - 0.85) * (1.0 / 50) ELSE 0.0 END)
+               + 0.85 * COALESCE(m.sm, 0) AS pr
+        FROM verts v LEFT JOIN s ON s.id = v.id
+        LEFT JOIN (SELECT e.dst AS id, SUM(r.pr / d.outdeg) AS sm
+                   FROM e JOIN r1 r ON r.id = e.src
+                   JOIN deg d ON d.src = e.src GROUP BY 1) m ON m.id = v.id
+    ),
+    r3 AS (
+        SELECT v.id,
+               (CASE WHEN s.id IS NOT NULL THEN (1 - 0.85) * (1.0 / 50) ELSE 0.0 END)
+               + 0.85 * COALESCE(m.sm, 0) AS pr
+        FROM verts v LEFT JOIN s ON s.id = v.id
+        LEFT JOIN (SELECT e.dst AS id, SUM(r.pr / d.outdeg) AS sm
+                   FROM e JOIN r2 r ON r.id = e.src
+                   JOIN deg d ON d.src = e.src GROUP BY 1) m ON m.id = v.id
+    )
+    SELECT id, ROUND(pr, 12) AS ppr FROM r3 WHERE ROUND(pr, 12) > 0
+"""
