@@ -115,3 +115,58 @@ def test_profile_metrics(gods):
     assert prof["seconds"] > 0
     # gods is an in-memory fixture: no parquet scans, but the hop joins show
     assert "Join" in prof["plan"]
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, sf_dir, tmp_path):
+    from titan_spark.sources.tpch import load_tables
+    from titan_spark.streaming.windows import enrich_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    # static dim: a derived user attribute table
+    dim = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_events"))
+    )
+    out = enrich_stream(ev, dim, "user_id").select("event_id", "user_id", "user_events")
+    run_to_memory_sink(out, "enriched", str(tmp_path / "ck_enr"), output_mode="append")
+    got = spark.sql("SELECT * FROM enriched")
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .join(dim, "user_id")
+        .select("event_id", "user_id", "user_events")
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_stream_stream_correlation_bounded_interval(spark, sf_dir, tmp_path):
+    from titan_spark.sources.tpch import load_tables
+    from titan_spark.streaming.windows import correlate_streams
+
+    ev1 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    ev2 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    out = correlate_streams(ev1, ev2, key="user_id", within="10 minutes").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("r_ts").alias("view_ts"),
+    )
+    run_to_memory_sink(out, "corr", str(tmp_path / "ck_corr"), output_mode="append")
+    got = spark.sql("SELECT * FROM corr")
+    # batch oracle: same interval self-join over the static table
+    e = load_tables(spark, sf_dir)["events"]
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("view_ts")
+    )
+    batch = c.join(
+        v,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("click_ts") >= F.col("view_ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 minutes")),
+    )
+    assert got.count() == batch.count()
+    assert got.count() > 0

@@ -110,3 +110,48 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, checkpoint: str, output_
     )
     q.awaitTermination(300)
     return q
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream–static enrichment join: attach dimension attributes to a
+    stream with NO streaming state — Spark re-plans the static side per
+    micro-batch (it may broadcast under AQE), so dimension updates are
+    picked up between batches and nothing accumulates. The canonical
+    ingest-enrichment shape (events × user/account/catalog dims)."""
+    return events.join(dim, on, how)
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Stream–stream interval join: pair records of two streams sharing
+    ``key`` whose event times fall within ``within`` of each other.
+
+    Both sides carry watermarks and the join predicate bounds the time
+    difference in BOTH directions, so each side's state store holds
+    only (watermark + within) worth of rows — the bounded-state form
+    Structured Streaming requires for stream-stream equi-joins. The
+    classic correlation shape: click↔impression, request↔response,
+    order↔payment. Every right-side column comes back prefixed ``r_``
+    (the two streams usually share a schema; unprefixed output would be
+    ambiguous), except the join key, which is dropped.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns]).withWatermark(
+        f"r_{right_ts}", watermark
+    )
+    lt, rt = l[left_ts], r[f"r_{right_ts}"]
+    cond = (
+        (lt >= rt - F.expr(f"INTERVAL {within}"))
+        & (lt <= rt + F.expr(f"INTERVAL {within}"))
+        & (l[key] == r[f"r_{key}"])
+    )
+    return l.join(r, cond).drop(f"r_{key}")
