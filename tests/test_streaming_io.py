@@ -106,3 +106,27 @@ def test_ttl_filter(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     kept = s.ttl_filter(df, "label", "ts", now_expr=now)
     assert {r["edge_id"] for r in kept.collect()} == {1, 3}
+
+
+def test_multimodal_resize_stub(spark):
+    from titan_spark.pipeline.multimodal import make_media_table, resize_images
+
+    src = spark.createDataFrame(
+        [(1, b"imagebytes-aaaa"), (2, b"imagebytes-bbbb")], "id long, payload binary"
+    )
+    media = make_media_table(src, "id", F.col("payload"), "image")
+    out = resize_images(media, width=64, height=32).collect()
+    by_id = {r["media_id"]: r for r in out}
+    # meta carries the target resolution; payload size tracks it
+    assert by_id[1]["meta"]["width"] == 64 and by_id[1]["meta"]["height"] == 32
+    expected_len = ((64 * 32) // 256 + 1) * 32  # sha256 blocks
+    assert len(by_id[1]["payload"]) == expected_len
+    # deterministic, and distinct inputs give distinct outputs
+    again = {r["media_id"]: r["payload"] for r in resize_images(media, 64, 32).collect()}
+    assert again[1] == by_id[1]["payload"] and again[1] != again[2]
+    # non-image rows pass through untouched
+    audio = make_media_table(src, "id", F.col("payload"), "audio")
+    pas = resize_images(audio, 64, 32).collect()
+    assert all(bytes(r["payload"]) == b and r["meta"]["width"] is None
+               for r, b in zip(sorted(pas, key=lambda r: r["media_id"]),
+                               [b"imagebytes-aaaa", b"imagebytes-bbbb"]))

@@ -99,3 +99,60 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.filter(F.col("kind") == "video").select(
         "media_id", F.explode(ts).alias("frame_ms")
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width: int, height: int, sample_rate: int, duration_ms: int>"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resize each image payload via mapInPandas (Arrow batches), same
+    contract as :func:`extract_features`: the real implementation point
+    is the codec call (PIL decode → resize → re-encode); the stub
+    derives a deterministic fake payload of size ∝ width·height from
+    the source bytes so schema, batching, and meta propagation are
+    fully testable. Non-image rows pass through untouched.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
+                meta = dict(meta) if meta is not None else {}
+                if kind != "image":
+                    out_payload.append(payload)
+                    out_meta.append(meta)
+                    continue
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real image resize requires PIL (not in container); "
+                        "run with decode_stub=True for the deterministic fake kernel"
+                    )
+                # fake resize: sha256-keyed stream of width*height//256 + 1
+                # blocks — size tracks the target resolution, content is a
+                # pure function of (source bytes, target size)
+                n_blocks = (width * height) // 256 + 1
+                seed = hashlib.sha256(
+                    (payload or b"") + f"{width}x{height}".encode()
+                ).digest()
+                blocks, buf = [], seed
+                for _ in range(n_blocks):
+                    buf = hashlib.sha256(buf).digest()
+                    blocks.append(buf)
+                out_payload.append(b"".join(blocks))
+                meta.update({"width": width, "height": height})
+                out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(kernel, RESIZED_SCHEMA)
