@@ -2764,3 +2764,24 @@ ORACLE_SQL["personalized_pagerank"] = """
     )
     SELECT id, ROUND(pr, 12) AS ppr FROM r3 WHERE ROUND(pr, 12) > 0
 """
+
+
+# --------------------------------------------------------------------------
+# Driver-slot curation (COVERAGE.md policy): the driver value-checks the
+# FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
+# mix_corpus / k_core into that prefix, each displacing a family-duplicate
+# that stays green under the local gate: multi_card_values (family kept by
+# multi_card_contains), aggregate_without (side-effect family kept by
+# where_exists_twohop + union_dedup_nations), lsh_ann (ANN family kept by
+# kmeans_cells, which exercises ivf_assign).
+_SLOT_SWAPS = [
+    ("line_dedup", "multi_card_values"),
+    ("mix_corpus", "aggregate_without"),
+    ("k_core", "lsh_ann"),
+]
+_order = list(QUERIES)
+for _new, _old in _SLOT_SWAPS:
+    _order.remove(_new)
+    _order[_order.index(_old)] = _new
+    _order.append(_old)
+QUERIES = {k: QUERIES[k] for k in _order}
