@@ -99,3 +99,22 @@ def test_visibility_implicit_key(spark):
     g2 = PropertyGraph(v.drop("_vis"), e)
     t2 = g2.V()
     assert [r["vis"] for r in t2.to_df(t2.col("~visibility").alias("vis")).collect()] == [None, None]
+
+
+def test_schema_describe_print_schema_analog():
+    from titan_spark.schema import Cardinality, GraphSchema, Multiplicity
+
+    s = GraphSchema()
+    s.make_vertex_label("person")
+    s.make_vertex_label("god", static=True)
+    s.make_edge_label(
+        "battled", Multiplicity.MULTI, sort_key=("time",),
+        src_labels=("person",), dst_labels=("monster",),
+    )
+    s.make_property_key("age", "int", Cardinality.SINGLE)
+    s.make_property_key("nicknames", "string", Cardinality.SET)
+    out = s.describe()
+    assert "--- Vertex Labels ---" in out and "god: partitioned=False, static=True" in out
+    assert "battled: MULTI" in out and "sortKey=['time']" in out
+    assert "['person'] -> ['monster']" in out
+    assert "age: int, SINGLE" in out and "nicknames: string, SET" in out

@@ -363,3 +363,33 @@ class GraphSchema:
         if ts_col not in vertex_properties.columns:
             return vertex_properties
         return vertex_properties.filter(cond)
+
+
+    # -- inspection API (ManagementSystem.printSchema / getVertexLabels /
+    # getRelationTypes analog, docs/schema.txt) --
+    def describe(self) -> str:
+        """Human-readable schema dump — the ``mgmt.printSchema()``
+        analog: one section per element kind, deterministic order."""
+        lines = ["--- Vertex Labels ---"]
+        lines += [
+            f"{v.name}: partitioned={v.partitioned}, static={v.static}, "
+            f"ttl={v.ttl_seconds}"
+            for v in (self.vertex_labels[k] for k in sorted(self.vertex_labels))
+        ] or ["(none)"]
+        lines.append("--- Edge Labels ---")
+        for e in (self.edge_labels[k] for k in sorted(self.edge_labels)):
+            endp = ""
+            if e.src_labels or e.dst_labels:
+                endp = f", {list(e.src_labels)} -> {list(e.dst_labels)}"
+            sk = f", sortKey={list(e.sort_key)}" if e.sort_key else ""
+            lines.append(
+                f"{e.name}: {e.multiplicity.name}, unidirected={e.unidirected}, "
+                f"ttl={e.ttl_seconds}{sk}{endp}"
+            )
+        lines.append("--- Property Keys ---")
+        lines += [
+            f"{p.name}: {p.data_type}, {p.cardinality.name}, "
+            f"mapping={p.mapping.name}, ttl={p.ttl_seconds}"
+            for p in (self.property_keys[k] for k in sorted(self.property_keys))
+        ]
+        return "\n".join(lines)
