@@ -64,8 +64,16 @@ HEADLINE = [
     "quantize_embeddings",
     "label_propagation",
     "weighted_distance",
-    # round 5: supernode hop skew (AQE split proof at bench scale)
+    # round 5: supernode hop skew (AQE split proof at bench scale),
+    # corpus line dedup, token-budget mixture sampling, graph
+    # decompositions (peeling loops exercise the checkpoint spill),
+    # seeded PageRank
     "skew_two_hop",
+    "line_dedup",
+    "mix_corpus",
+    "k_core",
+    "k_truss",
+    "personalized_pagerank",
 ]
 
 

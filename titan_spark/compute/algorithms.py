@@ -420,7 +420,9 @@ def k_core(
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
     )
-    sym = cut_lineage(sym, eager=True)
+    # initial state spills to storage too: one less edge-set-sized
+    # localCheckpoint living in executor memory for the whole loop
+    sym = cut_lineage(sym, eager=True, round_idx=0, spill_period=1)
     n_edges = sym.count()
     from titan_spark.compute.checkpointing import scoped_shuffle_partitions
 
@@ -433,7 +435,7 @@ def k_core(
                 .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
                 .select("u", "v")
             )
-            new_sym = cut_lineage(new_sym, eager=True, round_idx=i)
+            new_sym = cut_lineage(new_sym, eager=True, round_idx=i, spill_period=1)
             n_new = new_sym.count()
             sym = new_sym
             if n_new == n_edges:
@@ -537,7 +539,7 @@ def k_truss(
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )
-    und = cut_lineage(und, eager=True)
+    und = cut_lineage(und, eager=True, round_idx=0, spill_period=1)
     n_edges = und.count()
     from titan_spark.compute.checkpointing import scoped_shuffle_partitions
 
@@ -549,7 +551,7 @@ def k_truss(
                 .filter(F.coalesce("support", F.lit(0)) >= k - 2)
                 .select("a", "b")
             )
-            new_und = cut_lineage(new_und, eager=True, round_idx=i)
+            new_und = cut_lineage(new_und, eager=True, round_idx=i, spill_period=1)
             n_new = new_und.count()
             und = new_und
             if n_new == n_edges:

@@ -68,15 +68,27 @@ def _spill_path(spark) -> str:
     return os.path.join(_local_spill_root, str(n))
 
 
-def cut_lineage(df: DataFrame, eager: bool = True, round_idx: int | None = None) -> DataFrame:
+def cut_lineage(
+    df: DataFrame,
+    eager: bool = True,
+    round_idx: int | None = None,
+    spill_period: int = SPILL_PERIOD,
+) -> DataFrame:
     """Truncate ``df``'s lineage, reliably when the session allows it.
 
-    Iterative loops pass their ``round_idx`` so every SPILL_PERIOD-th
+    Iterative loops pass their ``round_idx`` so every ``spill_period``-th
     cut routes through parquet write+read, resetting the chained-cut
     depth that otherwise decays exponentially past ~17 rounds (see
     SPILL_PERIOD). One-shot cuts (no ``round_idx``) never spill.
+
+    Loops whose per-round state is EDGE-SET-sized (k-core / k-truss
+    peels hold the whole surviving edge relation, not a row per vertex)
+    pass ``spill_period=1``: localCheckpoint blocks from prior rounds
+    are only reclaimed lazily by the context cleaner, so a big state
+    checkpointed every round stacks multiple copies in executor memory;
+    the parquet spill keeps each round's state on disk instead.
     """
-    if round_idx is not None and (round_idx + 1) % SPILL_PERIOD == 0:
+    if round_idx is not None and (round_idx + 1) % spill_period == 0:
         try:
             path = _spill_path(df.sparkSession)
             df.write.mode("overwrite").parquet(path)

@@ -136,23 +136,27 @@ def mix_corpus(
         .agg(F.sum(token_count).alias("toks"))
         .collect()
     }
-    full_e = F.lit(None).cast("int")
-    frac_th = F.lit(None).cast("long")
-    for s, w in sorted(proportions.items()):
-        if s not in stats or not stats[s]:
-            continue
-        n_epochs = (total_tokens * w / totw) / stats[s]
-        k = int(n_epochs)
-        th = int((n_epochs - k) * _BUCKETS)
-        full_e = F.when(F.col(source_col) == s, F.lit(k)).otherwise(full_e)
-        frac_th = F.when(F.col(source_col) == s, F.lit(th)).otherwise(frac_th)
+    # per-source (full epochs, fractional threshold), shipped as a
+    # BROADCAST rates table rather than a per-source CASE chain — a CASE
+    # grows the plan (and every task binary) linearly in the number of
+    # sources, which bloats at the tens of thousands of domains a web
+    # corpus has; the join keeps plan size O(1) in sources
+    rates = [
+        (s, int(n), int((n - int(n)) * _BUCKETS))
+        for s, w in sorted(proportions.items())
+        if stats.get(s)
+        for n in [(total_tokens * w / totw) / stats[s]]
+    ]
+    if not rates:
+        return df.filter(F.lit(False)).withColumn("epoch", F.lit(0))
+    rates_df = df.sparkSession.createDataFrame(
+        rates, f"{source_col} string, _k int, _th long"
+    )
     b = lambda epoch: hash_bucket(  # noqa: E731
         F.col(id_col) + epoch.cast("long") * F.lit(_EPOCH_STRIDE), seed
     )
     return (
-        df.withColumn("_k", full_e)
-        .withColumn("_th", frac_th)
-        .filter(F.col("_k").isNotNull())
+        df.join(F.broadcast(rates_df), source_col)
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_k"))))
         .filter((F.col("epoch") < F.col("_k")) | (b(F.col("epoch")) < F.col("_th")))
         .drop("_k", "_th")

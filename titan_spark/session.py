@@ -52,7 +52,12 @@ def get_spark(
         # the driver's events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type — read as long and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("TITAN_SPARK_DRIVER_MEM", "8g"))
+        # local-mode driver == the only executor: 32 concurrent tasks
+        # share this heap, so size it for the thread count (~0.5g/thread
+        # + driver overhead). 8g was measured too tight for the full
+        # bench suite at sf1 (task-page allocation failures, GC-locker
+        # thrash); the box has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("TITAN_SPARK_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
