@@ -103,3 +103,25 @@ def test_mix_corpus_epochs_and_determinism(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     # unlisted source is dropped
     assert not [r for r in rows if r["source"] not in ("s_up", "s_down")]
+
+
+def test_lm_perplexity_closed_form(spark):
+    """Unigram LM add-0.5: counts a:2 b:1 c:1 -> N=4, V=3, denom=6."""
+    import math
+
+    from titan_spark.pipeline.text_quality import lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+    denom = 4 + 0.5 * (3 + 1)
+    nll1 = -(2 * math.log(2.5 / denom) + math.log(1.5 / denom)) / 3
+    nll2 = -math.log(1.5 / denom)
+    assert rows[1]["nll"] == round(nll1, 4)
+    assert rows[2]["nll"] == round(nll2, 4)
+    assert rows[1]["ppl"] == round(math.exp(round(nll1, 4)), 2)
+    # doc 1 reuses the corpus-frequent token: lower perplexity -> head
+    assert rows[1]["ppl"] < rows[2]["ppl"]
+    assert rows[1]["bucket"] == "head"
+    assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 1

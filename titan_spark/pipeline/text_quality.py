@@ -275,3 +275,74 @@ def tfidf_top_terms(
         .filter(F.col("_rn") <= k)
         .select(id_col, "term", "tfidf", F.col("_rn").cast("int").alias("rank"))
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """CCNet-style corpus-LM perplexity scoring with head/middle/tail
+    buckets (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data", LREC 2020).
+
+    Trains an add-k-smoothed unigram LM on the corpus itself (one
+    aggregation), scores every document by its mean token negative
+    log-likelihood, and buckets the corpus into perplexity terciles —
+    the split CCNet uses to select "head" (most-fluent) training data.
+    The LM is a deterministic closed form (no fitted artifact), so the
+    whole operator re-expresses in ANSI SQL for the oracle.
+
+    p(t) = (c(t) + k) / (N + k * (V + 1))   [add-k over corpus counts]
+    nll(doc) = avg over tokens of -ln p(t);  ppl = exp(nll)
+
+    Plan shape at scale: explode → one map-side-combinable unigram agg
+    (|vocab| rows) → token⋈count join (the inverted-index shape; hot
+    stopword keys are exactly what AQE skew-split handles) → per-doc
+    agg. The N/V totals and the two tercile cutoffs are single-row
+    aggregates cross-joined back (broadcast of one row) — no driver
+    collect in the plan. Everything is corpus-linear; nothing is n².
+    """
+    terms = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+    # nll is rounded BEFORE exp so both engines exponentiate identical
+    # doubles (same trick as the tfidf rank-on-rounded-score contract)
+    doc = (
+        terms.join(counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c") + F.lit(k_smooth))
+                        / (F.col("n_total") + F.lit(k_smooth) * (F.col("v_size") + 1.0))
+                    )
+                ),
+                4,
+            ).alias("nll"),
+        )
+    )
+    scored = doc.select(
+        id_col, "n_tokens", "nll", F.round(F.exp(F.col("nll")), 2).alias("ppl")
+    )
+    cuts = scored.agg(
+        F.round(F.percentile("ppl", F.lit(1.0 / 3)), 4).alias("c1"),
+        F.round(F.percentile("ppl", F.lit(2.0 / 3)), 4).alias("c2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "n_tokens",
+        "nll",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -2766,6 +2766,49 @@ ORACLE_SQL["personalized_pagerank"] = """
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style corpus-unigram-LM perplexity scoring + tercile
+    head/middle/tail buckets (Wenzek et al. 2020); the LM is the
+    corpus's own add-0.5-smoothed unigram distribution, so the whole
+    operator is one closed form the oracle replays."""
+    from titan_spark.pipeline.text_quality import lm_perplexity
+
+    d = tables(spark, sf_dir)["documents"]
+    return lm_perplexity(d)
+
+
+QUERIES["lm_perplexity"] = q_lm_perplexity
+
+ORACLE_SQL["lm_perplexity"] = f"""
+    WITH terms AS (
+        SELECT doc_id, unnest({_toks()}) AS term FROM documents
+    ),
+    cnt AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total,
+                   CAST(count(*) AS DOUBLE) AS v_size FROM cnt),
+    doc AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS INT) AS n_tokens,
+               ROUND(avg(-ln((cnt.c + 0.5) / (tot.n_total + 0.5 * (tot.v_size + 1)))), 4) AS nll
+        FROM terms t JOIN cnt USING (term) CROSS JOIN tot
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT doc_id, n_tokens, nll, ROUND(exp(nll), 2) AS ppl FROM doc
+    ),
+    cuts AS (
+        SELECT ROUND(quantile_cont(ppl, 1.0/3), 4) AS c1,
+               ROUND(quantile_cont(ppl, 2.0/3), 4) AS c2
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, nll, ppl,
+           CASE WHEN ppl <= c1 THEN 'head'
+                WHEN ppl <= c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN cuts
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
