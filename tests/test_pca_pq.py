@@ -1,0 +1,73 @@
+"""PCA / covariance closed-form contracts (pipeline.similarity)."""
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # deterministic 3-dim cloud with known covariance structure
+    rows = []
+    state = 1234567
+    for i in range(200):
+        v = []
+        for _ in range(3):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            v.append(((state >> 20) % 2001 - 1000) / 1000.0)
+        # correlate dim2 with dim0 so PCA has a dominant axis
+        v[2] = 0.9 * v[0] + 0.1 * v[2]
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_covariance_matches_numpy(emb):
+    from titan_spark.pipeline.similarity import embedding_covariance
+
+    x = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    ref = np.cov(x, rowvar=False, bias=True)  # population covariance
+    got = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(emb).collect()}
+    assert len(got) == 6  # upper triangle of 3x3
+    for (i, j), v in got.items():
+        assert math.isclose(v, round(ref[i, j], 6), abs_tol=2e-6)
+
+
+def test_pca_components_and_projection_match_numpy(emb):
+    from titan_spark.pipeline.similarity import pca_components, pca_project
+
+    comps, means, var = pca_components(emb, k=2)
+    x = np.array([r["embedding"] for r in emb.orderBy("vec_id").collect()])
+    ref_cov = np.zeros((3, 3))
+    # reference eigh over the SAME rounded covariance the engine uses
+    from titan_spark.pipeline.similarity import embedding_covariance
+
+    for r in embedding_covariance(emb).collect():
+        ref_cov[r["i"], r["j"]] = ref_cov[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(ref_cov)
+    order = np.argsort(vals)[::-1][:2]
+    assert var[0] >= var[1] > 0
+    for k_i, idx in enumerate(order):
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        assert np.allclose(comps[k_i], v, atol=1e-9)
+        assert math.isclose(var[k_i], vals[idx], rel_tol=1e-9)
+    # projection = centered matmul, rounded to 6
+    proj = {r["vec_id"]: r["pc"] for r in pca_project(emb, k=2).collect()}
+    ref_proj = (x - np.array(means)) @ np.array(comps).T
+    for vid, pc in proj.items():
+        assert np.allclose(pc, np.round(ref_proj[vid], 6), atol=2e-6)
+
+
+def test_pca_project_precomputed_axes_skips_fit(emb):
+    from titan_spark.pipeline.similarity import pca_project
+
+    comps = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    means = [0.0, 0.0, 0.0]
+    out = {
+        r["vec_id"]: r["pc"]
+        for r in pca_project(emb, k=2, components=comps, means=means).collect()
+    }
+    first = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    assert out[0][0] == round(first[0], 6) and out[0][1] == round(first[1], 6)

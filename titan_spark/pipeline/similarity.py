@@ -639,3 +639,140 @@ def dequantize_int8(
         "embedding",
         F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Distributed covariance of an embedding column: (i, j, cov) rows
+    for every i <= j (the upper triangle of the dim×dim matrix).
+
+    Scale shape: an Arrow-batched kernel reduces each partition batch
+    to its partial Gram sums — ``n_b``, ``Σx_i`` and ``Σx_i·x_j`` as
+    dim(dim+1)/2 rows — so the shuffle carries O(partitions · dim²)
+    rows regardless of corpus size (a mapInPandas combiner; the
+    row-level explode alternative shuffles corpus·dim² rows). One
+    final groupBy(i,j) sum, then cov = E[xy] − E[x]E[y] in full
+    precision, rounded at the edge for engine-portable comparison.
+    """
+    from pyspark.sql.types import StructType, StructField, IntegerType, DoubleType, LongType
+
+    out_schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("sxy", DoubleType()),
+            StructField("sx", DoubleType()),  # Σx_i, only on diagonal rows
+            StructField("n", LongType()),
+        ]
+    )
+
+    def _partials(batches):
+        for pdf in batches:
+            v = pdf[vec_col].dropna()
+            if len(v) == 0:
+                continue
+            x = np.vstack(v.to_numpy()).astype(np.float64)  # (n_b, dim)
+            dim = x.shape[1]
+            gram = x.T @ x  # (dim, dim)
+            sx = x.sum(axis=0)
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "sxy": gram[iu, ju],
+                    "sx": np.where(iu == ju, sx[iu], 0.0),
+                    "n": np.full(len(iu), len(x), dtype=np.int64),
+                }
+            )
+
+    part = df.select(vec_col).mapInPandas(_partials, schema=out_schema)
+    agg = part.groupBy("i", "j").agg(
+        F.sum("sxy").alias("S"), F.sum("sx").alias("SX"), F.sum("n").alias("N")
+    )
+    mu = agg.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("_d"), (F.col("SX") / F.col("N")).alias("mu")
+    )
+    return (
+        agg.join(F.broadcast(mu).withColumnRenamed("_d", "i").withColumnRenamed("mu", "mu_i"), "i")
+        .join(F.broadcast(mu).withColumnRenamed("_d", "j").withColumnRenamed("mu", "mu_j"), "j")
+        .select(
+            "i",
+            "j",
+            # + 0.0 folds IEEE −0.0 into +0.0 (engines disagree on the
+            # sign of a rounded-away negative) — same for the oracle
+            (F.round(F.col("S") / F.col("N") - F.col("mu_i") * F.col("mu_j"), 6) + F.lit(0.0)).alias("cov"),
+        )
+    )
+
+
+def pca_components(
+    df: DataFrame, k: int, vec_col: str = "embedding"
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Top-k principal axes of the embedding column.
+
+    Builds the covariance matrix with ``embedding_covariance`` (the
+    collect is dim² scalars — a constant independent of corpus size),
+    eigendecomposes on the driver (numpy), and canonicalizes each
+    eigenvector's sign (largest-|component| entry made positive) so
+    the axes are deterministic. Returns (components[k][dim],
+    means[dim], explained_variance[k]).
+    """
+    rows = embedding_covariance(df, vec_col=vec_col).collect()
+    dim = max(r["j"] for r in rows) + 1
+    cov = np.zeros((dim, dim))
+    for r in rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    mu_rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("mu"))
+        .collect()
+    )
+    means = [0.0] * dim
+    for r in mu_rows:
+        means[r["i"]] = float(r["mu"])
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(c) for c in v])
+    return comps, means, [float(vals[i]) for i in order]
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    components: list[list[float]] | None = None,
+    means: list[float] | None = None,
+) -> DataFrame:
+    """Project embeddings onto their top-k principal axes → (id, pc).
+
+    The projection itself is the same Arrow-batched matmul as the LSH
+    plane dots (one scan, no shuffle); pass precomputed
+    ``components``/``means`` to skip the covariance pass (e.g. axes
+    fitted on a sample — the standard move at 100 TB, where a 1%
+    hash-sample pins the axes and the full corpus only pays the scan).
+    """
+    if components is None or means is None:
+        components, means, _ = pca_components(df, k, vec_col=vec_col)
+    centered = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(float(m)) for m in means]),
+        lambda x, m: x.cast("double") - m,
+    )
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            _plane_dots_arrow(centered, components) if np is not None
+            else _plane_dots_fold(centered, components),
+            lambda d: F.round(d, 6),
+        ).alias("pc"),
+    )

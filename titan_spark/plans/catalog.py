@@ -2809,6 +2809,52 @@ ORACLE_SQL["lm_perplexity"] = f"""
 """
 
 
+def q_embed_covariance(spark, sf_dir):
+    """Distributed covariance of the embedding column (upper triangle,
+    dim 64 → 2080 (i,j,cov) rows): Arrow partial-Gram combiner per
+    partition, one dim²-row final agg — the statistics pass PCA and
+    embedding whitening are built on."""
+    from titan_spark.pipeline.similarity import embedding_covariance
+
+    e = tables(spark, sf_dir)["embeddings"]
+    return embedding_covariance(e)
+
+
+QUERIES["embed_covariance"] = q_embed_covariance
+
+ORACLE_SQL["embed_covariance"] = """
+    WITH dims AS (SELECT unnest(range(1, 65)) AS d),
+    prod AS (
+        SELECT i.d AS i, j.d AS j,
+               avg(CAST(e.embedding[i.d] AS DOUBLE) * CAST(e.embedding[j.d] AS DOUBLE)) AS exy,
+               avg(CAST(e.embedding[i.d] AS DOUBLE)) AS ex,
+               avg(CAST(e.embedding[j.d] AS DOUBLE)) AS ey
+        FROM embeddings e, dims i, dims j
+        WHERE i.d <= j.d
+        GROUP BY 1, 2
+    )
+    SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+           ROUND(exy - ex * ey, 6) + 0.0 AS cov
+    FROM prod
+"""
+
+
+def q_pca_project(spark, sf_dir):
+    """PCA projection onto the top-8 principal axes (covariance pass →
+    driver eigh on the dim×dim matrix → Arrow matmul projection).
+    The eigendecomposition is not SQL-expressible, so this entry has
+    no oracle twin (driver records the rows-only check); the
+    covariance input is value-verified by ``embed_covariance`` and the
+    axes/projection by closed-form pytest."""
+    from titan_spark.pipeline.similarity import pca_project
+
+    e = tables(spark, sf_dir)["embeddings"]
+    return pca_project(e, k=8)
+
+
+QUERIES["pca_project"] = q_pca_project
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
