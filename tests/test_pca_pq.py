@@ -71,3 +71,44 @@ def test_pca_project_precomputed_axes_skips_fit(emb):
     }
     first = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     assert out[0][0] == round(first[0], 6) and out[0][1] == round(first[1], 6)
+
+
+def test_pq_encode_exact_on_codebook_vectors(spark):
+    """A vector equal to a centroid in every subspace encodes to those
+    codes with zero reconstruction error."""
+    from titan_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    books = pq_codebooks(dim=8, m=2, k=4)
+    vec = books[0][2] + books[1][3]  # subspace 0 -> code 2, subspace 1 -> code 3
+    df = spark.createDataFrame([(0, [float(x) for x in vec])], ["vec_id", "embedding"])
+    row = pq_encode(df, books).collect()[0]
+    assert row["codes"] == [2, 3]
+    assert row["recon_err"] == 0.0
+
+
+def test_pq_decode_roundtrip_error_matches(spark):
+    from titan_spark.pipeline.similarity import pq_codebooks, pq_decode, pq_encode
+
+    books = pq_codebooks(dim=8, m=2, k=4)
+    rows = [(i, [((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    enc = pq_encode(df, books)
+    dec = {r["vec_id"]: r["approx"] for r in pq_decode(enc, books).collect()}
+    err = {r["vec_id"]: r["recon_err"] for r in enc.collect()}
+    for i, v in rows:
+        e = sum((a - b) ** 2 for a, b in zip(v, dec[i]))
+        assert math.isclose(e, err[i], abs_tol=2e-6)
+
+
+def test_pq_fit_reduces_reconstruction_error(spark):
+    from titan_spark.pipeline.similarity import pq_codebooks, pq_encode, pq_fit
+
+    rows = [
+        (i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    base = pq_codebooks(8, 2, 4)
+    fitted = pq_fit(df, m=2, k=4, iterations=3)
+    e0 = pq_encode(df, base).agg(F.sum("recon_err")).first()[0]
+    e1 = pq_encode(df, fitted).agg(F.sum("recon_err")).first()[0]
+    assert e1 < e0

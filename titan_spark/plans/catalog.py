@@ -2855,6 +2855,70 @@ def q_pca_project(spark, sf_dir):
 QUERIES["pca_project"] = q_pca_project
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (Jégou 2011): dim 64 → 8 one-byte
+    codes per vector + squared reconstruction error, with the
+    deterministic (oracle-replayable) codebooks. One scan, zero
+    shuffle — every subspace argmin is plan-literal structs."""
+    from titan_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    e = tables(spark, sf_dir)["embeddings"]
+    return pq_encode(e, pq_codebooks(64, 8, 16))
+
+
+QUERIES["pq_codes"] = q_pq_codes
+
+
+def _pq_oracle(dim: int = 64, m: int = 8, k: int = 16) -> str:
+    """PQ oracle generated from the engine's deterministic codebooks:
+    centroid literals + python-computed ||c||² ride in the SQL, so
+    DuckDB replays every subspace argmin (d² = ||v||²−2<v,c>+||c||²,
+    ties to the lowest code) and the summed reconstruction error."""
+    from titan_spark.pipeline.similarity import pq_codebooks
+
+    books = pq_codebooks(dim, m, k)
+    sub = dim // m
+    rows = ",\n            ".join(
+        "({}, {}, [{}], {!r})".format(
+            s, i, ", ".join(repr(float(x)) for x in c), float(sum(x * x for x in c))
+        )
+        for s, book in enumerate(books)
+        for i, c in enumerate(book)
+    )
+    return f"""
+        WITH cents(s, code, c, cc) AS (VALUES
+            {rows}
+        ),
+        sub AS (
+            SELECT e.vec_id, ss.s,
+                   CAST(e.embedding[ss.s * {sub} + 1 : ss.s * {sub} + {sub}] AS DOUBLE[]) AS v
+            FROM embeddings e
+            CROSS JOIN (SELECT unnest(range(0, {m})) AS s) ss
+        ),
+        scored AS (
+            SELECT sub.vec_id, sub.s, cn.code,
+                   list_dot_product(sub.v, sub.v)
+                   - 2 * list_dot_product(sub.v, CAST(cn.c AS DOUBLE[])) + cn.cc AS d2,
+                   row_number() OVER (
+                       PARTITION BY sub.vec_id, sub.s
+                       ORDER BY list_dot_product(sub.v, sub.v)
+                                - 2 * list_dot_product(sub.v, CAST(cn.c AS DOUBLE[]))
+                                + cn.cc ASC,
+                                cn.code ASC
+                   ) AS rn
+            FROM sub JOIN cents cn ON cn.s = sub.s
+        )
+        SELECT vec_id,
+               list(code ORDER BY s) AS codes,
+               ROUND(sum(d2), 6) + 0.0 AS recon_err
+        FROM scored WHERE rn = 1
+        GROUP BY vec_id
+    """
+
+
+ORACLE_SQL["pq_codes"] = _pq_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
