@@ -225,3 +225,34 @@ def test_quantize_int8_roundtrip(spark, sf_dir):
     for vid, (scale, recon) in deq.items():
         err = max(abs(a - b) for a, b in zip(orig[vid], recon))
         assert err <= scale / 2 + 1e-7
+
+
+def test_shard_assignment_balance_and_partition(spark):
+    from titan_spark.pipeline.chunking import shard_assignment, shard_manifest
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i % 13) + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    asg = shard_assignment(df, n_shards=4)
+    got = asg.collect()
+    # every doc assigned exactly once, shard ids in range
+    assert sorted(r["doc_id"] for r in got) == list(range(200))
+    assert {r["shard"] for r in got} == {0, 1, 2, 3}
+    # token balance: contiguous cuts deviate by at most one document
+    man = {r["shard"]: r["n_tokens"] for r in shard_manifest(asg).collect()}
+    total = sum(man.values())
+    max_doc = max((i % 13) + 1 for i in range(200))
+    for s in range(4):
+        assert abs(man[s] - total / 4) <= max_doc
+    # deterministic across evaluations
+    again = {(r["doc_id"], r["shard"]) for r in shard_assignment(df, n_shards=4).collect()}
+    assert again == {(r["doc_id"], r["shard"]) for r in got}
+
+
+def test_shard_assignment_seed_changes_layout(spark):
+    from titan_spark.pipeline.chunking import shard_assignment
+
+    rows = [(i, "a b c") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {(r["doc_id"], r["shard"]) for r in shard_assignment(df, 4, seed=0).collect()}
+    b = {(r["doc_id"], r["shard"]) for r in shard_assignment(df, 4, seed=7).collect()}
+    assert a != b

@@ -73,19 +73,22 @@ def chunk_documents(
 
 
 def _distributed_offsets(
-    counts: DataFrame, id_col: str, n_col: str, num_parts: int
-) -> DataFrame:
-    """Add ``_offset`` = tokens before this row in ``id_col`` order,
-    via range partition + local cumsum + broadcast partition totals.
+    counts: DataFrame, id_col: str | list[str], n_col: str, num_parts: int
+) -> tuple[DataFrame, int]:
+    """Add ``_offset`` = tokens before this row in ``id_col`` order
+    (one column or a list of tie-broken order columns), via range
+    partition + local cumsum + broadcast partition totals; returns
+    (frame, grand_total).
 
     The per-partition totals relation is ``num_parts`` rows — a scalar
     collect at any scale — and every heavy operation keys on the range
     partition, so the prefix sum costs two narrow passes instead of a
     one-task global sort."""
-    parted = counts.repartitionByRange(num_parts, F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("_pid").orderBy(id_col)
+    order_cols = [id_col] if isinstance(id_col, str) else list(id_col)
+    parted = counts.repartitionByRange(
+        num_parts, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
     # Materialize before the totals collect: the returned plan must see
     # the SAME partition assignment the totals were computed from.
     # Without the cut, the range shuffle re-executes for the returned
@@ -102,9 +105,12 @@ def _distributed_offsets(
     base_map = F.create_map(
         *[F.lit(x) for kv in bases.items() for x in kv]
     )
-    return local.withColumn(
-        "_offset", (F.col("_cum") - F.col(n_col) + base_map[F.col("_pid")]).cast("long")
-    ).drop("_cum")
+    return (
+        local.withColumn(
+            "_offset", (F.col("_cum") - F.col(n_col) + base_map[F.col("_pid")]).cast("long")
+        ).drop("_cum"),
+        base,
+    )
 
 
 def pack_sequence_index(
@@ -128,7 +134,7 @@ def pack_sequence_index(
     counts = df.select(
         F.col(id_col), F.size(tokenize(F.col(text_col))).cast("long").alias("_n")
     ).filter(F.col("_n") > 0)
-    with_off = _distributed_offsets(counts, id_col, "_n", num_parts)
+    with_off, _ = _distributed_offsets(counts, id_col, "_n", num_parts)
     first_w = F.floor(F.col("_offset") / budget)
     last_w = F.floor((F.col("_offset") + F.col("_n") - 1) / budget)
     win = F.explode(F.sequence(first_w, last_w)).alias("window_id")
@@ -140,4 +146,49 @@ def pack_sequence_index(
         id_col,
         (lo - F.col("_offset")).cast("long").alias("tok_start"),
         (hi - F.col("_offset")).cast("long").alias("tok_end"),
+    )
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Token-balanced training-shard layout: (id, shard, n_tokens).
+
+    Documents are laid out in a deterministic pseudo-random order (the
+    portable hash bucket, tie-broken by id — the training-time global
+    shuffle), the token stream is prefix-summed with the same
+    distributed machinery as ``pack_sequence_index``, and contiguous
+    cuts give shard = (offset · n_shards) div total — every shard gets
+    total/n_shards tokens ±1 document. Integer division keeps the cut
+    exact at any corpus size (a double quotient drifts past 2^53
+    tokens).
+
+    Scale: one tokenize pass, one range shuffle on the hash order, a
+    num_parts-row totals collect. Nothing global-windowed, nothing n².
+    """
+    from titan_spark.pipeline.sampling import hash_bucket
+
+    counts = df.select(
+        F.col(id_col),
+        hash_bucket(F.col(id_col), seed).alias("_ord"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("_n"),
+    ).filter(F.col("_n") > 0)
+    with_off, total = _distributed_offsets(counts, ["_ord", id_col], "_n", num_parts)
+    return with_off.select(
+        F.col(id_col),
+        F.expr(f"CAST((_offset * {int(n_shards)}) DIV {int(total)} AS INT)").alias("shard"),
+        F.col("_n").cast("int").alias("n_tokens"),
+    )
+
+
+def shard_manifest(assignment: DataFrame) -> DataFrame:
+    """Per-shard rollup of a ``shard_assignment`` result: (shard,
+    n_docs, n_tokens) — the sidecar manifest a training job reads."""
+    return assignment.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     )

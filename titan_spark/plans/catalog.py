@@ -2919,6 +2919,40 @@ def _pq_oracle(dim: int = 64, m: int = 8, k: int = 16) -> str:
 ORACLE_SQL["pq_codes"] = _pq_oracle()
 
 
+def q_shard_layout(spark, sf_dir):
+    """Token-balanced training-shard layout: pseudo-random document
+    order (portable hash), distributed prefix sum, contiguous
+    integer-division cuts into 8 shards — value-checks every per-doc
+    assignment against the oracle's window-cumsum replay."""
+    from titan_spark.pipeline.chunking import shard_assignment
+
+    d = tables(spark, sf_dir)["documents"]
+    return shard_assignment(d, n_shards=8)
+
+
+QUERIES["shard_layout"] = q_shard_layout
+
+ORACLE_SQL["shard_layout"] = f"""
+    WITH c AS (
+        SELECT doc_id, {bucket_sql("doc_id")} AS ord,
+               len({_toks()}) AS n
+        FROM documents
+    ),
+    cf AS (SELECT * FROM c WHERE n > 0),
+    o AS (
+        SELECT doc_id, n,
+               sum(n) OVER (ORDER BY ord, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off,
+               sum(n) OVER () AS total
+        FROM cf
+    )
+    SELECT doc_id,
+           CAST((off * 8) // total AS INT) AS shard,
+           CAST(n AS INT) AS n_tokens
+    FROM o
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
