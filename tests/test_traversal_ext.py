@@ -252,3 +252,63 @@ def test_coin_constant_ids_labels(gods):
     # label() projects the element label, incl. after a hop
     labs = {r["label"] for r in gods.V().has("name", "hercules").out("father").labels().collect()}
     assert labs == {"god"}
+
+
+def test_tail_skip_steps(gods):
+    # tail(2) of age ascending = the two oldest; original order contract
+    ages = sorted(
+        r["age"] for r in gods.V().has("age", P.neq(None)).values("age").collect()
+    )
+    got = sorted(
+        r["age"]
+        for r in gods.V().has("age", P.neq(None)).tail_(2, "age").values("age").collect()
+    )
+    assert got == ages[-2:]
+    skipped = sorted(
+        r["age"]
+        for r in gods.V().has("age", P.neq(None)).skip_(2, "age").values("age").collect()
+    )
+    assert skipped == ages[2:]
+    # tail+skip partition the ordered stream
+    assert sorted(got + sorted(
+        r["age"] for r in gods.V().has("age", P.neq(None)).range_(2, len(ages) - 2, "age").values("age").collect()
+    )) == sorted(ages[2:])[: len(ages) - 2]
+
+
+def test_math_step(gods):
+    t = (
+        gods.V()
+        .has("name", "hercules")
+        .math_("(a - 30) / 1000", name="centuries", a="age")
+    )
+    rows = t.df.collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["centuries"] - (30 - 30) / 1000) < 1e-9 or rows[0]["centuries"] == 0.0
+
+
+def test_math_step_with_tags(gods):
+    t = (
+        gods.V()
+        .has("name", "hercules")
+        .as_("h")
+        .out("father")
+        .math_("f_age - h_age", name="age_gap", f_age="age", h_age="h.age")
+    )
+    rows = t.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["age_gap"] == 5000 - 30
+
+
+def test_barrier_preserves_frontier(gods):
+    t = gods.V().has_label("god").barrier_().out("brother")
+    plain = gods.V().has_label("god").out("brother")
+    assert sorted(r["id"] for r in t.df.collect()) == sorted(
+        r["id"] for r in plain.df.collect()
+    )
+
+
+def test_value_map_with_tokens(gods):
+    rows = gods.V().has("name", "hercules").value_map("name", with_tokens=True).collect()
+    assert len(rows) == 1
+    assert rows[0]["label"] == "demigod" and rows[0]["name"] == "hercules"
+    assert rows[0]["id"] is not None

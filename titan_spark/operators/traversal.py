@@ -989,6 +989,79 @@ class GraphTraversal:
         df = self._df.orderBy(*_order_cols(specs)).offset(lo).limit(max(0, hi - lo))
         return self._with(df)
 
+    @staticmethod
+    def _flip_specs(specs):
+        """Reverse the direction of order specs (for tail_)."""
+        out = []
+        for s in specs:
+            if isinstance(s, Column):
+                raise ValueError("tail_() cannot flip a raw Column spec; use 'col'/'-col'")
+            if isinstance(s, tuple):
+                name, direction = s
+                asc = not str(direction).lower().startswith("desc")
+                out.append((name, "desc" if asc else "asc"))
+            elif isinstance(s, str) and s.startswith("-"):
+                out.append(s[1:])
+            else:
+                out.append("-" + s)
+        return out
+
+    def tail_(self, n: int, *specs) -> "GraphTraversal":
+        """Gremlin ``tail(n)``: the LAST n traversers of the order.
+        Planned as top-n over the REVERSED order specs — TakeOrdered
+        partials merge n·partitions rows, never a global sort, so the
+        step costs the same as ``limit(n)`` at any scale."""
+        self._ensure_cols()
+        specs = specs or self._order_specs
+        if not specs:
+            raise ValueError("tail_() requires order specs for determinism")
+        flipped = self._flip_specs(specs)
+        df = self._df.orderBy(*_order_cols(flipped)).limit(n)
+        return self._with(df, order_specs=specs)
+
+    def skip_(self, n: int, *specs) -> "GraphTraversal":
+        """Gremlin ``skip(n)`` (= ``range(n, -1)``): drop the first n of
+        the order, keep the unbounded rest. The open upper bound forces
+        a total order (orderBy + offset) — unlike :meth:`range_` there
+        is no limit to turn it into TakeOrdered partials, so prefer
+        ``range_(lo, hi)`` when a bound exists."""
+        self._ensure_cols()
+        specs = specs or self._order_specs
+        if not specs:
+            raise ValueError("skip_() requires order specs for determinism")
+        df = self._df.orderBy(*_order_cols(specs)).offset(n)
+        return self._with(df, order_specs=specs)
+
+    def math_(self, expr: str, name: str = "math", **bindings) -> "GraphTraversal":
+        """Gremlin ``math(expr)``: evaluate an arithmetic expression
+        over bound variables. Bindings map each variable name to a
+        tag reference ("tagname.field"), a current-element property
+        key, or a Column; the expression itself is compiled by
+        Catalyst (``F.expr``), so it stays JVM-side whole-stage
+        codegen like the reference's on-heap MathStep evaluator."""
+        self._ensure_cols()
+        cols = []
+        for var, ref in bindings.items():
+            if isinstance(ref, Column):
+                cols.append(ref.alias(var))
+            elif isinstance(ref, str) and "." in ref:
+                tag, field = ref.split(".", 1)
+                cols.append(self.tag(tag, field).alias(var))
+            else:
+                cols.append(self.col(ref).alias(var))
+        df = self._df.select("*", *cols).withColumn(name, F.expr(expr))
+        return self._with(df.drop(*[c for c in bindings]))
+
+    def barrier_(self) -> "GraphTraversal":
+        """Gremlin ``barrier()``: force the traversal up to here to
+        materialize before later steps run. Relationally a lineage cut
+        (eager persist + plan truncation) — the same mechanism the BSP
+        loops use; Gremlin's bulking optimization is the dedup/groupBy
+        the adjacent steps already express."""
+        from titan_spark.compute.checkpointing import cut_lineage
+
+        return self._with(cut_lineage(self._df, eager=True))
+
     def local_top_k(self, k: int, *specs, by: str = "_origin") -> "GraphTraversal":
         """Per-origin-vertex order+limit — ``local(order().limit(k))``
         (O5, TitanGraphTest.java:3393-3398)."""
@@ -1092,12 +1165,18 @@ class GraphTraversal:
         ids = self._df.select(F.col("id").alias("vertex_id"))
         return ids.join(vp, "vertex_id")
 
-    def value_map(self, *keys: str) -> DataFrame:
+    def value_map(self, *keys: str, with_tokens: bool = False) -> DataFrame:
+        """Gremlin ``valueMap()``; ``with_tokens=True`` is
+        ``valueMap(true)`` — the id and label tokens ride along as
+        columns (T.id / T.label in the reference's ElementValueMap)."""
         self._ensure_cols()
         keys = keys or tuple(
             c for c in self._df.columns if not c.startswith("_") and c not in ("id", "edge_id")
         )
-        return self._df.select(self.col("id").alias("id"), *[self.col(k).alias(k) for k in keys])
+        lead = [self.col("id").alias("id")]
+        if with_tokens:
+            lead.append(self.col("label").alias("label"))
+        return self._df.select(*lead, *[self.col(k).alias(k) for k in keys if k != "label" or not with_tokens])
 
     def count(self) -> DataFrame:
         """Traverser count (A1/A2) as a 1-row DataFrame."""

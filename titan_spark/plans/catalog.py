@@ -2953,6 +2953,41 @@ ORACLE_SQL["shard_layout"] = f"""
 """
 
 
+def q_tail_skip_math(spark, sf_dir):
+    """Gremlin periphery steps in one oracle: ``skip(5)`` then
+    ``tail(10)`` over the acctbal order (the middle-band slice both
+    plans take as TakeOrdered/offset, no global window), then a
+    ``math()`` arithmetic projection compiled by Catalyst."""
+    t = (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("acctbal", P.gt(9000.0))
+        .skip_(5, "-acctbal", "key")
+        .tail_(10)
+        .math_("ROUND(bal / 100.0, 4)", name="centibal", bal="acctbal")
+    )
+    return t.values("key", "centibal")
+
+
+QUERIES["tail_skip_math"] = q_tail_skip_math
+
+ORACLE_SQL["tail_skip_math"] = """
+    WITH ordered AS (
+        SELECT c_custkey AS key, c_acctbal AS acctbal
+        FROM customer WHERE c_acctbal > 9000.0
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        OFFSET 5
+    ),
+    tailed AS (
+        SELECT key, acctbal FROM ordered
+        ORDER BY acctbal ASC, key DESC
+        LIMIT 10
+    )
+    SELECT key, ROUND(acctbal / 100.0, 4) AS centibal FROM tailed
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
