@@ -74,6 +74,13 @@ HEADLINE = [
     "k_core",
     "k_truss",
     "personalized_pagerank",
+    # round 5 (cont.): corpus-LM perplexity scoring, embedding
+    # statistics/compression (covariance pass, PQ encode), balanced
+    # shard layout (distributed prefix sum over a hash order)
+    "lm_perplexity",
+    "embed_covariance",
+    "pq_codes",
+    "shard_layout",
 ]
 
 

@@ -112,3 +112,14 @@ def test_pq_fit_reduces_reconstruction_error(spark):
     e0 = pq_encode(df, base).agg(F.sum("recon_err")).first()[0]
     e1 = pq_encode(df, fitted).agg(F.sum("recon_err")).first()[0]
     assert e1 < e0
+
+
+def test_whitening_gives_identity_covariance(emb):
+    from titan_spark.pipeline.similarity import whiten_embeddings
+
+    out = whiten_embeddings(emb, eps=1e-9)
+    x = np.vstack(
+        [r["white"] for r in out.orderBy("vec_id").collect()]
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(3), atol=1e-2)

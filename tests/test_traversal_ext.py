@@ -312,3 +312,27 @@ def test_value_map_with_tokens(gods):
     assert len(rows) == 1
     assert rows[0]["label"] == "demigod" and rows[0]["name"] == "hercules"
     assert rows[0]["id"] is not None
+
+
+def test_shuffle_step_deterministic_permutation(gods):
+    a = [r["name"] for r in gods.V().shuffle_().values("name").collect()]
+    b = [r["name"] for r in gods.V().shuffle_().values("name").collect()]
+    assert a == b and sorted(a) == sorted(
+        r["name"] for r in gods.V().values("name").collect()
+    )
+    # not the id order, and a different seed permutes differently
+    ids = [r["id"] for r in gods.V().shuffle_().df.select("id").collect()]
+    assert ids != sorted(ids)
+    c = [r["name"] for r in gods.V().shuffle_(seed=9).values("name").collect()]
+    assert c != a
+    # shuffle feeds range_/tail_ slicing without explicit specs
+    head2 = [r["name"] for r in gods.V().shuffle_().limit(2).values("name").collect()]
+    assert head2 == a[:2]
+
+
+def test_peer_pressure_alias(gods):
+    from titan_spark.compute import label_propagation, peer_pressure
+
+    lp = {(r["id"], r["community"]) for r in label_propagation(gods, 2).collect()}
+    pp = {(r["id"], r["cluster"]) for r in peer_pressure(gods, 2).collect()}
+    assert lp == pp

@@ -5,6 +5,7 @@ from titan_spark.compute.algorithms import (
     k_core,
     k_truss,
     label_propagation,
+    peer_pressure,
     degree_count,
     pagerank,
     personalized_pagerank,
@@ -21,6 +22,7 @@ __all__ = [
     "degree_count",
     "connected_components",
     "label_propagation",
+    "peer_pressure",
     "triangle_count",
     "k_core",
     "k_truss",

@@ -619,3 +619,20 @@ def personalized_pagerank(
         return cut_lineage(out, eager=True)
     finally:
         contrib_e.unpersist(blocking=False)
+
+
+def peer_pressure(
+    graph: "PropertyGraph",
+    iterations: int = 3,
+    edge_labels: tuple[str, ...] = (),
+) -> DataFrame:
+    """TinkerPop's ``peerPressure()`` community step
+    (PeerPressureVertexProgram; Titan runs it through its
+    GraphComputer — olap/OLAPTest.java exercises the same BSP path):
+    cluster by iterated neighbor voting. This engine's deterministic
+    synchronous variant IS ``label_propagation`` — modal neighbor
+    label, smallest-label ties — so the step is a documented alias;
+    the output column keeps the step's ``cluster`` name."""
+    return label_propagation(graph, iterations, edge_labels).withColumnRenamed(
+        "community", "cluster"
+    )

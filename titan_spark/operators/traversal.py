@@ -1088,6 +1088,24 @@ class GraphTraversal:
             order_specs=(),
         )
 
+    def shuffle_(self, seed: int = 0) -> "GraphTraversal":
+        """Gremlin ``order().by(Order.shuffle)``: a pseudo-random total
+        order — deterministically, via the portable hash of the element
+        id (the same reproducibility contract, and the same documented
+        divergence from Gremlin's RNG draw, as :meth:`sample_` /
+        :meth:`coin_`). Sets the order specs so a following
+        ``limit``/``range_``/``tail_`` slices the shuffled stream."""
+        from titan_spark.functions.hashing import portable_hash64
+
+        h = portable_hash64(
+            F.concat(F.lit(f"{seed}:"), F.col(self._id_col()).cast("string"))
+        ).alias("_shuf")
+        df = self._df.select("*", h)
+        return self._with(
+            df.orderBy(F.col("_shuf").asc(), F.col(self._id_col()).asc()),
+            order_specs=("_shuf", self._id_col()),
+        )
+
     def coin_(self, p: float, seed: int = 0) -> "GraphTraversal":
         """Gremlin ``coin(p)``, deterministically: keep a traverser iff
         its element id's hash bucket falls below ``p`` — the same

@@ -883,3 +883,54 @@ def pq_decode(
         )
         parts.append(F.element_at(book, F.col(codes_col)[s] + 1))
     return df.select(F.col(id_col), F.flatten(F.array(*parts)).alias("approx"))
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 1e-6,
+    components: list[list[float]] | None = None,
+    means: list[float] | None = None,
+) -> DataFrame:
+    """ZCA-whiten the embedding column: y = E diag(1/√(λ+eps)) Eᵀ (x−μ),
+    so the output has (approximately) identity covariance — the
+    standard conditioning pass before cosine ANN or clustering when
+    dimensions are correlated.
+
+    Same cost model as PCA: dim² covariance collect + driver eigh once,
+    then a single Arrow matmul scan (no shuffle). Pass precomputed
+    ``components``/``means`` (rows of the whitening matrix W) to skip
+    the fit, e.g. axes from a 1% sample at 100 TB.
+    """
+    if components is None or means is None:
+        rows = embedding_covariance(df, vec_col=vec_col).collect()
+        dim = max(r["j"] for r in rows) + 1
+        cov = np.zeros((dim, dim))
+        for r in rows:
+            cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+        mu_rows = (
+            df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("i")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        means = [0.0] * dim
+        for r in mu_rows:
+            means[r["i"]] = float(r["mu"])
+        vals, vecs = np.linalg.eigh(cov)
+        w = (vecs * (1.0 / np.sqrt(np.clip(vals, 0.0, None) + eps))) @ vecs.T
+        components = [[float(c) for c in row] for row in w]
+    centered = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(float(m)) for m in means]),
+        lambda x, m: x.cast("double") - m,
+    )
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            _plane_dots_arrow(centered, components) if np is not None
+            else _plane_dots_fold(centered, components),
+            lambda d: F.round(d, 6),
+        ).alias("white"),
+    )

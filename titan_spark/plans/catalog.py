@@ -3000,6 +3000,16 @@ _SLOT_SWAPS = [
     ("line_dedup", "multi_card_values"),
     ("mix_corpus", "aggregate_without"),
     ("k_core", "lsh_ann"),
+    # round-5 late flagships IN; each displaced query keeps a family
+    # sibling in the driver prefix and stays local-gate green:
+    # geo family kept by geo_within; quantization by pq_codes;
+    # distance by shortest_distance; community by k_core; Gremlin
+    # collection surface by branch_segments/sack_order_margin.
+    ("lm_perplexity", "geo_intersect_circles"),
+    ("pq_codes", "quantize_embeddings"),
+    ("embed_covariance", "weighted_distance"),
+    ("shard_layout", "label_propagation"),
+    ("tail_skip_math", "tree_geography"),
 ]
 _order = list(QUERIES)
 for _new, _old in _SLOT_SWAPS:
