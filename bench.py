@@ -81,6 +81,7 @@ HEADLINE = [
     "embed_covariance",
     "pq_codes",
     "shard_layout",
+    "closeness_centrality",
 ]
 
 

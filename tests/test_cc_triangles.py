@@ -209,3 +209,43 @@ def test_k_truss_peels_to_k4(spark):
     assert t3 == set(edges)
     # 5-truss of this graph is empty (K4 supports at most k=4)
     assert k_truss(g, k=5).count() == 0
+
+
+def test_closeness_centrality_path_graph(spark):
+    """Closed form on a 4-path 1-2-3-4 with landmarks {1, 4}:
+    d(1)={0,3}, d(2)={1,2}, d(3)={2,1}, d(4)={3,0} -> closeness
+    (2-1)/3 = 0.333333 everywhere."""
+    from titan_spark.compute import closeness_centrality
+    from titan_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(i, "n") for i in range(1, 5)], ["id", "label"])
+    e = spark.createDataFrame(
+        [(10, 1, 2, "e"), (11, 2, 3, "e"), (12, 3, 4, "e")],
+        ["edge_id", "src", "dst", "label"],
+    )
+    g = PropertyGraph(v, e)
+    got = {r["id"]: r for r in closeness_centrality(g, [1, 4]).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for i in range(1, 5):
+        assert got[i]["n_reached"] == 2
+        assert got[i]["closeness"] == round(1 / 3, 6)
+
+
+def test_closeness_centrality_disconnected_landmark(spark):
+    """A vertex out of reach of every landmark gets no row; a lone
+    landmark island keeps closeness 0 (sum d = 0 guard)."""
+    from titan_spark.compute import closeness_centrality
+    from titan_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(i, "n") for i in range(1, 6)], ["id", "label"])
+    e = spark.createDataFrame(
+        [(10, 1, 2, "e"), (11, 4, 5, "e")], ["edge_id", "src", "dst", "label"]
+    )
+    g = PropertyGraph(v, e)
+    got = {r["id"]: r for r in closeness_centrality(g, [1, 3]).collect()}
+    # island {4,5} unreachable from any landmark -> absent
+    assert set(got) == {1, 2, 3}
+    assert got[3]["n_reached"] == 1 and got[3]["closeness"] == 0.0
+    # vertex 2 reaches only landmark 1 (d=1): closeness (1-1)/1 = 0
+    assert got[2]["n_reached"] == 1 and got[2]["closeness"] == 0.0
+    assert got[1]["n_reached"] == 1 and got[1]["closeness"] == 0.0

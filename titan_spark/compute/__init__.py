@@ -6,6 +6,7 @@ from titan_spark.compute.algorithms import (
     k_truss,
     label_propagation,
     peer_pressure,
+    closeness_centrality,
     degree_count,
     pagerank,
     personalized_pagerank,
@@ -23,6 +24,7 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "peer_pressure",
+    "closeness_centrality",
     "triangle_count",
     "k_core",
     "k_truss",

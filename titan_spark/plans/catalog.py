@@ -2988,6 +2988,75 @@ ORACLE_SQL["tail_skip_math"] = """
 """
 
 
+def q_closeness_centrality(spark, sf_dir):
+    """Landmark-approximate closeness centrality over the undirected
+    geography graph (landmarks = customers 1..10): one multi-source
+    BFS, (n−1)/Σd normalization."""
+    from titan_spark.compute import closeness_centrality
+
+    sub = _geo_subgraph(spark, sf_dir)
+    lms = [OFF["customer"] + i for i in range(1, 11)]
+    return closeness_centrality(sub, lms)
+
+
+QUERIES["closeness_centrality"] = q_closeness_centrality
+
+
+def _closeness_oracle(rounds: int = 6) -> str:
+    """Fixed-round min-plus BFS replay: the undirected geography graph
+    has diameter 4 (customer–nation–region–nation–customer), so
+    ``rounds`` = 6 CTE rounds reach the fixpoint the engine's
+    early-stopping loop computes."""
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    lms = ", ".join(f"({_OFF['customer'] + i})" for i in range(1, 11))
+    prev = "d0"
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""d{r} AS (
+        SELECT id, lm, MIN(d) AS d FROM (
+            SELECT id, lm, d FROM {prev}
+            UNION ALL
+            SELECT ue.v AS id, p.lm, p.d + 1 AS d
+            FROM {prev} p JOIN ue ON p.id = ue.u
+        ) GROUP BY 1, 2
+    )"""
+        )
+        prev = f"d{r}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+               CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+    ),
+    ue AS (
+        SELECT src AS u, dst AS v FROM e
+        UNION
+        SELECT dst AS u, src AS v FROM e
+    ),
+    d0 AS (
+        SELECT CAST(lm AS BIGINT) AS id, CAST(lm AS BIGINT) AS lm, CAST(0 AS BIGINT) AS d
+        FROM (VALUES {lms}) t(lm)
+    ),
+    {steps_sql}
+    SELECT id, CAST(count(*) AS INT) AS n_reached,
+           CASE WHEN sum(d) > 0
+                THEN ROUND((count(*) - 1) / CAST(sum(d) AS DOUBLE), 6)
+                ELSE 0.0 END AS closeness
+    FROM {prev} GROUP BY id
+"""
+
+
+ORACLE_SQL["closeness_centrality"] = _closeness_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
