@@ -36,3 +36,22 @@ def test_meta_property_query(spark):
     # frontier restriction flows through
     p1 = g.V().has_id(1).properties_("degree").filter(F.col("year") > 2002)
     assert [r["value"] for r in p1.collect()] == ["phd"]
+
+
+def test_properties_has_value(spark):
+    v = spark.createDataFrame([(1, "person"), (2, "person")], "id long, label string")
+    e = spark.createDataFrame([], "edge_id long, src long, dst long, label string")
+    vp = spark.createDataFrame(
+        [
+            (1, "degree", "bs", 101),
+            (1, "degree", "phd", 102),
+            (2, "degree", "bs", 103),
+        ],
+        "vertex_id long, key string, value string, prop_id long",
+    )
+    s = GraphSchema()
+    s.make_property_key("degree", "string", Cardinality.LIST)
+    g = PropertyGraph(v, e, vp, s)
+    rows = g.V().properties_("degree", has_value="bs").collect()
+    assert len(rows) == 2
+    assert all(r["value"] == "bs" for r in rows)

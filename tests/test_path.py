@@ -62,3 +62,21 @@ def test_path_keeps_lazy_fold_plan(tpch):
 def test_untagged_path_count_matches_hop_count(tpch):
     t = tpch.V().has_label("nation").out("in_region")
     assert t.path().count() == t.count_value()
+
+
+def test_path_by_modulator(gods):
+    rows = (
+        gods.V().has("name", "hercules").out("father").path_by("name").collect()
+    )
+    assert len(rows) == 1
+    assert rows[0]["path"] == ["hercules", "jupiter"]
+
+
+def test_path_by_null_for_missing_key(gods):
+    # 'age' is absent on location vertices: NULL in place, not an error
+    rows = (
+        gods.V().has("name", "hercules").out("battled").path_by("age").collect()
+    )
+    assert len(rows) == 3
+    for r in rows:
+        assert r["path"][0] == 30  # hercules' age leads every path

@@ -868,6 +868,32 @@ class GraphTraversal:
         # tags are always present, so no vertex materialization here
         return cur._df.select(cur.path_ids(*tags).alias("path"))
 
+    def path_by(self, key: str) -> DataFrame:
+        """``path().by(key)`` — the PathStep's by() modulator: each
+        path element rendered as its ``key`` property value (NULL when
+        the element lacks the key, e.g. edge ids or label mismatches —
+        Gremlin throws there; a relational engine degrades to NULL and
+        the docstring says so).
+
+        Plan: one posexplode over the (short) path arrays, one join
+        against the id→value projection of the vertex table, one
+        re-assembly aggregation ordered by position. Work is
+        Σ path-length rows — the same volume path() itself carries.
+        """
+        cur, tags = self._path_replay()
+        paths = cur._df.select(
+            F.monotonically_increasing_id().alias("_row"),
+            cur.path_ids(*tags).alias("_p"),
+        )
+        pos = paths.select("_row", F.posexplode("_p").alias("_pos", "id"))
+        vmap = self.graph.vertices.select("id", F.col(key).alias("_val"))
+        joined = pos.join(vmap, "id", "left")
+        return (
+            joined.groupBy("_row")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_val"))).alias("_s"))
+            .select(F.col("_s._val").alias("path"))
+        )
+
     def tree(self) -> DataFrame:
         """TinkerPop ``tree()`` (TreeStep of the ProcessStandardSuite,
         BerkeleyTitanProcessTest.java:12-15) in relational form.
@@ -1165,12 +1191,14 @@ class GraphTraversal:
         self._ensure_cols()
         return self._df.select(*[self.col(k).alias(k) for k in keys])
 
-    def properties_(self, *keys: str) -> DataFrame:
+    def properties_(self, *keys: str, has_value=None) -> DataFrame:
         """Vertex-property rows for the current frontier (Gremlin
         ``properties()``): long-format rows ``(vertex_id, key, value,
         prop_id, <meta columns>)`` from the vertex_properties table —
         meta-properties (properties on properties, docs/advschema.
         txt:72) are ordinary columns here and filter like any other.
+        ``keys`` is Gremlin's ``hasKey()`` restriction; ``has_value``
+        is ``hasValue(v)`` (exact match on the property value).
         """
         self._require("V", "properties_")
         vp = self.graph.vertex_properties
@@ -1180,6 +1208,8 @@ class GraphTraversal:
             vp = vp.filter(
                 F.col("key") == keys[0] if len(keys) == 1 else F.col("key").isin(list(keys))
             )
+        if has_value is not None:
+            vp = vp.filter(F.col("value") == has_value)
         ids = self._df.select(F.col("id").alias("vertex_id"))
         return ids.join(vp, "vertex_id")
 
