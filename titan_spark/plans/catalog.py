@@ -3057,6 +3057,46 @@ def _closeness_oracle(rounds: int = 6) -> str:
 ORACLE_SQL["closeness_centrality"] = _closeness_oracle()
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """The distributed statistics pass of BPE tokenizer training
+    (pipeline/bpe.py): word-frequency table → weighted adjacent-symbol
+    pair counts at round 0, top-20 by (count desc, pair asc) — the
+    argmax relation every merge round consumes. The iterative
+    ``learn_bpe`` loop itself is closed-form pytest-verified (its SQL
+    replay would need per-round list rewriting)."""
+    from titan_spark.pipeline.bpe import _initial_symbols, _pair_counts, word_frequencies
+
+    d = tables(spark, sf_dir)["documents"]
+    pc = _pair_counts(_initial_symbols(word_frequencies(d)))
+    return (
+        pc.orderBy(F.col("n").desc(), F.col("left").asc(), F.col("right").asc())
+        .limit(20)
+        .select("left", "right", "n")
+    )
+
+
+QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
+
+ORACLE_SQL["bpe_pair_counts"] = f"""
+    WITH w AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_toks()}) AS word FROM documents)
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT c, list_append(string_split(word, ''), '_') AS syms FROM w
+    ),
+    p AS (
+        SELECT s.syms[u.i] AS "left", s.syms[u.i + 1] AS "right", s.c
+        FROM s CROSS JOIN unnest(range(1, len(s.syms))) AS u(i)
+    )
+    SELECT "left", "right", CAST(sum(c) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    ORDER BY n DESC, "left" ASC, "right" ASC
+    LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
