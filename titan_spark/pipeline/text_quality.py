@@ -303,6 +303,14 @@ def lm_perplexity(
     agg. The N/V totals and the two tercile cutoffs are single-row
     aggregates cross-joined back (broadcast of one row) — no driver
     collect in the plan. Everything is corpus-linear; nothing is n².
+
+    The cutoffs use EXACT ``percentile`` (sort-based buffer per
+    partial) so the DuckDB oracle reproduces them bit-for-bit; that
+    buffer is fine to ~10⁸ docs per executor but at full 100-TB corpus
+    scale swap ``F.percentile`` for ``F.approx_percentile`` (t-digest,
+    bounded memory) — the bucketing contract is unchanged, the
+    boundaries become approximate, and the oracle then checks
+    ppl/nll only.
     """
     terms = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
     counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
