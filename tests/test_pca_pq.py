@@ -123,3 +123,40 @@ def test_whitening_gives_identity_covariance(emb):
     )
     cov = np.cov(x, rowvar=False, bias=True)
     assert np.allclose(cov, np.eye(3), atol=1e-2)
+
+
+def test_ivfpq_recall_against_exact(spark):
+    """ADC ranking over PQ codes approximates exact NN: on a separable
+    fixture the true nearest neighbor must appear in the IVF-PQ top-3."""
+    from titan_spark.pipeline.similarity import (
+        ivf_centroids,
+        ivfpq_search,
+        pq_codebooks,
+    )
+
+    # vectors near 4 distinct corners of the 8-cube
+    corners = [
+        [1.0] * 8,
+        [-1.0] * 8,
+        [1.0, -1.0] * 4,
+        [-1.0, 1.0] * 4,
+    ]
+    rows = []
+    for i in range(40):
+        base = corners[i % 4]
+        rows.append((i, [b + ((i * 13 + j) % 7 - 3) / 30.0 for j, b in enumerate(base)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    query = [x + 0.01 for x in rows[0][1]]  # perturbed copy of vec 0
+    got = ivfpq_search(
+        df,
+        query,
+        pq_codebooks(8, 2, 8),
+        k=3,
+        nprobe=4,
+        centroids=ivf_centroids(8, 8),
+    ).collect()
+    assert [r["vec_id"] for r in got][0] in {i for i in range(0, 40, 4)}
+    assert 0 in [r["vec_id"] for r in got]
+    # adc ascending
+    adcs = [r["adc"] for r in got]
+    assert adcs == sorted(adcs)

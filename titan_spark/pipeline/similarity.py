@@ -942,3 +942,72 @@ def whiten_embeddings(
             lambda d: F.round(d, 6),
         ).alias("white"),
     )
+
+
+def ivfpq_search(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    centroids=None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou 2011 §IV): probe the nprobe nearest coarse
+    cells, then rank candidates by ASYMMETRIC distance — the query
+    stays exact while each candidate is its PQ code, so the distance
+    is m table lookups instead of a dim-length dot product.
+
+    The per-subspace lookup tables (k × m query-to-centroid squared
+    distances) are computed driver-side from the query (a constant)
+    and ride as plan literals; ranking is Σ_s LUT_s[code_s] — pure
+    array algebra over the codes column, no vector reads in the
+    ranking path. At scale the codes table is 64× smaller than the
+    vectors; only the coarse assignment (precomputed, partition key)
+    and the code scan remain. Ties break (adc, id) ascending.
+    """
+    dim = len(query_vec)
+    centroids = centroids or ivf_centroids(dim, 16)
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(query_vec, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col("_cell").isin(probe))
+    codes = pq_encode(cand, codebooks, vec_col=vec_col, id_col=id_col)
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+
+    def _seqdot(a, b):
+        # strict left-to-right accumulation — bit-identical to the
+        # engine's _dot fold and DuckDB's list_dot_product, so the
+        # oracle's SQL-computed LUT matches these literals exactly
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    luts = []
+    for s in range(m):
+        q_sub = [float(x) for x in query_vec[s * sub : (s + 1) * sub]]
+        qq = _seqdot(q_sub, q_sub)
+        luts.append(
+            [
+                qq - 2.0 * _seqdot(q_sub, c) + float(sum(x * x for x in c))
+                for c in codebooks[s]
+            ]
+        )
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in luts[s]]), F.col("codes")[s] + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.select(F.col(id_col), F.round(adc, 6).alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

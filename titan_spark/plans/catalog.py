@@ -3097,6 +3097,124 @@ ORACLE_SQL["bpe_pair_counts"] = f"""
 """
 
 
+def q_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ ANN: coarse probe (nprobe=4 of 16 cells) + asymmetric
+    PQ-code distance ranking — the 64×-compressed serving path of the
+    ANN family. Query = vector 0's embedding (excluded from
+    candidates), deterministic centroids + codebooks."""
+    from titan_spark.pipeline.similarity import ivf_centroids, ivfpq_search, pq_codebooks
+
+    e = tables(spark, sf_dir)["embeddings"]
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfpq_search(
+        e.filter(F.col("vec_id") != 0),
+        qv,
+        pq_codebooks(64, 8, 16),
+        k=10,
+        nprobe=4,
+        centroids=ivf_centroids(64, 16),
+    )
+
+
+QUERIES["ivfpq_ann"] = q_ivfpq_ann
+
+
+def _ivfpq_oracle(nprobe: int = 4, k: int = 10, n_cells: int = 16, dim: int = 64,
+                  m: int = 8, kk: int = 16) -> str:
+    """Generated IVF-PQ oracle: coarse-centroid literals replay the
+    cell assignment + probe selection (the _ivf_oracle recurrence),
+    codebook literals replay each candidate's per-subspace argmin (the
+    _pq_oracle recurrence), and the ADC lookup table is computed IN
+    SQL from the same literals (qq − 2·q·c + cc with list_dot_product
+    — bit-identical to the engine's sequential-fold LUT)."""
+    from titan_spark.pipeline.similarity import ivf_centroids, pq_codebooks
+
+    cents = ivf_centroids(dim, n_cells)
+    coarse = ",\n            ".join(
+        "({}, [{}], {!r})".format(
+            i, ", ".join(repr(float(x)) for x in c), float(sum(x * x for x in c))
+        )
+        for i, c in enumerate(cents)
+    )
+    books = pq_codebooks(dim, m, kk)
+    sub = dim // m
+    book_rows = ",\n            ".join(
+        "({}, {}, [{}], {!r})".format(
+            s, i, ", ".join(repr(float(x)) for x in c), float(sum(x * x for x in c))
+        )
+        for s, book in enumerate(books)
+        for i, c in enumerate(book)
+    )
+    return f"""
+        WITH coarse(cell, c, cc) AS (VALUES
+            {coarse}
+        ),
+        books(s, code, c, cc) AS (VALUES
+            {book_rows}
+        ),
+        q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        ),
+        probe AS (
+            SELECT cell FROM coarse, q
+            ORDER BY -2 * list_dot_product(q.qv, CAST(coarse.c AS DOUBLE[])) + coarse.cc ASC,
+                     cell ASC
+            LIMIT {nprobe}
+        ),
+        assigned AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, cn.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                          CAST(cn.c AS DOUBLE[])) + cn.cc ASC,
+                                    cn.cell ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN coarse cn
+                WHERE e.vec_id <> 0
+            ) WHERE rn = 1
+        ),
+        cand AS (
+            SELECT a.vec_id, a.v FROM assigned a JOIN probe p ON a.cell = p.cell
+        ),
+        csub AS (
+            SELECT cand.vec_id, ss.s,
+                   cand.v[ss.s * {sub} + 1 : ss.s * {sub} + {sub}] AS v
+            FROM cand CROSS JOIN (SELECT unnest(range(0, {m})) AS s) ss
+        ),
+        best AS (
+            SELECT vec_id, s, code FROM (
+                SELECT csub.vec_id, csub.s, bk.code,
+                       row_number() OVER (
+                           PARTITION BY csub.vec_id, csub.s
+                           ORDER BY list_dot_product(csub.v, csub.v)
+                                    - 2 * list_dot_product(csub.v, CAST(bk.c AS DOUBLE[]))
+                                    + bk.cc ASC,
+                                    bk.code ASC
+                       ) AS rn
+                FROM csub JOIN books bk ON bk.s = csub.s
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT bk.s, bk.code,
+                   list_dot_product(q.qv[bk.s * {sub} + 1 : bk.s * {sub} + {sub}],
+                                    q.qv[bk.s * {sub} + 1 : bk.s * {sub} + {sub}])
+                   - 2 * list_dot_product(q.qv[bk.s * {sub} + 1 : bk.s * {sub} + {sub}],
+                                          CAST(bk.c AS DOUBLE[]))
+                   + bk.cc AS d
+            FROM books bk CROSS JOIN q
+        )
+        SELECT b.vec_id, ROUND(sum(l.d), 6) AS adc
+        FROM best b JOIN lut l ON l.s = b.s AND l.code = b.code
+        GROUP BY b.vec_id
+        ORDER BY adc ASC, b.vec_id ASC
+        LIMIT {k}
+    """
+
+
+ORACLE_SQL["ivfpq_ann"] = _ivfpq_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
