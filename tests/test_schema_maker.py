@@ -118,3 +118,55 @@ def test_schema_describe_print_schema_analog():
     assert "battled: MULTI" in out and "sortKey=['time']" in out
     assert "['person'] -> ['monster']" in out
     assert "age: int, SINGLE" in out and "nicknames: string, SET" in out
+
+
+def test_index_lifecycle_and_force_index(spark):
+    """TitanManagement.buildIndex/updateIndex lifecycle + the
+    query.force-index guard (docs/indexes.txt; SchemaStatus.java)."""
+    import pytest
+
+    from titan_spark.graph import PropertyGraph
+    from titan_spark.schema import (
+        GraphSchema,
+        IndexStatus,
+        SchemaAction,
+        SchemaViolation,
+    )
+
+    v = spark.createDataFrame(
+        [(1, "person", "a"), (2, "person", "b")], "id long, label string, name string"
+    )
+    e = spark.createDataFrame([], "edge_id long, src long, dst long, label string")
+    s = GraphSchema()
+    s.make_property_key("name", "string")
+    g = PropertyGraph(v, e, schema=s)
+
+    s.build_index("byName", ["name"])
+    # ENABLE before REGISTER is an illegal transition
+    with pytest.raises(SchemaViolation):
+        s.update_index("byName", SchemaAction.ENABLE_INDEX)
+    s.update_index("byName", SchemaAction.REGISTER_INDEX)
+    s.update_index("byName", SchemaAction.ENABLE_INDEX)
+    s.await_index_status("byName", IndexStatus.ENABLED)
+
+    # force-index: covered key passes, uncovered key raises; off = scan
+    s.force_index = True
+    assert g.V().has("name", "a").count_value() == 1
+    with pytest.raises(SchemaViolation):
+        g.V().has("label", "person")
+    s.force_index = False
+    assert g.V().has("label", "person").count_value() == 2
+
+
+def test_unique_index_violations(spark):
+    from titan_spark.graph import PropertyGraph
+    from titan_spark.schema import GraphSchema
+
+    v = spark.createDataFrame(
+        [(1, "person", "dup"), (2, "person", "dup"), (3, "person", "ok")],
+        "id long, label string, name string",
+    )
+    s = GraphSchema()
+    s.build_index("uByName", ["name"], unique=True)
+    viols = s.unique_violations(v, "uByName").collect()
+    assert len(viols) == 1 and viols[0]["name"] == "dup" and viols[0]["n"] == 2

@@ -20,7 +20,9 @@ from titan_spark.operators.vertexquery import vertex_query
 from titan_spark.schema import (
     Cardinality,
     GraphSchema,
+    IndexStatus,
     Multiplicity,
+    SchemaAction,
 )
 from titan_spark.session import get_spark
 
@@ -29,6 +31,8 @@ __all__ = [
     "GraphTraversal",
     "P",
     "GraphSchema",
+    "IndexStatus",
+    "SchemaAction",
     "Cardinality",
     "Multiplicity",
     "get_spark",

@@ -242,6 +242,12 @@ class GraphTraversal:
         # when a declared TEXT/STRING mapping would reject this
         # predicate on a reference mixed index (porting hazard)
         self.graph.schema.warn_mapping_legality(key, pred.name)
+        # query.force-index guard: raise instead of scanning when set
+        # and no ENABLED index covers the key (Titan's production
+        # contract against accidental graph scans)
+        self.graph.schema.check_force_index(
+            key, "vertex" if self.kind == "V" else "edge"
+        )
         if (
             self.kind == "V"
             and self.graph.schema.cardinality_of(key).value != "single"

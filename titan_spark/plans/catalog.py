@@ -3237,6 +3237,14 @@ _SLOT_SWAPS = [
     ("embed_covariance", "weighted_distance"),
     ("shard_layout", "label_propagation"),
     ("tail_skip_math", "tree_geography"),
+    # third wave: closeness (graph family kept by shortest_distance /
+    # pagerank when demoting pack_windows, whose prefix-sum machinery
+    # stays driver-covered by shard_layout), BPE statistics (sampling
+    # family kept by mix_corpus), IVF-PQ (exact-dedup family kept by
+    # minhash/jaccard/dedup_clusters/line_dedup).
+    ("closeness_centrality", "pack_windows"),
+    ("bpe_pair_counts", "hash_sample"),
+    ("ivfpq_ann", "dedup_exact"),
 ]
 _order = list(QUERIES)
 for _new, _old in _SLOT_SWAPS:

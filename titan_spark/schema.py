@@ -116,6 +116,12 @@ class GraphSchema:
     edge_labels: dict[str, EdgeLabelDef] = field(default_factory=dict)
     vertex_labels: dict[str, VertexLabelDef] = field(default_factory=dict)
     maker: str = "default"
+    graph_indexes: dict[str, "GraphIndexDef"] = field(default_factory=dict)
+    # query.force-index (docs/config-ref.txt): when True, a has()
+    # predicate on a key with no ENABLED index coverage raises instead
+    # of falling back to a full scan — Titan's production guard against
+    # accidental graph scans
+    force_index: bool = False
 
     # -- definition API (PropertyKeyMaker / EdgeLabelMaker / VertexLabelMaker) --
     def make_property_key(
@@ -167,6 +173,93 @@ class GraphSchema:
                 UserWarning,
                 stacklevel=4,
             )
+
+    # -- graph-index management (TitanManagement.buildIndex/updateIndex,
+    # SchemaStatus lifecycle, docs/indexes.txt) --
+    def build_index(
+        self,
+        name: str,
+        keys,
+        element: str = "vertex",
+        composite: bool = True,
+        unique: bool = False,
+        label_constraint: str | None = None,
+    ) -> "GraphIndexDef":
+        """``mgmt.buildIndex(name, Vertex.class).addKey(k)...
+        .buildCompositeIndex()`` — starts INSTALLED like the reference;
+        ENABLE it before force-index queries count it as coverage."""
+        if unique and not composite:
+            raise SchemaViolation("unique() requires a composite index")
+        idx = GraphIndexDef(
+            name, tuple(keys), element, composite, unique, label_constraint
+        )
+        self.graph_indexes[name] = idx
+        return idx
+
+    def update_index(self, name: str, action: "SchemaAction") -> "GraphIndexDef":
+        """``mgmt.updateIndex(index, SchemaAction...)`` with the
+        reference's legal-transition checks."""
+        idx = self.graph_indexes[name]
+        expected, target = _INDEX_TRANSITIONS[action]
+        if expected is not None and idx.status is not expected:
+            raise SchemaViolation(
+                f"index {name!r} is {idx.status.name}; "
+                f"{action.name} requires {expected.name}"
+            )
+        idx.status = target
+        return idx
+
+    def await_index_status(self, name: str, status: "IndexStatus") -> "GraphIndexDef":
+        """``ManagementSystem.awaitGraphIndexStatus`` — the reference
+        polls cluster-wide type propagation; a single-registry engine
+        is immediately consistent, so this is an assertion kept for
+        API parity."""
+        idx = self.graph_indexes[name]
+        if idx.status is not status:
+            raise SchemaViolation(
+                f"index {name!r} is {idx.status.name}, not {status.name}"
+            )
+        return idx
+
+    def enabled_index_for(self, key: str, element: str = "vertex"):
+        """First ENABLED index whose key set contains ``key`` — the
+        coverage rule behind the force-index guard (single-key
+        coverage, like Titan's index selection)."""
+        for idx in self.graph_indexes.values():
+            if (
+                idx.status is IndexStatus.ENABLED
+                and idx.element == element
+                and key in idx.keys
+            ):
+                return idx
+        return None
+
+    def check_force_index(self, key: str, element: str = "vertex") -> None:
+        """Raise when ``query.force-index`` is set and no ENABLED index
+        covers ``key`` (Titan: GraphQueryException 'Could not find a
+        suitable index to answer graph query and graph scans are
+        disabled'). On Spark the scan would succeed — this guard
+        preserves the reference's production contract that unindexed
+        predicates must not silently become full scans."""
+        if self.force_index and self.enabled_index_for(key, element) is None:
+            raise SchemaViolation(
+                f"query.force-index is set and no ENABLED index covers "
+                f"{element} key {key!r} — declare one with build_index() "
+                f"+ update_index(ENABLE_INDEX) or unset force_index"
+            )
+
+    def unique_violations(self, vertices: DataFrame, name: str) -> DataFrame:
+        """Rows violating a unique composite index (the reference
+        throws SchemaViolationException per write; the batch engine
+        returns violating key tuples with counts — one aggregation)."""
+        idx = self.graph_indexes[name]
+        if not idx.unique:
+            raise SchemaViolation(f"index {name!r} is not unique")
+        return (
+            vertices.groupBy(*list(idx.keys))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
 
     def make_edge_label(
         self,
@@ -393,3 +486,51 @@ class GraphSchema:
             for p in (self.property_keys[k] for k in sorted(self.property_keys))
         ]
         return "\n".join(lines)
+
+
+class IndexStatus(Enum):
+    """Graph-index lifecycle states (reference
+    ``core/schema/SchemaStatus.java``: INSTALLED → REGISTERED →
+    ENABLED, with DISABLED for retirement; docs/indexes.txt walks the
+    ``mgmt.buildIndex`` / ``updateIndex`` / ``awaitGraphIndexStatus``
+    flow)."""
+
+    INSTALLED = "installed"
+    REGISTERED = "registered"
+    ENABLED = "enabled"
+    DISABLED = "disabled"
+
+
+class SchemaAction(Enum):
+    """``core/schema/SchemaAction.java`` actions for updateIndex."""
+
+    REGISTER_INDEX = "register"
+    ENABLE_INDEX = "enable"
+    DISABLE_INDEX = "disable"
+
+
+@dataclass
+class GraphIndexDef:
+    """A declared graph index (reference ``TitanGraphIndex``):
+    composite = exact-match index over the key set; mixed = per-key
+    predicate index. On Spark the 'index' is plan-time knowledge —
+    Catalyst pushdown serves every predicate — so the definition
+    carries API semantics (lifecycle, uniqueness, force-index
+    coverage) and layout hints, not a physical structure."""
+
+    name: str
+    keys: tuple[str, ...]
+    element: str = "vertex"  # "vertex" | "edge"
+    composite: bool = True
+    unique: bool = False
+    label_constraint: str | None = None
+    status: IndexStatus = IndexStatus.INSTALLED
+
+
+_INDEX_TRANSITIONS = {
+    SchemaAction.REGISTER_INDEX: (IndexStatus.INSTALLED, IndexStatus.REGISTERED),
+    SchemaAction.ENABLE_INDEX: (IndexStatus.REGISTERED, IndexStatus.ENABLED),
+    SchemaAction.DISABLE_INDEX: (None, IndexStatus.DISABLED),
+}
+
+
