@@ -130,3 +130,39 @@ def test_multimodal_resize_stub(spark):
     assert all(bytes(r["payload"]) == b and r["meta"]["width"] is None
                for r, b in zip(sorted(pas, key=lambda r: r["media_id"]),
                                [b"imagebytes-aaaa", b"imagebytes-bbbb"]))
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Streaming ingest near-dup filter: batch-2 near-copies of batch-1
+    docs are dropped via the persistent signature store; unique docs
+    survive; a retried batch is idempotent on read."""
+    from titan_spark.streaming.ingest import IncrementalDedup
+
+    store = str(tmp_path / "sigstore")
+    dd = IncrementalDedup(spark, store)
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    b1 = spark.createDataFrame([(1, base), (2, "completely different text about spark engines and parquet files")], ["doc_id", "text"])
+    kept1 = dd.process_batch(b1, 0)
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+
+    near = base + " tail"  # high shingle overlap with doc 1
+    b2 = spark.createDataFrame(
+        [(3, near), (4, "an entirely new unique document with its own words and meaning here")],
+        ["doc_id", "text"],
+    )
+    kept2 = dd.process_batch(b2, 1)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [4]
+
+    # within-batch near-dups: lower id survives
+    b3 = spark.createDataFrame(
+        [(5, "another brand new body of text flowing through the ingest stream today"),
+         (6, "another brand new body of text flowing through the ingest stream today ok")],
+        ["doc_id", "text"],
+    )
+    kept3 = dd.process_batch(b3, 2)
+    assert sorted(r["doc_id"] for r in kept3.collect()) == [5]
+
+    # retried batch (same content): store reads stay duplicate-free
+    dd.process_batch(b3, 2)
+    st = dd._store()
+    assert st.groupBy("band", "band_hash", "doc_id").count().filter("count > 1").count() == 0

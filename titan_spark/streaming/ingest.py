@@ -1,0 +1,149 @@
+"""Streaming ingest near-dup dedup against a persistent signature
+store — the incremental form of the batch MinHash+LSH pipeline
+(pipeline/dedup.py), for corpora that arrive as a stream.
+
+Per micro-batch (foreachBatch):
+
+1. band incoming docs' minhash signatures (same deterministic hashes
+   as the batch pipeline — a doc gets the same bands in either mode);
+2. docs sharing ANY band with the store are near-dup suspects →
+   dropped (the store side of the join is bucketed parquet keyed on
+   the band hash; the probe reads only matching buckets at scale);
+3. within-batch collisions resolve greedily — the lower doc id of
+   each candidate pair survives (documented divergence from the batch
+   pipeline's full transitive clustering: a stream can't see forward);
+4. survivors' band rows append to the store WITH the batch id; reads
+   drop duplicate (band, band_hash, doc) rows, so a retried batch
+   (foreachBatch is at-least-once) is idempotent.
+
+State is the store itself — bounded by unique-document volume, not
+stream length; no executor state store grows with the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from titan_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+
+_STORE_SCHEMA = "band int, band_hash long, doc_id long, batch_id long"
+
+
+class IncrementalDedup:
+    """foreachBatch processor: near-dup-filtered ingest with a
+    persistent banded-signature store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        bands: int = 8,
+        num_hashes: int = 32,
+        hash_fn: str = "xxhash64",
+    ):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bands = bands
+        self.num_hashes = num_hashes
+        self.hash_fn = hash_fn
+
+    # -- store --------------------------------------------------------
+    def _store(self) -> DataFrame:
+        if not os.path.exists(self.store_dir):
+            return self.spark.createDataFrame([], _STORE_SCHEMA)
+        return (
+            self.spark.read.schema(_STORE_SCHEMA)
+            .parquet(self.store_dir)
+            .dropDuplicates(["band", "band_hash", "doc_id"])
+        )
+
+    def _band_rows(self, df: DataFrame) -> DataFrame:
+        """(band, band_hash, doc_id) rows — one per band per doc, the
+        same banding the batch LSH join keys on."""
+        sigs = minhash_signatures(
+            df, self.text_col, self.id_col, self.num_hashes, hash_fn=self.hash_fn
+        )
+        rows = self.num_hashes // self.bands
+        from titan_spark.functions.hashing import resolve_hash_fn
+
+        h64 = resolve_hash_fn(self.hash_fn)
+        # identical band-hash construction to the batch pipeline's
+        # lsh_candidate_pairs, so a doc's (band, band_hash) rows are the
+        # same whether it arrived by stream or batch
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    h64(
+                        F.concat_ws(
+                            ",",
+                            *[F.col("signature")[b * rows + i] for i in range(rows)],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(self.bands)
+            ]
+        )
+        return sigs.select(F.col(self.id_col).alias("doc_id"), F.explode(bands).alias("b")).select(
+            F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"), "doc_id"
+        )
+
+    # -- batch step ---------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Filter one micro-batch against history; returns survivors
+        (also appends their band rows to the store)."""
+        incoming = self._band_rows(batch_df)
+        store = self._store()
+        # history collisions: any shared band drops the incoming doc
+        hist_dupes = (
+            incoming.join(
+                store.select("band", "band_hash").dropDuplicates(),
+                ["band", "band_hash"],
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        fresh = batch_df.join(
+            hist_dupes.withColumnRenamed("doc_id", self.id_col), self.id_col, "left_anti"
+        )
+        # within-batch collisions: greedy keep-lowest-id per pair
+        pairs = lsh_candidate_pairs(
+            minhash_signatures(
+                fresh, self.text_col, self.id_col, self.num_hashes, hash_fn=self.hash_fn
+            ),
+            id_col=self.id_col,
+            bands=self.bands,
+            num_hashes=self.num_hashes,
+            hash_fn=self.hash_fn,
+        )
+        losers = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
+        survivors = fresh.join(losers, self.id_col, "left_anti")
+        out_rows = self._band_rows(survivors).withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        out_rows.write.mode("append").parquet(self.store_dir)
+        return survivors
+
+    def run_stream(self, stream_df: DataFrame, checkpoint_dir: str, sink_fn=None):
+        """Wire as a foreachBatch sink; ``sink_fn(survivors, batch_id)``
+        receives the filtered batch (default: discard — the store is
+        the output)."""
+
+        def step(batch_df: DataFrame, batch_id: int) -> None:
+            survivors = self.process_batch(batch_df, batch_id)
+            if sink_fn is not None:
+                sink_fn(survivors, batch_id)
+
+        return (
+            stream_df.writeStream.foreachBatch(step)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
