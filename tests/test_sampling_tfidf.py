@@ -125,3 +125,23 @@ def test_lm_perplexity_closed_form(spark):
     assert rows[1]["ppl"] < rows[2]["ppl"]
     assert rows[1]["bucket"] == "head"
     assert rows[1]["n_tokens"] == 3 and rows[2]["n_tokens"] == 1
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from titan_spark.pipeline.sampling import weighted_sample
+
+    # two weight classes: heavy rows (w=100) vs light rows (w=1)
+    rows = [(i, 100 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [r["doc_id"] for r in weighted_sample(df, 40, "w").collect()]
+    again = [r["doc_id"] for r in weighted_sample(df, 40, "w").collect()]
+    assert got == again  # deterministic
+    heavy = sum(1 for i in got if i < 50)
+    # 50 heavy rows carry 5000/5450 of the weight: expect the sample
+    # to be dominated by them (prob of <20 heavy is astronomically small)
+    assert heavy >= 20
+    # seeds change the draw; zero/negative weights are excluded
+    other = [r["doc_id"] for r in weighted_sample(df, 40, "w", seed=3).collect()]
+    assert got != other
+    dfz = spark.createDataFrame([(1, 0), (2, 5)], ["doc_id", "w"])
+    assert [r["doc_id"] for r in weighted_sample(dfz, 5, "w").collect()] == [2]

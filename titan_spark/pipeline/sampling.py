@@ -190,3 +190,41 @@ def mix_rates_sql(
             FROM stats s JOIN weights w USING (source)
         )
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement, deterministically —
+    Efraimidis & Spirakis, "Weighted random sampling with a
+    reservoir", IPL 2006: draw u ~ U(0,1) per row, keep the n largest
+    keys k = u^(1/w). Rows with weight w are then included with the
+    exact WRS-without-replacement probabilities.
+
+    The uniform draw is the portable h60 of (seed, id) scaled to
+    (0, 1] — the engine's standard deterministic-randomness contract
+    (same as hash_sample/sample_/coin_), which also makes the draw
+    reproducible in the SQL oracle. Selection compiles to TakeOrdered
+    (per-partition top-n; no global sort): the classic A-ES reservoir
+    without any sequential reservoir state. Non-positive weights are
+    excluded (their key would be 0). Comparison uses ln(u)/w rather
+    than u^(1/w) — same order, no underflow at large weights."""
+    from titan_spark.functions.hashing import portable_hash64
+
+    h = portable_hash64(
+        F.concat(F.lit(f"ws{seed}:"), F.col(id_col).cast("string"))
+    )
+    # u in (0, 1]: (h + 1) / 2^60 — h is a 60-bit non-negative int
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")  # maximize u^(1/w) == maximize ln(u)/w
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wkey", F.round(key, 12))
+        .orderBy(F.col("_wkey").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_wkey")
+    )

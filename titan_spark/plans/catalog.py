@@ -3215,6 +3215,82 @@ def _ivfpq_oracle(nprobe: int = 4, k: int = 10, n_cells: int = 16, dim: int = 64
 ORACLE_SQL["ivfpq_ann"] = _ivfpq_oracle()
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (Cormode–Muthukrishnan 2005):
+    top-20 corpus terms by sketch estimate over a 4×256 counter
+    matrix — the fixed-size mergeable-aggregate path for open-vocab
+    frequency screening."""
+    from titan_spark.pipeline.sketches import cms_heavy_hitters
+
+    d = tables(spark, sf_dir)["documents"]
+    return cms_heavy_hitters(d, k=20)
+
+
+QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
+
+
+def _cms_oracle(k: int = 20, depth: int = 4, width: int = 256) -> str:
+    """Replays the salted-h60 bucket hashes, the d×w counter matrix,
+    and the min-over-rows estimate in ANSI SQL."""
+    from titan_spark.pipeline.sketches import cms_bucket_sql
+
+    sk_union = "\n            UNION ALL\n            ".join(
+        f"SELECT {r} AS r, {cms_bucket_sql('term', r, width)} AS bucket FROM terms"
+        for r in range(depth)
+    )
+    joins = "\n        ".join(
+        f"JOIN sk s{r} ON s{r}.r = {r} AND s{r}.bucket = {cms_bucket_sql('cand.term', r, width)}"
+        for r in range(depth)
+    )
+    least = ", ".join(f"s{r}.c" for r in range(depth))
+    return f"""
+    WITH terms AS (
+        SELECT unnest({_toks()}) AS term FROM documents
+    ),
+    sk AS (
+        SELECT r, bucket, CAST(count(*) AS BIGINT) AS c FROM (
+            {sk_union}
+        ) GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT term FROM terms)
+    SELECT cand.term, LEAST({least}) AS est
+    FROM cand
+        {joins}
+    ORDER BY est DESC, cand.term ASC
+    LIMIT {k}
+"""
+
+
+ORACLE_SQL["cms_heavy_hitters"] = _cms_oracle()
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (deterministic-hash draw): 50 documents weighted by length —
+    the quality/size-weighted corpus selection pass."""
+    from titan_spark.pipeline.sampling import weighted_sample
+
+    d = tables(spark, sf_dir)["documents"]
+    return weighted_sample(d, n=50, weight_col="n_chars").select("doc_id", "n_chars")
+
+
+QUERIES["weighted_sample"] = q_weighted_sample
+
+ORACLE_SQL["weighted_sample"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ROUND(
+                   ln((CAST(('0x' || substr(md5('ws0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                      / {float(1 << 60)!r})
+                   / CAST(n_chars AS DOUBLE), 12) AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars FROM keyed
+    ORDER BY k DESC, doc_id ASC
+    LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
