@@ -82,6 +82,10 @@ HEADLINE = [
     "pq_codes",
     "shard_layout",
     "closeness_centrality",
+    "bpe_pair_counts",
+    "ivfpq_ann",
+    "cms_heavy_hitters",
+    "weighted_sample",
 ]
 
 

@@ -3321,6 +3321,12 @@ _SLOT_SWAPS = [
     ("closeness_centrality", "pack_windows"),
     ("bpe_pair_counts", "hash_sample"),
     ("ivfpq_ann", "dedup_exact"),
+    # fourth wave: CMS heavy hitters (near-dup family keeps minhash /
+    # dedup_clusters / line_dedup in slots when jaccard_dup_pairs
+    # rotates out) and weighted sampling (text-quality family keeps
+    # lm_perplexity / tfidf_top_terms when doc_quality rotates out).
+    ("cms_heavy_hitters", "jaccard_dup_pairs"),
+    ("weighted_sample", "doc_quality"),
 ]
 _order = list(QUERIES)
 for _new, _old in _SLOT_SWAPS:
