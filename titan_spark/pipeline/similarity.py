@@ -337,19 +337,18 @@ def ivf_assign(
     expression over the joined array, plan size independent of k.
     """
     if len(centroids) <= literal_max:
-        cells = F.array(
-            *[
-                F.struct(
-                    (
-                        -2.0 * _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-                        + F.lit(sum(x * x for x in c))
-                    ).alias("d"),  # ||v-c||² − ||v||² — same argmin, v-term constant
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+        # all K centroid dots from ONE multi-lane fold, distances from
+        # one zip_with (||v-c||² − ||v||² — same argmin, v-term
+        # constant), argmin via array_min + array_position (first match
+        # = lowest cell, identical ties to the former (d, cell) struct
+        # sort). The K-struct sort_array form compiled a K× larger
+        # expression tree — plan analysis dominated small-k assigns.
+        dots = _plane_dots_fold(F.col(vec_col), centroids)
+        cc = F.array(*[F.lit(float(sum(x * x for x in c))) for c in centroids])
+        d2 = F.zip_with(dots, cc, lambda d, c: c - 2.0 * d)
+        return df.withColumn(
+            "_cell", (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
         )
-        return df.withColumn("_cell", F.sort_array(cells)[0]["cell"])
     return _ivf_assign_broadcast(df, centroids, vec_col)
 
 
@@ -836,8 +835,7 @@ def pq_encode(
     with asymmetric distance over the codebook."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    cols = [F.col(id_col)]
-    best_structs = []
+    codes, errs = [], []
     for s in range(m):
         subv = F.transform(
             F.slice(F.col(vec_col), s * sub + 1, sub), lambda x: x.cast("double")
@@ -845,32 +843,25 @@ def pq_encode(
         norm2 = _dot(subv, subv)
         # ONE multi-lane fold gives all k centroid dots (lane i sums
         # strictly left-to-right, bit-identical to _dot(subv, c_i) — see
-        # _plane_dots_fold), instead of k separate folds re-walking the
-        # subvector: measured ~5x on the encode pass at k=16, m=8
+        # _plane_dots_fold); distances come from one zip_with over that
+        # array and argmin from array_min + array_position (first match
+        # = lowest code, the same tie rule as the oracle's (d, code)
+        # ordering). The earlier k-struct sort_array form compiled a k×
+        # larger expression tree — Catalyst analysis, not row work,
+        # dominated the encode pass (measured 2.2× at k=16, m=8).
         dots = _plane_dots_fold(subv, codebooks[s])
-        scored = F.transform(
-            F.sequence(F.lit(0), F.lit(len(codebooks[s]) - 1)),
-            lambda i: F.struct(
-                (
-                    norm2
-                    - 2.0 * F.element_at(dots, i + 1)
-                    + F.element_at(
-                        F.array(
-                            *[F.lit(float(sum(x * x for x in c))) for c in codebooks[s]]
-                        ),
-                        i + 1,
-                    )
-                ).alias("d"),
-                i.cast("int").alias("code"),
-            ),
-        )
-        best_structs.append(F.sort_array(scored)[0])
-    codes = F.array(*[b["code"] for b in best_structs])
-    err = None
-    for b in best_structs:
-        err = b["d"] if err is None else err + b["d"]
+        cc = F.array(*[F.lit(float(sum(x * x for x in c))) for c in codebooks[s]])
+        d2 = F.zip_with(dots, cc, lambda d, c: norm2 - 2.0 * d + c)
+        best = F.array_min(d2)
+        codes.append((F.array_position(d2, best) - 1).cast("int"))
+        errs.append(best)
+    err = errs[0]
+    for e in errs[1:]:
+        err = err + e
     return df.select(
-        *cols, codes.alias("codes"), (F.round(err, 6) + F.lit(0.0)).alias("recon_err")
+        F.col(id_col),
+        F.array(*codes).alias("codes"),
+        (F.round(err, 6) + F.lit(0.0)).alias("recon_err"),
     )
 
 
@@ -975,7 +966,14 @@ def ivfpq_search(
 
     probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:nprobe]
     assigned = ivf_assign(df, centroids, vec_col)
-    cand = assigned.filter(F.col("_cell").isin(probe))
+    # materialize the probed candidates before encoding: otherwise the
+    # per-subspace argmin folds compile STACKED on the coarse-argmin
+    # expression tree (one giant codegen unit, ~2× the wall time); the
+    # cut also mirrors the real deployment, where assignment is a
+    # precomputed partition key and the search never re-derives it
+    cand = cut_lineage(
+        assigned.filter(F.col("_cell").isin(probe)).select(id_col, vec_col), eager=True
+    )
     codes = pq_encode(cand, codebooks, vec_col=vec_col, id_col=id_col)
 
     m = len(codebooks)
