@@ -3291,6 +3291,104 @@ ORACLE_SQL["weighted_sample"] = f"""
 """
 
 
+def q_json_props_agg(spark, sf_dir):
+    """Semi-structured extraction: parse the events.props JSON column
+    (JVM-side get_json_object — no Python, pushdown-friendly) and
+    aggregate the extracted field per event type. The schema-on-read
+    path every telemetry pipeline needs."""
+    e = tables(spark, sf_dir)["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+QUERIES["json_props_agg"] = q_json_props_agg
+
+ORACLE_SQL["json_props_agg"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """OLAP ROLLUP: revenue totals at (region, nation), per-region
+    subtotals, and the grand total in ONE aggregation pass (Spark
+    compiles rollup to a single Expand + hash agg — no self-union of
+    three scans)."""
+    t = tables(spark, sf_dir)
+    c, n, r, o = t["customer"], t["nation"], t["region"], t["orders"]
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+    )
+
+
+QUERIES["rollup_revenue"] = q_rollup_revenue
+
+ORACLE_SQL["rollup_revenue"] = """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+def q_user_activity_stats(spark, sf_dir):
+    """Per-user event analytics with window functions: previous-event
+    gap (lag) and a 3-event moving average of value, per user in time
+    order — the windowed feature-engineering shape. Partitioned by
+    user: no global sort, per-key windows shuffle once on user_id."""
+    from pyspark.sql import Window
+
+    e = tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    mavg = F.avg("value").over(w.rowsBetween(-2, 0))
+    return e.select(
+        "event_id",
+        "user_id",
+        gap.alias("gap_us"),
+        F.round(mavg, 6).alias("mavg3"),
+    )
+
+
+QUERIES["user_activity_stats"] = q_user_activity_stats
+
+ORACLE_SQL["user_activity_stats"] = """
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           ROUND(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
