@@ -1,0 +1,99 @@
+"""Temporal joins Spark lacks as built-ins: as-of join.
+
+``asof_join`` matches every left row to the most recent right row at
+or before its timestamp (direction="backward"; "forward" = earliest at
+or after), within optional partition keys — the point-in-time join
+every feature store / market-data / telemetry pipeline needs.
+
+Spark-first plan: NOT a range join (an inequality θ-join degenerates
+to broadcast-nested-loop or an n·m explosion). Both sides union into
+one stream tagged by side, one window per partition key ordered by
+(ts, side-priority) carries the last right row forward
+(``last(..., ignorenulls=True)``), and left rows project their carried
+match. Cost: ONE shuffle on the partition key + a per-key sort —
+linear at any scale, the same shape as sessionization. Skewed keys are
+ordinary window skew (AQE-split territory), never a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_SIDE = "_asof_side"  # 0 = right (carry source), 1 = left (probe)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+    strict: bool = False,
+) -> DataFrame:
+    """Point-in-time join: each left row gets the latest right row with
+    ``right_ts <= left_ts`` (backward; ``>=`` for forward) sharing the
+    ``on`` keys; no match → NULLs. ``strict=True`` uses ``<`` / ``>``
+    (exclude simultaneous rows). Tie among simultaneous right rows →
+    the one latest in (ts, then input order is irrelevant: resolved
+    deterministically by the max of the carried struct).
+
+    Returns all left columns + the matched right ``value_cols``
+    (default: all non-key, non-ts right columns) suffixed, plus
+    ``{right_ts}{suffix}`` — the matched timestamp.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    # tag and align schemas: left carries its full row; right carries
+    # (ts, values) as one struct so a single last() carries everything
+    rstruct = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_evt_ts"),
+        F.lit(0).alias(_SIDE),
+        rstruct.alias("_r"),
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_evt_ts"),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    both = r.unionByName(l)
+    if direction == "backward":
+        # at equal ts, right sorts before left (side 0 < 1) so a
+        # simultaneous right row IS visible to the left row; strict
+        # flips the side order so it is not
+        side_order = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_evt_ts").asc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+        )
+        carried = F.max("_r").over(w)
+    elif direction == "forward":
+        # same side rule as backward: in the desc-ordered stream a
+        # simultaneous right row must still sort BEFORE the left row
+        # to be visible non-strict (and after it under strict)
+        side_order = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_evt_ts").desc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+        )
+        carried = F.min("_r").over(w)
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    matched = both.withColumn("_m", carried).filter(F.col(_SIDE) == 1)
+    return matched.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        F.col("_m._ts").alias(f"{right_ts}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

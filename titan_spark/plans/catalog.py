@@ -3389,6 +3389,53 @@ ORACLE_SQL["user_activity_stats"] = """
 """
 
 
+def q_asof_view_before_purchase(spark, sf_dir):
+    """As-of join (the point-in-time join Spark lacks as a built-in):
+    every purchase event matched to the user's most recent view at or
+    before it. One shuffle on user_id — union + carry-forward window,
+    never an inequality θ-join. Oracle: DuckDB's native ASOF JOIN.
+    The right side pre-aggregates to one row per (user, ts) so the
+    simultaneous-row tie rule is engine-independent."""
+    from titan_spark.operators.temporal import asof_join
+
+    e = tables(spark, sf_dir)["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("view_value"))
+    )
+    j = asof_join(purchases, views, on="user_id", direction="backward")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts_right")).alias("view_ts_us"),
+        F.col("view_value_right").alias("view_value"),
+    )
+
+
+QUERIES["asof_view_before_purchase"] = q_asof_view_before_purchase
+
+ORACLE_SQL["asof_view_before_purchase"] = """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT user_id, ts, ROUND(max(value), 6) AS view_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_us(v.ts) AS view_ts_us,
+           v.view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v
+        ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
