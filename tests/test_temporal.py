@@ -56,3 +56,61 @@ def test_asof_forward(spark):
 def test_asof_preserves_left_rowcount(spark):
     left, right = _frames(spark)
     assert asof_join(left, right, on="user", left_ts="t", right_ts="t").count() == left.count()
+
+
+def test_point_in_interval_join_exact_and_boundaries(spark):
+    import datetime as dt
+
+    from titan_spark.operators.temporal import point_in_interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    points = spark.createDataFrame(
+        [(1, "u", ts(0)), (2, "u", ts(61)), (3, "u", ts(59)), (4, "w", ts(30))],
+        ["pid", "user", "t"],
+    )
+    # interval [0, 60] minutes for user u; [0, 60] for v (no points)
+    intervals = spark.createDataFrame(
+        [(10, "u", ts(0), ts(60)), (11, "v", ts(0), ts(60))],
+        ["iid", "user", "lo", "hi"],
+    )
+    got = {
+        (r["pid"], r["iid_ivl"])
+        for r in point_in_interval_join(
+            points, intervals, "t", "lo", "hi", on="user", bucket_seconds=600
+        ).collect()
+    }
+    # boundary-inclusive at lo; 59min inside; 61min outside; key w unmatched
+    assert got == {(1, 10), (3, 10)}
+
+
+def test_point_in_interval_join_matches_theta_join(spark):
+    """Bucketed equi-join == naive θ-join on a random-ish fixture."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from titan_spark.operators.temporal import point_in_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = [(i, "k", t0 + dt.timedelta(minutes=(i * 37) % 300)) for i in range(60)]
+    ivs = [
+        (100 + j, "k", t0 + dt.timedelta(minutes=j * 25), t0 + dt.timedelta(minutes=j * 25 + 40))
+        for j in range(10)
+    ]
+    p = spark.createDataFrame(pts, ["pid", "user", "t"])
+    i = spark.createDataFrame(ivs, ["iid", "user", "lo", "hi"])
+    fast = {
+        (r["pid"], r["iid_ivl"])
+        for r in point_in_interval_join(p, i, "t", "lo", "hi", on="user", bucket_seconds=900).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in p.join(
+            i, (p["user"] == i["user"]) & (p["t"] >= i["lo"]) & (p["t"] <= i["hi"])
+        ).select("pid", "iid").collect()
+    }
+    assert fast == naive and len(fast) > 0

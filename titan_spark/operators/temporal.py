@@ -97,3 +97,51 @@ def asof_join(
         F.col("_m._ts").alias(f"{right_ts}{suffix}"),
         *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    on: str | list[str] | None = None,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join (point-in-interval): each point row matched to every
+    interval row containing it, optionally within partition keys.
+
+    Spark-first plan: a naive ``p.ts BETWEEN i.start AND i.end``
+    θ-join compiles to BroadcastNestedLoop — quadratic at scale. This
+    buckets time into ``bucket_seconds`` cells: intervals EXPLODE over
+    the cells they cover (replication factor = span/bucket, bounded
+    and chosen by the caller), points map to exactly ONE cell, and the
+    match becomes an equi-join on (keys…, cell) + an exact residual
+    filter. Each qualifying pair meets in exactly one cell (the
+    point's), so no post-join dedup is needed. One shuffle on the
+    bucketed key; AQE handles hot cells.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    us = F.lit(int(bucket_seconds) * 1_000_000)
+    p = points.withColumn("_cell", (F.unix_micros(F.col(point_ts)) / us).cast("long"))
+    i = intervals.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_ts)) / us).cast("long"),
+                (F.unix_micros(F.col(end_ts)) / us).cast("long"),
+            )
+        ),
+    )
+    cond = [p["_cell"] == i["_cell"]] + [p[k] == i[k] for k in keys]
+    residual = (F.unix_micros(p[point_ts]) >= F.unix_micros(i[start_ts])) & (
+        F.unix_micros(p[point_ts]) <= F.unix_micros(i[end_ts])
+    )
+    joined = p.join(i, [c for c in cond] + [residual], how)
+    # project: all point columns + interval columns (minus dup keys/cell)
+    pcols = [p[c].alias(c) for c in points.columns]
+    icols = [
+        i[c].alias(f"{c}_ivl") for c in intervals.columns if c not in keys
+    ]
+    return joined.select(*pcols, *icols)

@@ -3436,6 +3436,44 @@ ORACLE_SQL["asof_view_before_purchase"] = """
 """
 
 
+def q_range_join_clicks(spark, sf_dir):
+    """Range join (point-in-interval): clicks landing inside the hour
+    after each signup by the same user, counted per signup. The
+    bucketed equi-join form — intervals explode over covered hour
+    cells, points hit one cell — never the quadratic θ-join."""
+    from titan_spark.operators.temporal import point_in_interval_join
+
+    e = tables(spark, sf_dir)["events"]
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = point_in_interval_join(
+        clicks, signups, "ts", "start_ts", "end_ts", on="user_id", bucket_seconds=3600
+    )
+    return j.groupBy(F.col("signup_id_ivl").alias("signup_id")).agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+
+
+QUERIES["range_join_clicks"] = q_range_join_clicks
+
+ORACLE_SQL["range_join_clicks"] = """
+    SELECT s.event_id AS signup_id, CAST(count(*) AS BIGINT) AS n_clicks
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = s.user_id
+     AND c.ts >= s.ts
+     AND c.ts <= s.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
