@@ -86,6 +86,12 @@ HEADLINE = [
     "ivfpq_ann",
     "cms_heavy_hitters",
     "weighted_sample",
+    # round 5 (cont.): OLAP/semi-structured/temporal surface
+    "json_props_agg",
+    "rollup_revenue",
+    "user_activity_stats",
+    "asof_view_before_purchase",
+    "range_join_clicks",
 ]
 
 

@@ -3510,6 +3510,17 @@ _SLOT_SWAPS = [
     # lm_perplexity / tfidf_top_terms when doc_quality rotates out).
     ("cms_heavy_hitters", "jaccard_dup_pairs"),
     ("weighted_sample", "doc_quality"),
+    # fifth wave (OLAP/temporal): each demotion keeps a family sibling
+    # in the prefix — hops by two_hop_revenue, branch/choose surface by
+    # sack_order_margin + tail_skip_math, repeat/path by path_strings +
+    # motif_unification, distance by closeness_centrality +
+    # weighted-variant local gate, optional/coalesce by
+    # where_exists_twohop + union_dedup_nations.
+    ("json_props_agg", "three_hop_region"),
+    ("rollup_revenue", "coalesce_fallback"),
+    ("user_activity_stats", "repeat_emit_bfs"),
+    ("asof_view_before_purchase", "shortest_distance"),
+    ("range_join_clicks", "branch_segments"),
 ]
 _order = list(QUERIES)
 for _new, _old in _SLOT_SWAPS:
