@@ -1,4 +1,5 @@
-"""Temporal joins Spark lacks as built-ins: as-of join.
+"""Temporal joins Spark lacks as built-ins: as-of join and
+point-in-interval range join.
 
 ``asof_join`` matches every left row to the most recent right row at
 or before its timestamp (direction="backward"; "forward" = earliest at
