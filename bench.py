@@ -111,10 +111,14 @@ def run_suite() -> dict:
     # correctness gate runs the catalog default (portable, oracle-green)
     from titan_spark.plans.catalog import q_skew_two_hop
 
+    from titan_spark.plans.catalog import q_pq_codes
+
     overrides = {
         "minhash_lsh_pairs": lambda sp, d: q_minhash_lsh_pairs(sp, d, hash_fn="xxhash64"),
         # bench the supernode hop at 10× the oracle fixture size
         "skew_two_hop": lambda sp, d: q_skew_two_hop(sp, d, n=1_000_000),
+        # production Arrow encode kernel (oracle row pins the JVM fold)
+        "pq_codes": lambda sp, d: q_pq_codes(sp, d, kernel="arrow"),
     }
 
     timings: dict[str, float] = {}
@@ -258,7 +262,9 @@ def main() -> None:
         "the correctness catalog pins the portable md5 hash so DuckDB can "
         "reproduce signatures — bench and CORRECTNESS rows differ in hash "
         "backend only. skew_two_hop is timed on a 1M-edge supernode "
-        "fixture (10x the oracle fixture)."
+        "fixture (10x the oracle fixture). pq_codes is timed with the "
+        "production kernel=arrow (numpy matmul); the correctness row "
+        "pins the oracle-bit-identical JVM fold."
     )
     scaling = _scaling_block(queries)
     if scaling is not None:

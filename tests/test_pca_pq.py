@@ -160,3 +160,17 @@ def test_ivfpq_recall_against_exact(spark):
     # adc ascending
     adcs = [r["adc"] for r in got]
     assert adcs == sorted(adcs)
+
+
+def test_pq_arrow_kernel_matches_fold(spark):
+    from titan_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    rows = [(i, [((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_codebooks(8, 2, 4)
+    fold = {r["vec_id"]: (r["codes"], r["recon_err"]) for r in pq_encode(df, books).collect()}
+    arrow = {r["vec_id"]: (r["codes"], r["recon_err"]) for r in pq_encode(df, books, kernel="arrow").collect()}
+    assert set(fold) == set(arrow)
+    for i in fold:
+        assert fold[i][0] == arrow[i][0]
+        assert abs(fold[i][1] - arrow[i][1]) <= 2e-6

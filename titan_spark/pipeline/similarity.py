@@ -823,16 +823,26 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kernel: str = "fold",
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): each
     vector → m one-byte codes (argmin centroid per subspace, ties to
     the lowest code) + the total squared reconstruction error.
 
-    One scan, zero shuffle: every argmin is a sort of k plan-literal
-    (distance, code) structs, exactly the ivf_assign strategy per
-    subspace. 64×-compression path for 100-TB ANN: store codes, search
-    with asymmetric distance over the codebook."""
+    One scan, zero shuffle. ``kernel``: ``"fold"`` (default) computes
+    every distance with strict left-to-right JVM folds — bit-identical
+    to the SQL oracle, the verification path; ``"arrow"`` runs the
+    same argmin as a batched numpy matmul per subspace (BLAS
+    accumulation order, so near-tie code picks can differ at ulp
+    distance — the production path, ~5× at dim 64 / m 8 / k 16; the
+    same production/oracle split as the MinHash ``hash_fn``).
+    64×-compression path for 100-TB ANN: store codes, search with
+    asymmetric distance over the codebook."""
+    if kernel == "arrow":
+        return _pq_encode_arrow(df, codebooks, vec_col, id_col)
+    if kernel != "fold":
+        raise ValueError(f"kernel must be fold|arrow, got {kernel!r}")
     m = len(codebooks)
     sub = len(codebooks[0][0])
     codes, errs = [], []
@@ -863,6 +873,61 @@ def pq_encode(
         F.array(*codes).alias("codes"),
         (F.round(err, 6) + F.lit(0.0)).alias("recon_err"),
     )
+
+
+def _pq_encode_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Production PQ encode: per-batch numpy argmin over all subspaces.
+    ||v_s − c||² = ||v_s||² − 2·v_s·Cᵀ + ||c||² computed as one matmul
+    per subspace per Arrow batch; codes/min-distances read off with
+    argmin/min (first-match ties, like the fold path)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    cc = [np.sum(b * b, axis=1) for b in books]
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("recon_err", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            err = np.zeros(len(x))
+            for s in range(m):
+                xs = x[:, s * sub : (s + 1) * sub]
+                d2 = (xs * xs).sum(axis=1, keepdims=True) - 2.0 * xs @ books[s].T + cc[s]
+                codes[:, s] = d2.argmin(axis=1)
+                err += d2.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": list(codes),
+                    "recon_err": np.round(err, 6) + 0.0,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema=out_schema)
 
 
 def pq_decode(

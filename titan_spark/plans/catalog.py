@@ -2855,15 +2855,17 @@ def q_pca_project(spark, sf_dir):
 QUERIES["pca_project"] = q_pca_project
 
 
-def q_pq_codes(spark, sf_dir):
+def q_pq_codes(spark, sf_dir, kernel="fold"):
     """Product-quantization encoding (Jégou 2011): dim 64 → 8 one-byte
     codes per vector + squared reconstruction error, with the
     deterministic (oracle-replayable) codebooks. One scan, zero
-    shuffle — every subspace argmin is plan-literal structs."""
+    shuffle. ``kernel="fold"`` is the oracle-bit-identical default;
+    bench times the production ``"arrow"`` kernel (same results up to
+    near-tie ulps — see pq_encode)."""
     from titan_spark.pipeline.similarity import pq_codebooks, pq_encode
 
     e = tables(spark, sf_dir)["embeddings"]
-    return pq_encode(e, pq_codebooks(64, 8, 16))
+    return pq_encode(e, pq_codebooks(64, 8, 16), kernel=kernel)
 
 
 QUERIES["pq_codes"] = q_pq_codes
