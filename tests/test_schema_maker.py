@@ -170,3 +170,31 @@ def test_unique_index_violations(spark):
     s.build_index("uByName", ["name"], unique=True)
     viols = s.unique_violations(v, "uByName").collect()
     assert len(viols) == 1 and viols[0]["name"] == "dup" and viols[0]["n"] == 2
+
+
+def test_consistency_modifier_shim():
+    """mgmt.setConsistency parity (docs/eventualconsistency.txt):
+    LOCK records on keys/indexes, FORK only on edge labels, unknown
+    elements rejected; DEFAULT when undeclared."""
+    import pytest
+
+    from titan_spark.schema import (
+        ConsistencyModifier,
+        GraphSchema,
+        SchemaViolation,
+    )
+
+    s = GraphSchema()
+    s.make_property_key("consistentName")
+    s.build_index("byConsistentName", ["consistentName"], unique=True)
+    s.make_edge_label("related")
+    s.set_consistency("consistentName", ConsistencyModifier.LOCK)
+    s.set_consistency("byConsistentName", ConsistencyModifier.LOCK)
+    s.set_consistency("related", ConsistencyModifier.FORK)
+    assert s.consistency_of("consistentName") is ConsistencyModifier.LOCK
+    assert s.consistency_of("related") is ConsistencyModifier.FORK
+    assert s.consistency_of("undeclared_edge") is ConsistencyModifier.DEFAULT
+    with pytest.raises(SchemaViolation):
+        s.set_consistency("consistentName", ConsistencyModifier.FORK)
+    with pytest.raises(SchemaViolation):
+        s.set_consistency("ghost", ConsistencyModifier.LOCK)

@@ -122,6 +122,8 @@ class GraphSchema:
     # of falling back to a full scan — Titan's production guard against
     # accidental graph scans
     force_index: bool = False
+    # per-element ConsistencyModifier declarations (mgmt.setConsistency)
+    consistency: dict[str, "ConsistencyModifier"] = field(default_factory=dict)
 
     # -- definition API (PropertyKeyMaker / EdgeLabelMaker / VertexLabelMaker) --
     def make_property_key(
@@ -173,6 +175,33 @@ class GraphSchema:
                 UserWarning,
                 stacklevel=4,
             )
+
+    # -- consistency declarations (mgmt.setConsistency,
+    # docs/eventualconsistency.txt) --
+    def set_consistency(self, element_name: str, modifier: "ConsistencyModifier"):
+        """``mgmt.setConsistency(element, modifier)`` — records the
+        contract for a property key, edge label, or graph index. FORK
+        is only legal on edge labels (ConsistencyModifier.java forbids
+        FORK on properties/indexes). A batch engine has no commit-time
+        locks; LOCK maps to gating a batch on the violation relations
+        (`unique_violations` / `cardinality_violations` /
+        `multiplicity_violations`) and FORK to append-only edge writes
+        (`add_edges` already is)."""
+        is_edge = element_name in self.edge_labels
+        known = (
+            is_edge
+            or element_name in self.property_keys
+            or element_name in self.graph_indexes
+        )
+        if not known:
+            raise SchemaViolation(f"unknown schema element {element_name!r}")
+        if modifier is ConsistencyModifier.FORK and not is_edge:
+            raise SchemaViolation("FORK consistency is only legal on edge labels")
+        self.consistency[element_name] = modifier
+        return modifier
+
+    def consistency_of(self, element_name: str) -> "ConsistencyModifier":
+        return self.consistency.get(element_name, ConsistencyModifier.DEFAULT)
 
     # -- graph-index management (TitanManagement.buildIndex/updateIndex,
     # SchemaStatus lifecycle, docs/indexes.txt) --
@@ -532,5 +561,29 @@ _INDEX_TRANSITIONS = {
     SchemaAction.ENABLE_INDEX: (IndexStatus.REGISTERED, IndexStatus.ENABLED),
     SchemaAction.DISABLE_INDEX: (None, IndexStatus.DISABLED),
 }
+
+
+
+
+class ConsistencyModifier(Enum):
+    """``core/schema/ConsistencyModifier.java`` — per-schema-element
+    consistency on eventually-consistent backends
+    (docs/eventualconsistency.txt): DEFAULT (no guard), LOCK (acquire
+    + re-read + verify at commit), FORK (edge updates fork a new edge
+    instead of contending).
+
+    A batch Spark engine has no transactional commit to guard; the
+    contracts map to set-oriented equivalents, applied per batch:
+    LOCK on a property key / unique index → the violation relations
+    (`unique_violations`, `cardinality_violations`) gate the batch
+    before publish; FORK → append-only edge writes (every update is a
+    new edge row — the engine's `add_edges` is already append-only).
+    The registry records the declared modifier so a port keeps its
+    intent and `describe()` surfaces it.
+    """
+
+    DEFAULT = "default"
+    LOCK = "lock"
+    FORK = "fork"
 
 
