@@ -198,3 +198,17 @@ def test_consistency_modifier_shim():
         s.set_consistency("consistentName", ConsistencyModifier.FORK)
     with pytest.raises(SchemaViolation):
         s.set_consistency("ghost", ConsistencyModifier.LOCK)
+
+
+def test_describe_includes_indexes_and_consistency():
+    from titan_spark.schema import ConsistencyModifier, GraphSchema, SchemaAction
+
+    s = GraphSchema()
+    s.make_property_key("name")
+    s.build_index("byName", ["name"], unique=True)
+    s.update_index("byName", SchemaAction.REGISTER_INDEX)
+    s.update_index("byName", SchemaAction.ENABLE_INDEX)
+    s.set_consistency("byName", ConsistencyModifier.LOCK)
+    out = s.describe()
+    assert "byName: vertex/composite/unique on ['name'], status=ENABLED" in out
+    assert "byName: LOCK" in out

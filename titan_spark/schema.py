@@ -514,6 +514,20 @@ class GraphSchema:
             f"mapping={p.mapping.name}, ttl={p.ttl_seconds}"
             for p in (self.property_keys[k] for k in sorted(self.property_keys))
         ]
+        if self.graph_indexes:
+            lines.append("--- Graph Indexes ---")
+            lines += [
+                f"{i.name}: {i.element}{'/composite' if i.composite else '/mixed'}"
+                f"{'/unique' if i.unique else ''} on {list(i.keys)}, "
+                f"status={i.status.name}"
+                + (f", label={i.label_constraint}" if i.label_constraint else "")
+                for i in (self.graph_indexes[k] for k in sorted(self.graph_indexes))
+            ]
+        if self.consistency:
+            lines.append("--- Consistency ---")
+            lines += [
+                f"{k}: {self.consistency[k].name}" for k in sorted(self.consistency)
+            ]
         return "\n".join(lines)
 
 
