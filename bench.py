@@ -92,6 +92,8 @@ HEADLINE = [
     "user_activity_stats",
     "asof_view_before_purchase",
     "range_join_clicks",
+    "event_funnel",
+    "cube_order_stats",
 ]
 
 

@@ -3476,6 +3476,109 @@ ORACLE_SQL["range_join_clicks"] = """
 """
 
 
+def q_event_funnel(spark, sf_dir):
+    """Ordered-funnel conversion: per user, did a view happen, then a
+    click strictly after it, then a purchase strictly after that?
+    One aggregation computes each user's earliest view, earliest
+    click-after-view, earliest purchase-after-that via conditional
+    min-aggregates — no self-joins, no window; the corpus shuffles
+    once on user_id. Output: funnel stage counts."""
+    e = tables(spark, sf_dir)["events"]
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+    )
+    # stage 2/3 need the stage-1 timestamp: join the per-user anchor
+    # back and re-aggregate. NOT force-broadcast: the anchor is one row
+    # per user — small here, but a 100-TB event log has enough users to
+    # OOM a forced broadcast; AQE picks broadcast when it actually fits
+    # (the same guard the tfidf doc-frequency join uses)
+    with_anchor = e.join(per_user, "user_id")
+    stages = with_anchor.groupBy("user_id", "t_view").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).alias("t_click")
+    )
+    with_click = e.join(stages, "user_id")
+    final = with_click.groupBy("user_id", "t_view", "t_click").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).alias("t_purchase")
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+    )
+
+
+QUERIES["event_funnel"] = q_event_funnel
+
+ORACLE_SQL["event_funnel"] = """
+    WITH s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY 1
+    ),
+    s2 AS (
+        SELECT e.user_id, s1.t_view,
+               min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+                        THEN e.ts END) AS t_click
+        FROM events e JOIN s1 USING (user_id)
+        GROUP BY 1, 2
+    ),
+    s3 AS (
+        SELECT e.user_id, s2.t_view, s2.t_click,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+                        THEN e.ts END) AS t_purchase
+        FROM events e JOIN s2 USING (user_id)
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS reached_view,
+           CAST(count(t_click) AS BIGINT) AS reached_click,
+           CAST(count(t_purchase) AS BIGINT) AS reached_purchase
+    FROM s3
+"""
+
+
+def q_cube_order_stats(spark, sf_dir):
+    """OLAP CUBE: order counts and revenue across every subset of
+    (orderpriority, orderstatus) — all four grouping sets from one
+    Expand + hash agg pass."""
+    o = tables(spark, sf_dir)["orders"]
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+QUERIES["cube_order_stats"] = q_cube_order_stats
+
+ORACLE_SQL["cube_order_stats"] = """
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
