@@ -40,23 +40,27 @@ def cms_build(
 ) -> DataFrame:
     """Build the sketch: (row, bucket, c) counters — d·w rows max.
 
-    One explode-free pass: every item lands in one bucket per row via
-    a salted portable hash; the groupBy is map-side combinable, so the
-    shuffle carries ≤ d·w rows per task (the mergeable-aggregate
-    property that makes the sketch cheap at any scale)."""
+    ONE pass over the item stream: each item explodes into its d
+    (row, bucket) cells (the d-way union form re-scanned the stream
+    per hash row — d corpus reads at scale); the groupBy is map-side
+    combinable, so the shuffle carries ≤ d·w rows per task — the
+    mergeable-aggregate property that makes the sketch cheap at any
+    scale."""
     w = F.col(weight_col) if weight_col else F.lit(1)
-    rows = [
-        items.select(
-            F.lit(r).alias("row"),
-            _row_bucket(F.col(item_col), r, width).alias("bucket"),
-            w.alias("_w"),
-        )
-        for r in range(depth)
-    ]
-    allrows = rows[0]
-    for r in rows[1:]:
-        allrows = allrows.unionByName(r)
-    return allrows.groupBy("row", "bucket").agg(F.sum("_w").cast("long").alias("c"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _row_bucket(F.col(item_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    exploded = items.select(w.alias("_w"), F.explode(cells).alias("_rb"))
+    return (
+        exploded.groupBy(F.col("_rb.row").alias("row"), F.col("_rb.bucket").alias("bucket"))
+        .agg(F.sum("_w").cast("long").alias("c"))
+    )
 
 
 def cms_estimate(
