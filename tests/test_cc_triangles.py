@@ -249,3 +249,20 @@ def test_closeness_centrality_disconnected_landmark(spark):
     # vertex 2 reaches only landmark 1 (d=1): closeness (1-1)/1 = 0
     assert got[2]["n_reached"] == 1 and got[2]["closeness"] == 0.0
     assert got[1]["n_reached"] == 1 and got[1]["closeness"] == 0.0
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """4-path 1-2-3-4, landmarks {1, 4}: harmonic(v) = sum 1/d to the
+    OTHER landmark(s): h(1)=1/3, h(2)=1+1/2, h(3)=1/2+1, h(4)=1/3."""
+    from titan_spark.compute import harmonic_centrality
+    from titan_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(i, "n") for i in range(1, 5)], ["id", "label"])
+    e = spark.createDataFrame(
+        [(10, 1, 2, "e"), (11, 2, 3, "e"), (12, 3, 4, "e")],
+        ["edge_id", "src", "dst", "label"],
+    )
+    g = PropertyGraph(v, e)
+    got = {r["id"]: r["harmonic"] for r in harmonic_centrality(g, [1, 4]).collect()}
+    assert got[1] == round(1 / 3, 6) and got[4] == round(1 / 3, 6)
+    assert got[2] == round(1 + 1 / 2, 6) and got[3] == round(1 / 2 + 1, 6)

@@ -7,6 +7,7 @@ from titan_spark.compute.algorithms import (
     label_propagation,
     peer_pressure,
     closeness_centrality,
+    harmonic_centrality,
     degree_count,
     pagerank,
     personalized_pagerank,
@@ -25,6 +26,7 @@ __all__ = [
     "label_propagation",
     "peer_pressure",
     "closeness_centrality",
+    "harmonic_centrality",
     "triangle_count",
     "k_core",
     "k_truss",

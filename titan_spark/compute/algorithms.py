@@ -638,15 +638,14 @@ def peer_pressure(
     )
 
 
-def closeness_centrality(
+def _landmark_distances(
     graph: PropertyGraph,
     landmark_ids: list[int],
     edge_labels: tuple[str, ...] = (),
     max_iterations: int = 20,
 ) -> DataFrame:
-    """Landmark-approximate closeness centrality → (id, n_reached,
-    closeness) with closeness = (n_reached − 1) / Σ d(v, landmark) —
-    the classic (n−1)/Σd normalized to the landmark sample.
+    """(vertex, landmark, dist) BFS fixpoint — the shared state behind
+    closeness and harmonic centrality.
 
     One multi-source BFS carries every landmark at once: state rows are
     (vertex, landmark, dist) so the whole sample costs the same number
@@ -688,6 +687,21 @@ def closeness_centrality(
         state = cut_lineage(state.unionByName(new), eager=True)
         frontier = new
     ue.unpersist()
+    return state
+
+
+def closeness_centrality(
+    graph: PropertyGraph,
+    landmark_ids: list[int],
+    edge_labels: tuple[str, ...] = (),
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Landmark-approximate closeness centrality → (id, n_reached,
+    closeness) with closeness = (n_reached − 1) / Σ d(v, landmark) —
+    the classic (n−1)/Σd normalized to the landmark sample. See
+    :func:`_landmark_distances` for the multi-source-BFS cost model.
+    """
+    state = _landmark_distances(graph, landmark_ids, edge_labels, max_iterations)
     return state.groupBy("id").agg(
         F.count(F.lit(1)).cast("int").alias("n_reached"),
         F.when(
@@ -698,4 +712,25 @@ def closeness_centrality(
                 6,
             ),
         ).otherwise(F.lit(0.0)).alias("closeness"),
+    )
+
+
+def harmonic_centrality(
+    graph: PropertyGraph,
+    landmark_ids: list[int],
+    edge_labels: tuple[str, ...] = (),
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Landmark harmonic centrality → (id, harmonic) with
+    harmonic = Σ_{d(v,l) > 0} 1/d(v,l) (Boldi & Vigna, "Axioms for
+    Centrality", Internet Math. 2014 — the closeness variant that
+    stays well-defined on disconnected graphs: unreachable landmarks
+    contribute 0 instead of poisoning the sum). Same one multi-source
+    BFS as closeness; only the final aggregation differs."""
+    state = _landmark_distances(graph, landmark_ids, edge_labels, max_iterations)
+    return state.groupBy("id").agg(
+        F.round(
+            F.sum(F.when(F.col("d") > 0, F.lit(1.0) / F.col("d")).otherwise(F.lit(0.0))),
+            6,
+        ).alias("harmonic")
     )

@@ -3579,6 +3579,38 @@ ORACLE_SQL["cube_order_stats"] = """
 """
 
 
+def q_harmonic_centrality(spark, sf_dir):
+    """Landmark harmonic centrality (Boldi–Vigna) over the undirected
+    geography graph — Σ 1/d to customers 1..10; same multi-source BFS
+    as closeness, disconnection-robust aggregation."""
+    from titan_spark.compute import harmonic_centrality
+
+    sub = _geo_subgraph(spark, sf_dir)
+    lms = [OFF["customer"] + i for i in range(1, 11)]
+    return harmonic_centrality(sub, lms)
+
+
+QUERIES["harmonic_centrality"] = q_harmonic_centrality
+
+
+def _harmonic_oracle(rounds: int = 6) -> str:
+    """Same fixed-round min-plus BFS replay as the closeness oracle;
+    only the final aggregation differs (Σ 1/d over d > 0)."""
+    base = _closeness_oracle(rounds)
+    head, _, _ = base.rpartition("SELECT id, CAST(count(*) AS INT) AS n_reached,")
+    prev = f"d{rounds}"
+    return (
+        head
+        + f"""SELECT id,
+           ROUND(sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END), 6) AS harmonic
+    FROM {prev} GROUP BY id
+"""
+    )
+
+
+ORACLE_SQL["harmonic_centrality"] = _harmonic_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
