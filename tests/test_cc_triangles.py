@@ -266,3 +266,34 @@ def test_harmonic_centrality_path_graph(spark):
     got = {r["id"]: r["harmonic"] for r in harmonic_centrality(g, [1, 4]).collect()}
     assert got[1] == round(1 / 3, 6) and got[4] == round(1 / 3, 6)
     assert got[2] == round(1 + 1 / 2, 6) and got[3] == round(1 / 2 + 1, 6)
+
+
+def test_maximal_independent_set_properties(spark):
+    """Independence + maximality on a small deterministic graph."""
+    from titan_spark.compute import maximal_independent_set
+    from titan_spark.graph import PropertyGraph
+
+    # 8-cycle plus a chord and an isolated vertex
+    n = 8
+    v = spark.createDataFrame([(i, "n") for i in range(n + 1)], ["id", "label"])
+    edges = [(100 + i, i, (i + 1) % n, "e") for i in range(n)] + [(200, 0, 4, "e")]
+    e = spark.createDataFrame(edges, ["edge_id", "src", "dst", "label"])
+    g = PropertyGraph(v, e)
+    res = {r["id"]: r["in_mis"] for r in maximal_independent_set(g).collect()}
+    assert set(res) == set(range(n + 1))
+    mis = {i for i, in_ in res.items() if in_}
+    adj = {}
+    for _, s, d, _ in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    # independence: no two MIS vertices adjacent
+    for a in mis:
+        assert not (adj.get(a, set()) & mis)
+    # maximality: every non-MIS vertex has a MIS neighbor
+    for b in set(range(n + 1)) - mis:
+        assert adj.get(b, set()) & mis, f"vertex {b} could join the MIS"
+    # isolated vertex is always in
+    assert res[n] is True
+    # deterministic across runs; different seed may differ
+    again = {r["id"]: r["in_mis"] for r in maximal_independent_set(g).collect()}
+    assert again == res

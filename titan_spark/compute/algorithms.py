@@ -734,3 +734,78 @@ def harmonic_centrality(
             6,
         ).alias("harmonic")
     )
+
+
+def maximal_independent_set(
+    graph: PropertyGraph,
+    edge_labels: tuple[str, ...] = (),
+    seed: int = 0,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Luby's maximal independent set (Luby, "A Simple Parallel
+    Algorithm for the Maximal Independent Set Problem", SIAM J.
+    Comput. 1986) → (id, in_mis), deterministically: each round's
+    "random" priority is the portable hash of (seed, round, id) — the
+    engine's standard reproducible-randomness contract — and a vertex
+    enters the MIS when its (priority, id) beats every ACTIVE
+    neighbor's. Winners' neighbors retire; expected O(log n) rounds.
+
+    Per round: one join of active vertices with the cached symmetric
+    edge list + one max-combiner agg + two anti-joins — all
+    frontier-proportional; the active set only shrinks. Per-round
+    lineage cut (the standard loop spill discipline). MIS at scale is
+    the classic building block for graph coloring / parallel
+    scheduling / diversity sampling over near-dup graphs.
+    """
+    from titan_spark.functions.hashing import portable_hash64
+
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    ue = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .filter(F.col("u") != F.col("v"))  # self-loops never block MIS entry
+        .dropDuplicates(["u", "v"])
+        .cache()
+    )
+    ue.count()
+    remaining = cut_lineage(graph.vertices.select("id"), eager=True)
+    winners_acc: DataFrame | None = None
+    for r in range(max_iterations):
+        if remaining.limit(1).count() == 0:
+            break
+        pr = portable_hash64(
+            F.concat(F.lit(f"mis{seed}:{r}:"), F.col("id").cast("string"))
+        )
+        ap = remaining.select("id", pr.alias("p"))
+        nbr_max = (
+            ue.join(ap.select(F.col("id").alias("v"), F.struct("p", "id").alias("vs")), "v")
+            .join(ap.select(F.col("id").alias("u")), "u")
+            .groupBy("u")
+            .agg(F.max("vs").alias("mx"))
+            .withColumnRenamed("u", "id")
+        )
+        winners = (
+            ap.join(nbr_max, "id", "left")
+            .filter(F.col("mx").isNull() | (F.struct("p", "id") > F.col("mx")))
+            .select("id")
+        )
+        winners = cut_lineage(winners, eager=True)
+        losers = (
+            ue.join(winners.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(remaining, "id", "left_semi")
+        )
+        retired = winners.unionByName(losers)
+        remaining = cut_lineage(remaining.join(retired, "id", "left_anti"), eager=True)
+        winners_acc = (
+            winners if winners_acc is None else winners_acc.unionByName(winners)
+        )
+        winners_acc = cut_lineage(winners_acc, eager=True)
+    ue.unpersist()
+    mis = winners_acc if winners_acc is not None else remaining.limit(0)
+    return graph.vertices.select("id").join(
+        mis.withColumn("_in", F.lit(True)), "id", "left"
+    ).select("id", F.coalesce(F.col("_in"), F.lit(False)).alias("in_mis"))

@@ -3611,6 +3611,102 @@ def _harmonic_oracle(rounds: int = 6) -> str:
 ORACLE_SQL["harmonic_centrality"] = _harmonic_oracle()
 
 
+def q_mis_geo(spark, sf_dir):
+    """Luby's maximal independent set over the undirected geography
+    graph — deterministic-hash priorities, (priority, id) beats every
+    active neighbor, winners' neighbors retire."""
+    from titan_spark.compute import maximal_independent_set
+
+    sub = _geo_subgraph(spark, sf_dir)
+    return maximal_independent_set(sub)
+
+
+QUERIES["mis_geo"] = q_mis_geo
+
+
+def _mis_oracle(rounds: int = 6, seed: int = 0) -> str:
+    """Fixed-round replay of the deterministic Luby recurrence: per
+    round, the salted-h60 priorities, the active-neighbor struct max,
+    the winner filter, and the retire step — extra rounds past the
+    fixpoint are no-ops on empty active sets, so ``rounds`` only needs
+    to exceed the engine's actual round count."""
+    from titan_spark.functions.hashing import portable_hash64_sql
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    steps = []
+    prev_a = "a0"
+    winner_union = []
+    for r in range(rounds):
+        h = portable_hash64_sql(f"'mis{seed}:{r}:' || CAST(id AS VARCHAR)")
+        # every per-round CTE is MATERIALIZED: DuckDB inlines plain
+        # CTEs per reference, and each round references the previous
+        # active set several times — inlining makes the 6-round chain
+        # expand exponentially (observed as an apparent hang + fd
+        # exhaustion); materialization keeps it linear like the engine
+        steps.append(
+            f"""p{r} AS MATERIALIZED (SELECT id, {h} AS p FROM {prev_a}),
+    nm{r} AS MATERIALIZED (
+        SELECT ue.u AS id, max(struct_pack(p := q.p, id := q.id)) AS mx
+        FROM ue
+        JOIN p{r} q ON q.id = ue.v
+        JOIN {prev_a} au ON au.id = ue.u
+        GROUP BY 1
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT pp.id FROM p{r} pp LEFT JOIN nm{r} ON nm{r}.id = pp.id
+        WHERE nm{r}.mx IS NULL
+           OR struct_pack(p := pp.p, id := pp.id) > nm{r}.mx
+    ),
+    l{r} AS MATERIALIZED (
+        SELECT DISTINCT ue.v AS id
+        FROM ue JOIN w{r} ON w{r}.id = ue.u
+        JOIN {prev_a} av ON av.id = ue.v
+    ),
+    a{r + 1} AS MATERIALIZED (
+        SELECT id FROM {prev_a}
+        EXCEPT SELECT id FROM w{r}
+        EXCEPT SELECT id FROM l{r}
+    )"""
+        )
+        winner_union.append(f"SELECT id FROM w{r}")
+        prev_a = f"a{r + 1}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH verts AS MATERIALIZED (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS id FROM customer
+        UNION ALL SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT) FROM supplier
+        UNION ALL SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT) FROM nation
+        UNION ALL SELECT CAST({_OFF['region']} + r_regionkey AS BIGINT) FROM region
+    ),
+    e AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+               CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+    ),
+    -- MATERIALIZED: DuckDB inlines plain CTEs per reference; the 6
+    -- Luby rounds reference ue/verts dozens of times, which re-opens
+    -- the parquet inputs past the fd limit without this
+    ue AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        UNION
+        SELECT dst AS u, src AS v FROM e WHERE src <> dst
+    ),
+    a0 AS (SELECT id FROM verts),
+    {steps_sql},
+    mis AS ({' UNION ALL '.join(winner_union)})
+    SELECT v.id, (m.id IS NOT NULL) AS in_mis
+    FROM verts v LEFT JOIN mis m ON m.id = v.id
+"""
+
+
+ORACLE_SQL["mis_geo"] = _mis_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
