@@ -297,3 +297,28 @@ def test_maximal_independent_set_properties(spark):
     # deterministic across runs; different seed may differ
     again = {r["id"]: r["in_mis"] for r in maximal_independent_set(g).collect()}
     assert again == res
+
+
+def test_topological_levels_diamond_and_cycle(spark):
+    from titan_spark.compute import topological_levels
+    from titan_spark.graph import PropertyGraph
+
+    # diamond 1->2, 1->3, 2->4, 3->4, plus a long arm 1->5->4:
+    # longest path to 4 has length 2 either way; 5 at level 1
+    v = spark.createDataFrame([(i, "n") for i in range(1, 6)], ["id", "label"])
+    e = spark.createDataFrame(
+        [(10, 1, 2, "e"), (11, 1, 3, "e"), (12, 2, 4, "e"), (13, 3, 4, "e"), (14, 1, 5, "e"), (15, 5, 4, "e")],
+        ["edge_id", "src", "dst", "label"],
+    )
+    got = {r["id"]: r["level"] for r in topological_levels(PropertyGraph(v, e)).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 5: 1, 4: 2}
+    # a cycle raises instead of silently looping
+    import pytest
+
+    ec = spark.createDataFrame(
+        [(10, 1, 2, "e"), (11, 2, 3, "e"), (12, 3, 1, "e")],
+        ["edge_id", "src", "dst", "label"],
+    )
+    vc = spark.createDataFrame([(i, "n") for i in range(1, 4)], ["id", "label"])
+    with pytest.raises(ValueError, match="cycle"):
+        topological_levels(PropertyGraph(vc, ec), max_iterations=8)

@@ -809,3 +809,57 @@ def maximal_independent_set(
     return graph.vertices.select("id").join(
         mis.withColumn("_in", F.lit(True)), "id", "left"
     ).select("id", F.coalesce(F.col("_in"), F.lit(False)).alias("in_mis"))
+
+
+def topological_levels(
+    graph: PropertyGraph,
+    edge_labels: tuple[str, ...] = (),
+    max_iterations: int = 100,
+) -> DataFrame:
+    """DAG layering → (id, level): level 0 = no incoming edges, else
+    1 + max level over predecessors — the longest-path-from-source
+    depth, i.e. the earliest parallel-execution wave of a scheduling
+    DAG. Max-plus fixpoint: rounds = DAG depth, per-round work is one
+    edge join + one max agg (frontier of changed vertices only after
+    the first round). Raises on non-convergence (a cycle: topological
+    layering is undefined — the reference failure mode, not a silent
+    wrong answer).
+    """
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    ed = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).dropDuplicates().cache()
+    ed.count()
+    lvl = cut_lineage(
+        graph.vertices.select("id", F.lit(0).cast("long").alias("level")), eager=True
+    )
+    for i in range(max_iterations):
+        cand = (
+            ed.join(lvl.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg((F.max("level") + 1).alias("_nl"))
+        )
+        nxt = (
+            lvl.join(cand, "id", "left")
+            .select(
+                "id",
+                F.greatest(F.col("level"), F.coalesce(F.col("_nl"), F.lit(0))).alias("level"),
+            )
+        )
+        nxt = cut_lineage(nxt, eager=True, round_idx=i)
+        changed = (
+            nxt.withColumnRenamed("level", "_new")
+            .join(lvl, "id")
+            .filter(F.col("_new") != F.col("level"))
+            .limit(1)
+            .count()
+        )
+        lvl = nxt
+        if changed == 0:
+            ed.unpersist()
+            return lvl
+    ed.unpersist()
+    raise ValueError(
+        f"topological_levels did not converge in {max_iterations} rounds — "
+        "the graph has a cycle (layering undefined)"
+    )

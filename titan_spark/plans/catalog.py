@@ -3707,9 +3707,72 @@ def _mis_oracle(rounds: int = 6, seed: int = 0) -> str:
 ORACLE_SQL["mis_geo"] = _mis_oracle()
 
 
+def q_topo_levels(spark, sf_dir):
+    """DAG layering of the directed geography graph: customers and
+    suppliers at level 0, nations 1, regions 2 — the max-plus
+    longest-path fixpoint with cycle detection."""
+    from titan_spark.compute import topological_levels
+
+    sub = _geo_subgraph(spark, sf_dir)
+    return topological_levels(sub)
+
+
+QUERIES["topo_levels"] = q_topo_levels
+
+
+def _topo_oracle(rounds: int = 4) -> str:
+    """Fixed-round max-plus replay (depth 2 DAG; extra rounds are
+    no-ops at the fixpoint). Per-round CTEs MATERIALIZED — same
+    exponential-inlining hazard as the Luby oracle."""
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    steps = []
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""l{r} AS MATERIALIZED (
+        SELECT l.id, GREATEST(l.level, COALESCE(m.nl, 0)) AS level
+        FROM {prev} l
+        LEFT JOIN (
+            SELECT ed.v AS id, max(p.level) + 1 AS nl
+            FROM ed JOIN {prev} p ON p.id = ed.u
+            GROUP BY 1
+        ) m ON m.id = l.id
+    )"""
+        )
+        prev = f"l{r}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH verts AS MATERIALIZED (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS id FROM customer
+        UNION ALL SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT) FROM supplier
+        UNION ALL SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT) FROM nation
+        UNION ALL SELECT CAST({_OFF['region']} + r_regionkey AS BIGINT) FROM region
+    ),
+    ed AS MATERIALIZED (
+        SELECT DISTINCT src AS u, dst AS v FROM (
+            SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+                   CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+            UNION ALL
+            SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+                   CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+            UNION ALL
+            SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+                   CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+        )
+    ),
+    l0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS level FROM verts),
+    {steps_sql}
+    SELECT id, level FROM {prev}
+"""
+
+
+ORACLE_SQL["topo_levels"] = _topo_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
-# FIRST 50 queries() entries. Promote the round-5 flagships line_dedup /
+# FIRST 50 entries. Promote the round-5 flagships line_dedup /
 # mix_corpus / k_core into that prefix, each displacing a family-duplicate
 # that stays green under the local gate: multi_card_values (family kept by
 # multi_card_contains), aggregate_without (side-effect family kept by
