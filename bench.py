@@ -94,6 +94,13 @@ HEADLINE = [
     "range_join_clicks",
     "event_funnel",
     "cube_order_stats",
+    # round 5 (cont.): centrality/structure family over the geography
+    # graph — landmark harmonic, Luby MIS, DAG layering, sampled
+    # Brandes betweenness (forward+backward BSP rounds)
+    "harmonic_centrality",
+    "mis_geo",
+    "topo_levels",
+    "betweenness",
 ]
 
 

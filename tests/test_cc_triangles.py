@@ -322,3 +322,32 @@ def test_topological_levels_diamond_and_cycle(spark):
     vc = spark.createDataFrame([(i, "n") for i in range(1, 4)], ["id", "label"])
     with pytest.raises(ValueError, match="cycle"):
         topological_levels(PropertyGraph(vc, ec), max_iterations=8)
+
+
+def test_betweenness_path_graph(spark):
+    """1-2-3-4, sources {1,4}: b(2)=b(3)=3 (Brandes deltas 2+1), ends 0."""
+    from titan_spark.compute import betweenness_centrality
+    from titan_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(i, "n") for i in range(1, 5)], ["id", "label"])
+    e = spark.createDataFrame(
+        [(10, 1, 2, "e"), (11, 2, 3, "e"), (12, 3, 4, "e")],
+        ["edge_id", "src", "dst", "label"],
+    )
+    got = {r["id"]: r["betweenness"] for r in betweenness_centrality(PropertyGraph(v, e), [1, 4]).collect()}
+    assert got == {1: 0.0, 2: 3.0, 3: 3.0, 4: 0.0}
+
+
+def test_betweenness_diamond_split_paths(spark):
+    """Diamond 1-(2|3)-4, source {1}: sigma(4)=2 so each middle vertex
+    carries half a dependency."""
+    from titan_spark.compute import betweenness_centrality
+    from titan_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(i, "n") for i in range(1, 5)], ["id", "label"])
+    e = spark.createDataFrame(
+        [(10, 1, 2, "e"), (11, 1, 3, "e"), (12, 2, 4, "e"), (13, 3, 4, "e")],
+        ["edge_id", "src", "dst", "label"],
+    )
+    got = {r["id"]: r["betweenness"] for r in betweenness_centrality(PropertyGraph(v, e), [1]).collect()}
+    assert got == {1: 0.0, 2: 0.5, 3: 0.5, 4: 0.0}

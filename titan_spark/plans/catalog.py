@@ -3770,6 +3770,112 @@ def _topo_oracle(rounds: int = 4) -> str:
 ORACLE_SQL["topo_levels"] = _topo_oracle()
 
 
+def q_betweenness(spark, sf_dir):
+    """Source-sampled Brandes betweenness over the undirected
+    geography graph (sources = customers 1..5): forward σ BFS +
+    backward δ accumulation, both level-synchronous."""
+    from titan_spark.compute import betweenness_centrality
+
+    sub = _geo_subgraph(spark, sf_dir)
+    srcs = [OFF["customer"] + i for i in range(1, 6)]
+    return betweenness_centrality(sub, srcs)
+
+
+QUERIES["betweenness"] = q_betweenness
+
+
+def _betweenness_oracle(rounds: int = 5, n_sources: int = 5) -> str:
+    """Replays Brandes exactly: forward rounds accumulate (id, lm,
+    dist, σ) level-synchronously; backward rounds accumulate δ from
+    the deepest level down. All per-round CTEs MATERIALIZED (the
+    exponential-inlining lesson from the Luby oracle)."""
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    lms = ", ".join(f"({_OFF['customer'] + i})" for i in range(1, n_sources + 1))
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""c{r} AS MATERIALIZED (
+        SELECT ue.v AS id, f.lm, sum(f.sigma) AS sigma
+        FROM f{r - 1} f JOIN ue ON f.id = ue.u
+        GROUP BY 1, 2
+    ),
+    f{r} AS MATERIALIZED (
+        SELECT c.id, c.lm, CAST({r} AS BIGINT) AS dist, c.sigma
+        FROM c{r} c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM vis{r - 1} p WHERE p.id = c.id AND p.lm = c.lm
+        )
+    ),
+    vis{r} AS MATERIALIZED (
+        SELECT * FROM vis{r - 1} UNION ALL SELECT * FROM f{r}
+    )"""
+        )
+    back = [
+        f"""d{rounds + 1} AS MATERIALIZED (
+        SELECT id, lm, CAST(0 AS DOUBLE) AS delta FROM vis{rounds}
+    )"""
+    ]
+    for d in range(rounds, 0, -1):
+        back.append(
+            f"""cb{d} AS MATERIALIZED (
+        SELECT p.id, p.lm, sum(p.sigma / w.sigma * (1 + dw.delta)) AS add
+        FROM vis{rounds} w
+        JOIN d{d + 1} dw ON dw.id = w.id AND dw.lm = w.lm
+        JOIN ue ON ue.v = w.id
+        JOIN vis{rounds} p ON p.id = ue.u AND p.lm = w.lm AND p.dist = {d - 1}
+        WHERE w.dist = {d}
+        GROUP BY 1, 2
+    ),
+    d{d} AS MATERIALIZED (
+        SELECT v.id, v.lm, v.delta + COALESCE(c.add, 0) AS delta
+        FROM d{d + 1} v LEFT JOIN cb{d} c ON c.id = v.id AND c.lm = v.lm
+    )"""
+        )
+    steps_sql = ",\n    ".join(steps)
+    back_sql = ",\n    ".join(back)
+    return f"""
+    WITH verts AS MATERIALIZED (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS id FROM customer
+        UNION ALL SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT) FROM supplier
+        UNION ALL SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT) FROM nation
+        UNION ALL SELECT CAST({_OFF['region']} + r_regionkey AS BIGINT) FROM region
+    ),
+    e AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+               CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+    ),
+    ue AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        UNION
+        SELECT dst AS u, src AS v FROM e WHERE src <> dst
+    ),
+    f0 AS MATERIALIZED (
+        SELECT CAST(lm AS BIGINT) AS id, CAST(lm AS BIGINT) AS lm,
+               CAST(0 AS BIGINT) AS dist, CAST(1 AS DOUBLE) AS sigma
+        FROM (VALUES {lms}) t(lm)
+    ),
+    vis0 AS MATERIALIZED (SELECT * FROM f0),
+    {steps_sql},
+    {back_sql},
+    bc AS (
+        SELECT id, ROUND(sum(delta), 6) AS betweenness
+        FROM d1 WHERE id <> lm GROUP BY id
+    )
+    SELECT v.id, COALESCE(bc.betweenness, 0.0) AS betweenness
+    FROM verts v LEFT JOIN bc ON bc.id = v.id
+"""
+
+
+ORACLE_SQL["betweenness"] = _betweenness_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 entries. Promote the round-5 flagships line_dedup /
