@@ -26,7 +26,7 @@ def test_registry_shape():
         "ivfpq_ann",
         "asof_view_before_purchase",
         "range_join_clicks",
-        "closeness_centrality",
+        "betweenness",
         "cms_heavy_hitters",
     ):
         assert k in first50

@@ -3923,6 +3923,10 @@ _SLOT_SWAPS = [
     ("user_activity_stats", "repeat_emit_bfs"),
     ("asof_view_before_purchase", "shortest_distance"),
     ("range_join_clicks", "branch_segments"),
+    # sixth wave: sampled Brandes betweenness in for closeness — same
+    # landmark multi-source-BFS family, strictly richer computation
+    # (forward σ + backward δ); closeness stays local-gate green.
+    ("betweenness", "closeness_centrality"),
 ]
 _order = list(QUERIES)
 for _new, _old in _SLOT_SWAPS:
