@@ -36,6 +36,17 @@ NOTES = {
     "cms_heavy_hitters": "fixed d·w mergeable counters + distinct-candidate probe",
     "mix_corpus": "per-source agg + narrow hash filters",
     "skew_two_hop": "AQE skew-split supernode hop (fixture-sized)",
+    "harmonic_centrality": "same multi-source BFS as closeness",
+    "mis_geo": "Luby rounds, frontier-proportional",
+    "topo_levels": "max-plus rounds = DAG depth",
+    "betweenness": "forward \u03c3 + backward \u03b4 level rounds, O(|V|\u00b7k) state",
+    "event_funnel": "three conditional-min aggs, AQE-sized anchor joins",
+    "cube_order_stats": "one Expand + hash agg",
+    "ivfpq_ann": "coarse probe + code-only ADC ranking",
+    "weighted_sample": "hash-draw keys, TakeOrdered top-n",
+    "pq_codes": "Arrow matmul argmin per subspace (bench kernel)",
+    "json_props_agg": "JVM-side JSON extraction + hash agg",
+    "rollup_revenue": "join + one Expand + hash agg",
 }
 
 
