@@ -972,8 +972,7 @@ def betweenness_centrality(
         )
     ue.unpersist()
     bc = (
-        delta.filter(~F.col("id").isin(sources) | (F.col("id") != F.col("lm")))
-        .filter(F.col("id") != F.col("lm"))
+        delta.filter(F.col("id") != F.col("lm"))  # a source's own BFS contributes no self-dependency
         .groupBy("id")
         .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
     )

@@ -6,11 +6,12 @@ or before its timestamp (direction="backward"; "forward" = earliest at
 or after), within optional partition keys — the point-in-time join
 every feature store / market-data / telemetry pipeline needs.
 
-Spark-first plan: NOT a range join (an inequality θ-join degenerates
-to broadcast-nested-loop or an n·m explosion). Both sides union into
+Spark-first plan: NOT a θ-join (an inequality join degenerates to
+broadcast-nested-loop or an n·m explosion). Both sides union into
 one stream tagged by side, one window per partition key ordered by
-(ts, side-priority) carries the last right row forward
-(``last(..., ignorenulls=True)``), and left rows project their carried
+(ts, side-priority) carries the best preceding right row forward (a
+running ``max``/``min`` over (ts, values) structs — NULL left rows
+are ignored by the aggregate), and left rows project their carried
 match. Cost: ONE shuffle on the partition key + a per-key sort —
 linear at any scale, the same shape as sessionization. Skewed keys are
 ordinary window skew (AQE-split territory), never a cross product.
