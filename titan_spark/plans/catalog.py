@@ -3876,6 +3876,34 @@ def _betweenness_oracle(rounds: int = 5, n_sources: int = 5) -> str:
 ORACLE_SQL["betweenness"] = _betweenness_oracle()
 
 
+def q_lang_length_quantiles(spark, sf_dir):
+    """Grouped exact quantiles: per-language p25/p50/p75 of document
+    length — one sort-based percentile aggregate per group (the
+    linear-interpolation definition both engines share; swap to
+    approx_percentile t-digests past ~10⁸ rows/group, same contract
+    caveat as lm_perplexity's cutoffs)."""
+    d = tables(spark, sf_dir)["documents"]
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("n_chars", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+QUERIES["lang_length_quantiles"] = q_lang_length_quantiles
+
+ORACLE_SQL["lang_length_quantiles"] = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+           ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 4) AS p75
+    FROM documents
+    GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 entries. Promote the round-5 flagships line_dedup /
