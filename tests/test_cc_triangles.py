@@ -351,3 +351,21 @@ def test_betweenness_diamond_split_paths(spark):
     )
     got = {r["id"]: r["betweenness"] for r in betweenness_centrality(PropertyGraph(v, e), [1]).collect()}
     assert got == {1: 0.0, 2: 0.5, 3: 0.5, 4: 0.0}
+
+
+def test_greedy_coloring_proper_and_bounded(spark):
+    from titan_spark.compute import greedy_coloring
+    from titan_spark.graph import PropertyGraph
+
+    # 5-cycle (odd: needs 3 colors, Δ+1 = 3) plus a pendant vertex
+    v = spark.createDataFrame([(i, "n") for i in range(6)], ["id", "label"])
+    edges = [(10 + i, i, (i + 1) % 5, "e") for i in range(5)] + [(20, 0, 5, "e")]
+    e = spark.createDataFrame(edges, ["edge_id", "src", "dst", "label"])
+    g = PropertyGraph(v, e)
+    got = {r["id"]: r["color"] for r in greedy_coloring(g).collect()}
+    assert set(got) == set(range(6))
+    for _, s, d, _ in edges:
+        assert got[s] != got[d], f"edge {s}-{d} monochromatic"
+    assert max(got.values()) <= 3  # <= Delta + 1 = 4 colors (ids 0..3)
+    again = {r["id"]: r["color"] for r in greedy_coloring(g).collect()}
+    assert again == got

@@ -979,3 +979,50 @@ def betweenness_centrality(
     return graph.vertices.select("id").join(bc, "id", "left").select(
         "id", F.coalesce(F.col("betweenness"), F.lit(0.0)).alias("betweenness")
     )
+
+
+def greedy_coloring(
+    graph: PropertyGraph,
+    edge_labels: tuple[str, ...] = (),
+    seed: int = 0,
+    max_colors: int = 64,
+) -> DataFrame:
+    """Distributed graph coloring by iterated Luby MIS (the classic
+    Jones–Plassmann family: color c = the maximal independent set of
+    the residual graph after colors 0..c−1 retire) → (id, color).
+
+    Guarantees a PROPER coloring (an MIS is independent, so no
+    monochromatic edge) with at most Δ+1 colors (every vertex joins
+    an MIS once all neighbors of lower colors are gone). Rounds =
+    colors used × Luby rounds — both logarithmic-ish on sparse
+    graphs; the residual vertex/edge sets only shrink and each color
+    pass reuses :func:`maximal_independent_set` unchanged. Coloring
+    feeds conflict-free parallel scheduling (e.g. batching DML on a
+    dependency graph) and diversity batching over near-dup graphs.
+    """
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    verts = cut_lineage(graph.vertices.select("id", "label"), eager=True)
+    edges = cut_lineage(e.select("edge_id", "src", "dst", "label"), eager=True)
+    colored: DataFrame | None = None
+    for c in range(max_colors):
+        if verts.limit(1).count() == 0:
+            break
+        mis = maximal_independent_set(
+            PropertyGraph(verts, edges), seed=seed + c
+        ).filter(F.col("in_mis"))
+        got = cut_lineage(
+            mis.select("id", F.lit(c).cast("int").alias("color")), eager=True
+        )
+        colored = got if colored is None else colored.unionByName(got)
+        colored = cut_lineage(colored, eager=True)
+        verts = cut_lineage(verts.join(got, "id", "left_anti"), eager=True)
+        edges = cut_lineage(
+            edges.join(got.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(got.withColumnRenamed("id", "dst"), "dst", "left_anti"),
+            eager=True,
+        )
+    if verts.limit(1).count() > 0:
+        raise ValueError(f"coloring did not finish within {max_colors} colors")
+    return colored
