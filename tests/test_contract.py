@@ -32,6 +32,27 @@ def test_registry_shape():
         assert k in first50
 
 
+def test_driver_slots_have_scalar_columns(spark, sf_dir):
+    """The driver's canonicalizer (pandas sort_values → factorize)
+    cannot hash array/map/struct cells — an ArrayType output column
+    turns a correct query into a red driver row (CORRECTNESS_r05
+    pq_codes, ``unhashable type: 'list'``). Every driver-checked slot
+    (first 50 catalog entries) must therefore emit scalar columns
+    only; queries producing collections project them as joined
+    strings or exploded rows before registration."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from titan_spark.plans.catalog import QUERIES
+
+    bad = []
+    for name in list(QUERIES)[:50]:
+        df = QUERIES[name](spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"driver-slot queries with non-scalar columns: {bad}"
+
+
 def test_coverage_references_real_queries():
     from titan_spark.plans.catalog import QUERIES
 

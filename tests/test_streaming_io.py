@@ -162,7 +162,10 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     kept3 = dd.process_batch(b3, 2)
     assert sorted(r["doc_id"] for r in kept3.collect()) == [5]
 
-    # retried batch (same content): store reads stay duplicate-free
-    dd.process_batch(b3, 2)
+    # retried batch (same content, at-least-once replay): survivors
+    # must equal the first attempt's — history excludes the batch's
+    # own prior-attempt rows, so docs don't self-collide on retry
+    kept3_retry = dd.process_batch(b3, 2)
+    assert sorted(r["doc_id"] for r in kept3_retry.collect()) == [5]
     st = dd._store()
     assert st.groupBy("band", "band_hash", "doc_id").count().filter("count > 1").count() == 0

@@ -2861,11 +2861,22 @@ def q_pq_codes(spark, sf_dir, kernel="fold"):
     deterministic (oracle-replayable) codebooks. One scan, zero
     shuffle. ``kernel="fold"`` is the oracle-bit-identical default;
     bench times the production ``"arrow"`` kernel (same results up to
-    near-tie ulps — see pq_encode)."""
+    near-tie ulps — see pq_encode).
+
+    Codes are projected as one '-'-joined string (``codes_str``): the
+    driver's canonicalizer sorts/factorizes column values and cannot
+    hash array cells (CORRECTNESS_r05 ``unhashable type: 'list'``), so
+    driver-slot outputs must be scalar columns — enforced by
+    tests/test_contract.py::test_driver_slots_have_scalar_columns."""
     from titan_spark.pipeline.similarity import pq_codebooks, pq_encode
 
     e = tables(spark, sf_dir)["embeddings"]
-    return pq_encode(e, pq_codebooks(64, 8, 16), kernel=kernel)
+    enc = pq_encode(e, pq_codebooks(64, 8, 16), kernel=kernel)
+    return enc.select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes_str"),
+        "recon_err",
+    )
 
 
 QUERIES["pq_codes"] = q_pq_codes
@@ -2911,7 +2922,7 @@ def _pq_oracle(dim: int = 64, m: int = 8, k: int = 16) -> str:
             FROM sub JOIN cents cn ON cn.s = sub.s
         )
         SELECT vec_id,
-               list(code ORDER BY s) AS codes,
+               string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes_str,
                ROUND(sum(d2), 6) + 0.0 AS recon_err
         FROM scored WHERE rn = 1
         GROUP BY vec_id

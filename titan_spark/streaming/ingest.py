@@ -12,9 +12,11 @@ Per micro-batch (foreachBatch):
 3. within-batch collisions resolve greedily — the lower doc id of
    each candidate pair survives (documented divergence from the batch
    pipeline's full transitive clustering: a stream can't see forward);
-4. survivors' band rows append to the store WITH the batch id; reads
-   drop duplicate (band, band_hash, doc) rows, so a retried batch
-   (foreachBatch is at-least-once) is idempotent.
+4. survivors' band rows append to the store WITH the batch id; history
+   reads take only STRICTLY EARLIER batches and drop duplicate
+   (band, band_hash, doc) rows, so a retried batch (foreachBatch is
+   at-least-once) reproduces its first attempt's survivors — the sink
+   output is idempotent, not just the store.
 
 State is the store itself — bounded by unique-document volume, not
 stream length; no executor state store grows with the corpus.
@@ -97,9 +99,18 @@ class IncrementalDedup:
     # -- batch step ---------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Filter one micro-batch against history; returns survivors
-        (also appends their band rows to the store)."""
+        (also appends their band rows to the store).
+
+        History is restricted to STRICTLY EARLIER batches
+        (``batch_id < this batch``): foreachBatch is at-least-once, and
+        a retried batch must not see its own prior attempt's appended
+        band rows — otherwise every incoming doc self-collides and the
+        retry returns zero survivors while the first attempt's sink
+        output was lost with the crash. Filtering by batch id makes the
+        retry reproduce the first attempt's survivors exactly
+        (idempotent sink output, not just an idempotent store)."""
         incoming = self._band_rows(batch_df)
-        store = self._store()
+        store = self._store().filter(F.col("batch_id") < F.lit(int(batch_id)))
         # history collisions: any shared band drops the incoming doc
         hist_dupes = (
             incoming.join(
