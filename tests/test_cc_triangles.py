@@ -213,8 +213,9 @@ def test_k_truss_peels_to_k4(spark):
 
 def test_closeness_centrality_path_graph(spark):
     """Closed form on a 4-path 1-2-3-4 with landmarks {1, 4}:
-    d(1)={0,3}, d(2)={1,2}, d(3)={2,1}, d(4)={3,0} -> closeness
-    (2-1)/3 = 0.333333 everywhere."""
+    d(1)={0,3}, d(2)={1,2}, d(3)={2,1}, d(4)={3,0}. Landmarks
+    exclude their own d=0 row: (2-1)/3 = 0.333333; non-landmarks
+    keep both reached landmarks: 2/3 = 0.666667."""
     from titan_spark.compute import closeness_centrality
     from titan_spark.graph import PropertyGraph
 
@@ -228,7 +229,8 @@ def test_closeness_centrality_path_graph(spark):
     assert set(got) == {1, 2, 3, 4}
     for i in range(1, 5):
         assert got[i]["n_reached"] == 2
-        assert got[i]["closeness"] == round(1 / 3, 6)
+    assert got[1]["closeness"] == got[4]["closeness"] == round(1 / 3, 6)
+    assert got[2]["closeness"] == got[3]["closeness"] == round(2 / 3, 6)
 
 
 def test_closeness_centrality_disconnected_landmark(spark):
@@ -246,8 +248,9 @@ def test_closeness_centrality_disconnected_landmark(spark):
     # island {4,5} unreachable from any landmark -> absent
     assert set(got) == {1, 2, 3}
     assert got[3]["n_reached"] == 1 and got[3]["closeness"] == 0.0
-    # vertex 2 reaches only landmark 1 (d=1): closeness (1-1)/1 = 0
-    assert got[2]["n_reached"] == 1 and got[2]["closeness"] == 0.0
+    # non-landmark vertex 2 reaches landmark 1 at d=1: closeness 1/1
+    assert got[2]["n_reached"] == 1 and got[2]["closeness"] == 1.0
+    # landmark 1 excludes its own d=0 row and reaches no other: 0
     assert got[1]["n_reached"] == 1 and got[1]["closeness"] == 0.0
 
 

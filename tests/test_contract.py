@@ -14,9 +14,9 @@ def test_registry_shape():
     # embed_covariance; axes/projection by closed-form pytest)
     assert set(QUERIES) - set(ORACLE_SQL) == {"pca_project"}
     # the driver checks only the first 50 entries: current-round
-    # flagships must sit inside the checked region (repeat_emit_bfs
-    # rotated to overflow in the r5 fifth wave — family kept by
-    # path_strings/motif_unification per COVERAGE.md)
+    # flagships must sit inside the checked region (r6 seventh wave:
+    # the six r5-overflow flagships rotated in — each demoted query
+    # keeps a family sibling in slots 1-50 per COVERAGE.md)
     first50 = list(QUERIES)[:50]
     for k in (
         "path_strings",
@@ -28,6 +28,13 @@ def test_registry_shape():
         "range_join_clicks",
         "betweenness",
         "cms_heavy_hitters",
+        "pq_codes",
+        "harmonic_centrality",
+        "mis_geo",
+        "topo_levels",
+        "event_funnel",
+        "cube_order_stats",
+        "closeness_centrality",
     ):
         assert k in first50
 

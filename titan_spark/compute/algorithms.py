@@ -697,18 +697,23 @@ def closeness_centrality(
     max_iterations: int = 20,
 ) -> DataFrame:
     """Landmark-approximate closeness centrality → (id, n_reached,
-    closeness) with closeness = (n_reached − 1) / Σ d(v, landmark) —
-    the classic (n−1)/Σd normalized to the landmark sample. See
-    :func:`_landmark_distances` for the multi-source-BFS cost model.
+    closeness), the standard landmark estimator k / Σ d(v, landmark)
+    (Eppstein & Wang, "Fast approximation of centrality", SODA 2001)
+    where k counts the REACHED landmarks that are not v itself: a
+    landmark vertex's own d=0 row is excluded from k (the classic
+    (n−1)/Σd self-exclusion) while a non-landmark vertex keeps every
+    reached landmark — its reached set never contains itself, so
+    nothing is discarded. See :func:`_landmark_distances` for the
+    multi-source-BFS cost model.
     """
     state = _landmark_distances(graph, landmark_ids, edge_labels, max_iterations)
+    is_lm = F.max(F.when(F.col("d") == 0, F.lit(1)).otherwise(F.lit(0)))
     return state.groupBy("id").agg(
         F.count(F.lit(1)).cast("int").alias("n_reached"),
         F.when(
             F.sum("d") > 0,
             F.round(
-                (F.count(F.lit(1)) - F.lit(1)).cast("double")
-                / F.sum("d").cast("double"),
+                (F.count(F.lit(1)) - is_lm).cast("double") / F.sum("d").cast("double"),
                 6,
             ),
         ).otherwise(F.lit(0.0)).alias("closeness"),
@@ -819,11 +824,15 @@ def topological_levels(
     """DAG layering → (id, level): level 0 = no incoming edges, else
     1 + max level over predecessors — the longest-path-from-source
     depth, i.e. the earliest parallel-execution wave of a scheduling
-    DAG. Max-plus fixpoint: rounds = DAG depth, per-round work is one
-    edge join + one max agg (frontier of changed vertices only after
-    the first round). Raises on non-convergence (a cycle: topological
-    layering is undefined — the reference failure mode, not a silent
-    wrong answer).
+    DAG. Max-plus fixpoint with a true changed-vertex frontier: round
+    1 expands every vertex, later rounds expand ONLY the out-edges of
+    vertices whose level rose last round — a level can rise only when
+    a predecessor's did, so the merge `max(old, bumped)` over the
+    frontier's successors is exact. Per-round cost is
+    O(out-edges(frontier) + |bumped|) plus one anti-join merge into
+    the state, not O(|E|)·depth. Raises on non-convergence (a cycle:
+    topological layering is undefined — the reference failure mode,
+    not a silent wrong answer).
     """
     e = graph.edges
     if edge_labels:
@@ -833,31 +842,26 @@ def topological_levels(
     lvl = cut_lineage(
         graph.vertices.select("id", F.lit(0).cast("long").alias("level")), eager=True
     )
+    frontier = lvl
     for i in range(max_iterations):
         cand = (
-            ed.join(lvl.withColumnRenamed("id", "u"), "u")
+            ed.join(frontier.withColumnRenamed("id", "u"), "u")
             .groupBy(F.col("v").alias("id"))
             .agg((F.max("level") + 1).alias("_nl"))
         )
-        nxt = (
-            lvl.join(cand, "id", "left")
-            .select(
-                "id",
-                F.greatest(F.col("level"), F.coalesce(F.col("_nl"), F.lit(0))).alias("level"),
-            )
+        bumped = (
+            cand.join(lvl, "id")
+            .filter(F.col("_nl") > F.col("level"))
+            .select("id", F.col("_nl").alias("level"))
         )
-        nxt = cut_lineage(nxt, eager=True, round_idx=i)
-        changed = (
-            nxt.withColumnRenamed("level", "_new")
-            .join(lvl, "id")
-            .filter(F.col("_new") != F.col("level"))
-            .limit(1)
-            .count()
-        )
-        lvl = nxt
-        if changed == 0:
+        bumped = cut_lineage(bumped, eager=True, round_idx=i)
+        if bumped.limit(1).count() == 0:
             ed.unpersist()
             return lvl
+        lvl = cut_lineage(
+            lvl.join(bumped, "id", "left_anti").unionByName(bumped), eager=True
+        )
+        frontier = bumped
     ed.unpersist()
     raise ValueError(
         f"topological_levels did not converge in {max_iterations} rounds — "

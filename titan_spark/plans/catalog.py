@@ -3061,7 +3061,8 @@ def _closeness_oracle(rounds: int = 6) -> str:
     {steps_sql}
     SELECT id, CAST(count(*) AS INT) AS n_reached,
            CASE WHEN sum(d) > 0
-                THEN ROUND((count(*) - 1) / CAST(sum(d) AS DOUBLE), 6)
+                THEN ROUND((count(*) - max(CASE WHEN d = 0 THEN 1 ELSE 0 END))
+                           / CAST(sum(d) AS DOUBLE), 6)
                 ELSE 0.0 END AS closeness
     FROM {prev} GROUP BY id
 """
@@ -3966,6 +3967,19 @@ _SLOT_SWAPS = [
     # landmark multi-source-BFS family, strictly richer computation
     # (forward σ + backward δ); closeness stays local-gate green.
     ("betweenness", "closeness_centrality"),
+    # seventh wave (r6, VERDICT r5 #2): the six r5-overflow flagships
+    # into the driver prefix. Each demotion keeps a family sibling in
+    # slots 1-50: near-dup banding by dedup_clusters + line_dedup +
+    # semantic_dedup; embedding/ANN by ivfpq_ann + kmeans_cells;
+    # text-quality by lm_perplexity; sack/periphery Gremlin surface by
+    # tail_skip_math + path_strings; chunk/prefix-sum machinery by
+    # shard_layout; sampling by mix_corpus.
+    ("harmonic_centrality", "minhash_lsh_pairs"),
+    ("mis_geo", "embed_topk_pairs"),
+    ("topo_levels", "tfidf_top_terms"),
+    ("event_funnel", "sack_order_margin"),
+    ("cube_order_stats", "chunk_docs"),
+    ("closeness_centrality", "weighted_sample"),
 ]
 _order = list(QUERIES)
 for _new, _old in _SLOT_SWAPS:
