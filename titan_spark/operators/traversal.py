@@ -89,6 +89,10 @@ class GraphTraversal:
         # None on roots and on traversals built outside the public
         # chaining surface.
         self._step_src = None
+        # local(subtraversal) scope (set by local_): the grouping
+        # column of the per-origin sub-traversal — order-dependent and
+        # reducing steps compile per-scope while this is non-None.
+        self._local_scope: str | None = None
 
     # ------------------------------------------------------------------ ctor
     @staticmethod
@@ -121,7 +125,7 @@ class GraphTraversal:
         # silently read NULL). Steps that materialize call
         # _ensure_cols() first (which clears self._lazy_v in place);
         # steps that change element kind pass lazy_v=False explicitly.
-        return GraphTraversal(
+        t = GraphTraversal(
             self.graph,
             df,
             kind or self.kind,
@@ -133,6 +137,8 @@ class GraphTraversal:
             pristine,
             self._lazy_v if lazy_v is _NOTSET else lazy_v,
         )
+        t._local_scope = self._local_scope
+        return t
 
     def _ensure_cols(self) -> None:
         """Materialize a lazy V frontier in place (semantics-preserving
@@ -995,11 +1001,19 @@ class GraphTraversal:
 
     # ------------------------------------------------------- order/limit ops
     def order_by(self, *specs) -> "GraphTraversal":
-        """Global order (O1). Specs: "col", "-col", ("col","desc"), Column."""
+        """Global order (O1). Specs: "col", "-col", ("col","desc"), Column.
+        Inside ``local_`` the sort is deferred: the specs are recorded
+        and the following slice step's per-origin window applies them —
+        a scoped order has no global row order to materialize."""
         self._ensure_cols()
+        if self._local_scope:
+            return self._with(self._df, order_specs=specs)
         return self._with(self._df.orderBy(*_order_cols(specs)), order_specs=specs)
 
     def limit(self, n: int) -> "GraphTraversal":
+        if self._local_scope:
+            specs = self._order_specs or (self._id_col(),)
+            return self._scoped_slice(specs, 0, n)
         return self._with(self._df.limit(n))
 
     def range_(self, lo: int, hi: int, *specs) -> "GraphTraversal":
@@ -1016,6 +1030,8 @@ class GraphTraversal:
         specs = specs or self._order_specs
         if not specs:
             raise ValueError("range_() requires order specs for determinism")
+        if self._local_scope:
+            return self._scoped_slice(specs, lo, hi)
         # degenerate range [lo, hi) with hi <= lo is an empty frontier
         # (Spark rejects negative limits)
         df = self._df.orderBy(*_order_cols(specs)).offset(lo).limit(max(0, hi - lo))
@@ -1047,6 +1063,10 @@ class GraphTraversal:
         specs = specs or self._order_specs
         if not specs:
             raise ValueError("tail_() requires order specs for determinism")
+        if self._local_scope:
+            return self._with(
+                self._scoped_slice(specs, 0, n, flip=True)._df, order_specs=specs
+            )
         flipped = self._flip_specs(specs)
         df = self._df.orderBy(*_order_cols(flipped)).limit(n)
         return self._with(df, order_specs=specs)
@@ -1061,6 +1081,8 @@ class GraphTraversal:
         specs = specs or self._order_specs
         if not specs:
             raise ValueError("skip_() requires order specs for determinism")
+        if self._local_scope:
+            return self._scoped_slice(specs, n, None)
         df = self._df.orderBy(*_order_cols(specs)).offset(n)
         return self._with(df, order_specs=specs)
 
@@ -1096,10 +1118,115 @@ class GraphTraversal:
 
     def local_top_k(self, k: int, *specs, by: str = "_origin") -> "GraphTraversal":
         """Per-origin-vertex order+limit — ``local(order().limit(k))``
-        (O5, TitanGraphTest.java:3393-3398)."""
+        (O5, TitanGraphTest.java:3393-3398). The specialization of
+        :meth:`local_` kept for direct hop-metadata use."""
         if by not in self._df.columns:
             raise ValueError(f"local_top_k needs hop metadata column {by!r}")
         return self._with(top_k_per_group(self._df, [by], list(specs), k))
+
+    def local_(self, fn):
+        """Gremlin ``local(subTraversal)`` — run an arbitrary
+        sub-traversal scoped per current traverser (LocalStep;
+        TitanGraphTest.java:3393-3398 ``local(outE.order.by(weight).
+        limit(10))``, planned by TitanLocalQueryOptimizerStrategy.
+        java:46-66 as one vertex-centric query; here the relational
+        equivalent is a window/groupBy over the origin, never a global
+        sort).
+
+        ``fn`` receives a traversal rooted at this frontier whose
+        origin rides along as a reserved ``_t_local`` tag; while the
+        scope is active, order-dependent steps (``order_by``/``limit``/
+        ``range_``/``tail_``/``skip_``/``sample_``/``dedup``) compile
+        as rank-filter windows partitioned by the origin, and reducing
+        terminals (``count``/``sum_``/``min_``/``max_``/``mean_``/
+        ``fold``/``group_count``) compile as a groupBy over the origin
+        emitting one row per origin with its id as ``local_id``.
+
+        Returns whatever ``fn`` returns: a traversal (the main
+        traversal continues with the sub-traversal's emitted
+        traversers, scope cleared) or a DataFrame (a reducing terminal
+        keyed by ``local_id``). Subsumes :meth:`local_top_k` —
+        ``t.local_(lambda s: s.outE().order_by('-w').limit(k))``.
+        """
+        if self._local_scope:
+            raise ValueError("local_() cannot nest inside another local_()")
+        sub = self._with(
+            self._df.withColumn(
+                "_t_local", F.struct(F.col(self._id_col()).alias("id"))
+            )
+        )
+        sub._local_scope = "_t_local.id"
+        out = fn(sub)
+        if isinstance(out, DataFrame):
+            return out
+        if not isinstance(out, GraphTraversal):
+            raise TypeError(f"local_ subtraversal returned {type(out).__name__}")
+        res = out._with(out._df.drop("_t_local"))
+        res._local_scope = None
+        return res
+
+    def map_(self, fn, name: str = "value"):
+        """Gremlin ``map(...)`` — the generic per-traverser transform
+        of the ProcessStandardSuite the reference certifies
+        (BerkeleyTitanProcessTest.java:12-15). Two forms:
+
+        - Column / property-key: compute the expression JVM-side and
+          attach it as column ``name`` (the traverser keeps its
+          element; extract with ``values(name)``) — the relational
+          form of a value-mapped traverser, same contract as
+          :meth:`math_`.
+        - callable: run the sub-traversal per origin and keep its
+          FIRST result per origin (Gremlin's map takes one result
+          from the child traversal; "first" = the sub-traversal's
+          recorded order, id-tiebroken). All-results form is
+          :meth:`flat_map_`.
+        """
+        if callable(fn):
+            def first(t):
+                out = fn(t)
+                return out.limit(1) if isinstance(out, GraphTraversal) else out
+
+            return self.local_(first)
+        self._ensure_cols()
+        c = self.col(fn) if isinstance(fn, str) else fn
+        return self._with(self._df.withColumn(name, c))
+
+    def flat_map_(self, fn):
+        """Gremlin ``flatMap(subTraversal)``: every sub-result becomes
+        a continuing traverser. Relationally identical to
+        :meth:`local_` — in a set-oriented engine the Gremlin
+        lazy-iterator vs barrier-scope distinction between flatMap and
+        local does not arise (documented divergence; both compile to
+        per-origin windows/groupBys)."""
+        return self.local_(fn)
+
+    def side_effect_(self, fn) -> "GraphTraversal":
+        """Gremlin ``sideEffect(subTraversal)``: run ``fn`` on the
+        current frontier for its effect (sink write, metric, external
+        accumulator) and continue with the traverser stream unchanged.
+        The named accumulation forms remain :meth:`aggregate_` /
+        ``store``; this is the generic escape hatch."""
+        fn(self._with(self._df))
+        return self._with(self._df)
+
+    def _scoped_window(self, specs, *, flip: bool = False):
+        """Row-number window of the active local scope: partition by
+        the origin, order by the given specs (+ the element id as a
+        deterministic tiebreak)."""
+        from pyspark.sql import Window
+
+        cols = _order_cols(self._flip_specs(specs) if flip else specs)
+        return Window.partitionBy(F.col(self._local_scope)).orderBy(
+            *cols, F.col(self._id_col()).asc()
+        )
+
+    def _scoped_slice(self, specs, lo: int, hi: int | None, *, flip=False) -> "GraphTraversal":
+        """Keep per-origin rows with rank in (lo, hi] under specs."""
+        ranked = self._df.withColumn("_rn", F.row_number().over(self._scoped_window(specs, flip=flip)))
+        cond = F.col("_rn") > lo if hi is None else (
+            (F.col("_rn") > lo) & (F.col("_rn") <= hi)
+        )
+        return self._with(ranked.filter(cond).drop("_rn"))
 
     def sample_(self, n: int, seed: int = 0) -> "GraphTraversal":
         """Gremlin ``sample(n)``, deterministically: keep the n
@@ -1115,6 +1242,8 @@ class GraphTraversal:
         h = portable_hash64(
             F.concat(F.lit(f"{seed}:"), F.col(self._id_col()).cast("string"))
         )
+        if self._local_scope:
+            return self._scoped_slice((h.asc(),), 0, n)
         return self._with(
             self._df.orderBy(h.asc(), F.col(self._id_col()).asc()).limit(n),
             order_specs=(),
@@ -1169,10 +1298,15 @@ class GraphTraversal:
         return self._df.select(self.col("label").alias("label"))
 
     def dedup(self, *cols: str) -> "GraphTraversal":
-        """Dedup traversers by current element id (U1/U2)."""
+        """Dedup traversers by current element id (U1/U2); inside
+        ``local_`` per origin — the same element may survive under
+        two different origins (DedupLocalStep semantics)."""
         if cols and any(c not in self._df.columns for c in cols):
             self._ensure_cols()
         keys = list(cols) if cols else [self._id_col()]
+        if self._local_scope:
+            flat = self._df.withColumn("_lid", F.col(self._local_scope))
+            return self._with(flat.dropDuplicates(["_lid", *keys]).drop("_lid"))
         return self._with(self._df.dropDuplicates(keys))
 
     # ------------------------------------------------------------- terminals
@@ -1232,17 +1366,27 @@ class GraphTraversal:
             lead.append(self.col("label").alias("label"))
         return self._df.select(*lead, *[self.col(k).alias(k) for k in keys if k != "label" or not with_tokens])
 
+    def _scoped_group(self):
+        """groupBy handle of the active local scope, keyed local_id."""
+        return self._df.groupBy(F.col(self._local_scope).alias("local_id"))
+
     def count(self) -> DataFrame:
-        """Traverser count (A1/A2) as a 1-row DataFrame."""
+        """Traverser count (A1/A2) as a 1-row DataFrame; inside
+        ``local_`` one row per origin (``local_id``)."""
+        if self._local_scope:
+            return self._scoped_group().agg(F.count(F.lit(1)).alias("count"))
         return self._df.agg(F.count(F.lit(1)).alias("count"))
 
     def count_value(self) -> int:
         return self.count().collect()[0][0]
 
     def group_count(self, *keys) -> DataFrame:
-        """``groupCount().by(key)`` → groupBy + count (§2.10)."""
+        """``groupCount().by(key)`` → groupBy + count (§2.10); inside
+        ``local_`` the origin (``local_id``) joins the grouping keys."""
         self._ensure_cols()
         cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+        if self._local_scope:
+            cols = [F.col(self._local_scope).alias("local_id"), *cols]
         return self._df.groupBy(*cols).agg(F.count(F.lit(1)).alias("count"))
 
     # ------------------------------------------- generic collection steps
@@ -1286,12 +1430,16 @@ class GraphTraversal:
 
     def fold(self, key: str | Column | None = None) -> DataFrame:
         """Gremlin ``fold()``: collect every traverser's value into ONE
-        list row (column ``folded``); ``unfold`` reverses it."""
+        list row (column ``folded``); ``unfold`` reverses it. Inside
+        ``local_``: one list per origin (``local_id``)."""
         if key is None:
             vc = F.col(self._id_col())
         else:
             vc = self.col(key) if isinstance(key, str) else key
-        return self._df.agg(F.sort_array(F.collect_list(vc)).alias("folded"))
+        expr = F.sort_array(F.collect_list(vc)).alias("folded")
+        if self._local_scope:
+            return self._scoped_group().agg(expr)
+        return self._df.agg(expr)
 
     def project_(self, **cols) -> DataFrame:
         """Gremlin ``project('a', 'b').by(x).by(y)``: one row per
@@ -1354,21 +1502,26 @@ class GraphTraversal:
             return self._df.groupBy(*gb).agg(*exprs)
         return self._df.agg(*exprs)
 
-    def sum_(self, key: str) -> DataFrame:
+    def _reduce(self, agg_fn, key: str, name: str) -> DataFrame:
+        """Shared reducing terminal: global 1-row agg, or per-origin
+        rows (``local_id``) inside ``local_``."""
         self._ensure_cols()
-        return self._df.agg(F.sum(self.col(key)).alias("sum"))
+        expr = agg_fn(self.col(key)).alias(name)
+        if self._local_scope:
+            return self._scoped_group().agg(expr)
+        return self._df.agg(expr)
+
+    def sum_(self, key: str) -> DataFrame:
+        return self._reduce(F.sum, key, "sum")
 
     def min_(self, key: str) -> DataFrame:
-        self._ensure_cols()
-        return self._df.agg(F.min(self.col(key)).alias("min"))
+        return self._reduce(F.min, key, "min")
 
     def max_(self, key: str) -> DataFrame:
-        self._ensure_cols()
-        return self._df.agg(F.max(self.col(key)).alias("max"))
+        return self._reduce(F.max, key, "max")
 
     def mean_(self, key: str) -> DataFrame:
-        self._ensure_cols()
-        return self._df.agg(F.avg(self.col(key)).alias("mean"))
+        return self._reduce(F.avg, key, "mean")
 
 
 # ---------------------------------------------------------------- provenance
@@ -1393,7 +1546,8 @@ _CHAINING_METHODS = (
     "inV", "outV", "otherV", "originV", "bothV", "repeat", "repeat_until",
     "union_", "choose", "branch_", "coalesce_", "where_", "not_", "aggregate_",
     "where_within", "where_without", "as_", "order_by", "limit", "range_",
-    "local_top_k", "dedup", "with_sack", "sack_", "sample_",
+    "local_top_k", "local_", "map_", "flat_map_", "side_effect_",
+    "dedup", "with_sack", "sack_", "sample_",
 )
 
 _REC_DEPTH = 0

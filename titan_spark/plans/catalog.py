@@ -3916,6 +3916,82 @@ ORACLE_SQL["lang_length_quantiles"] = """
 """
 
 
+def q_local_top3_sum(spark, sf_dir):
+    """Generic ``local(subTraversal)`` (TitanGraphTest.java:3393-3398,
+    TitanLocalQueryOptimizerStrategy.java:46-66): per-supplier sum of
+    its top-3 inbound ``supplied_by`` revenues — an arbitrary ordered+
+    limited+reduced sub-traversal scoped per origin vertex, beyond the
+    ``local_top_k`` specialization. Compiles to ONE rank-filter window
+    partitioned by the origin plus one groupBy — no global sort, no
+    per-vertex iteration, survives any vertex count."""
+    g = graph(spark, sf_dir)
+    df = (
+        g.V()
+        .has_label("supplier")
+        .local_(
+            lambda s: s.inE("supplied_by")
+            .order_by("-extendedprice")
+            .limit(3)
+            .sum_("extendedprice")
+        )
+    )
+    return df.select(
+        (F.col("local_id") - OFF["supplier"]).alias("suppkey"),
+        F.round(F.col("sum"), 2).alias("top3_revenue"),
+    )
+
+
+QUERIES["local_top3_sum"] = q_local_top3_sum
+
+# edge_id of supplied_by = EOFF + l_orderkey*8 + l_linenumber, so the
+# engine's automatic id tiebreak is (l_orderkey*8 + l_linenumber) ASC
+ORACLE_SQL["local_top3_sum"] = """
+    WITH ranked AS (
+        SELECT l_suppkey, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_extendedprice DESC,
+                            l_orderkey * 8 + l_linenumber ASC
+               ) AS rn
+        FROM lineitem
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+           ROUND(SUM(l_extendedprice), 2) AS top3_revenue
+    FROM ranked WHERE rn <= 3
+    GROUP BY l_suppkey
+"""
+
+
+def q_map_nation_counts(spark, sf_dir):
+    """Generic ``map``/``flatMap`` steps (ProcessStandardSuite
+    generics, BerkeleyTitanProcessTest.java:12-15) composed with the
+    checked has/hop surface: high-balance customers hop to their
+    nation via the callable ``map_`` form (per-origin first-result
+    sub-traversal), the column form attaches the nation name, and
+    ``group_count`` reduces."""
+    t = (
+        graph(spark, sf_dir)
+        .V()
+        .has_label("customer")
+        .has("acctbal", P.gt(9000.0))
+        .map_(lambda s: s.out("in_nation"))
+        .map_("name", name="nation_name")
+    )
+    return t.group_count("nation_name").select(
+        "nation_name", F.col("count").cast("long").alias("n_cust")
+    )
+
+
+QUERIES["map_nation_counts"] = q_map_nation_counts
+
+ORACLE_SQL["map_nation_counts"] = """
+    SELECT n.n_name AS nation_name, CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 9000.0
+    GROUP BY n.n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 entries. Promote the round-5 flagships line_dedup /
@@ -3980,6 +4056,12 @@ _SLOT_SWAPS = [
     ("event_funnel", "sack_order_margin"),
     ("cube_order_stats", "chunk_docs"),
     ("closeness_centrality", "weighted_sample"),
+    # eighth wave (r6 flagships): generic local()/map() steps in —
+    # per-origin window family kept by local_top3_sum when
+    # topk_per_vertex (its local_top_k specialization) rotates out;
+    # semi-join family kept by where_exists_twohop.
+    ("local_top3_sum", "topk_per_vertex"),
+    ("map_nation_counts", "semi_join_exists"),
 ]
 _order = list(QUERIES)
 for _new, _old in _SLOT_SWAPS:
