@@ -248,6 +248,98 @@ def _scaling_block(base_queries: dict[str, float]) -> dict | None:
     }
 
 
+def _streaming_block() -> dict | None:
+    """Streaming performance signal (VERDICT r5 #5): §2.8 was tested
+    but never benched. Two measured paths at $SPARK_GRAFT_SF_DIR:
+
+    - events file-stream → watermarked session windows → memory sink
+      (the readStream → stateful agg → sink shape), reporting rows/s
+      and per-micro-batch trigger latency from the query progress;
+    - N change rows through the CDC log → LogProcessorFramework
+      foreachBatch dispatch (Titan's user-log processor shape).
+
+    Disable with SPARK_GRAFT_STREAM_BENCH=0.
+    """
+    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") == "0":
+        return None
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from titan_spark.session import get_spark
+    from titan_spark.streaming.changelog import LogProcessorFramework
+    from titan_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        session_windows,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("titan_spark_stream_bench")
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    tmp = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        t0 = time.perf_counter()
+        q = run_to_memory_sink(
+            session_windows(read_events_stream(spark, sf_dir)),
+            "bench_sessions",
+            os.path.join(tmp, "ckpt_sessions"),
+            output_mode="complete",
+        )
+        sess_wall = time.perf_counter() - t0
+        sess_rows = spark.table("bench_sessions").count()
+        prog = []
+        for p in q.recentProgress:
+            prog.append(p if isinstance(p, dict) else json.loads(p.json))
+        lat = [
+            p["durationMs"]["triggerExecution"]
+            for p in prog
+            if p.get("numInputRows", 0) > 0 and "durationMs" in p
+        ]
+
+        # CDC log drain: synthetic ADD-vertex rows written as the log's
+        # parquet append stream, drained through a counting processor
+        n_changes = int(os.environ.get("SPARK_GRAFT_STREAM_CHANGES", "200000"))
+        log_dir = os.path.join(tmp, "changelog")
+        spark.range(n_changes).select(
+            F.lit("ADD").alias("op"),
+            F.lit("vertex").alias("element_kind"),
+            F.col("id").alias("element_id"),
+            F.to_json(F.struct(F.col("id").alias("key"))).alias("payload"),
+            (F.col("id") % 64).alias("tx_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        ).write.mode("overwrite").parquet(log_dir)
+        seen: list[int] = []
+        fw = LogProcessorFramework(spark, log_dir).add_processor(
+            lambda b, _i: seen.append(b.count())
+        )
+        t0 = time.perf_counter()
+        cq = fw.process_stream(os.path.join(tmp, "ckpt_log"))
+        cq.awaitTermination(300)
+        log_wall = time.perf_counter() - t0
+        return {
+            "events_rows": n_events,
+            "session_sink_seconds": round(sess_wall, 3),
+            "session_rows_per_sec": int(n_events / sess_wall) if sess_wall else None,
+            "session_out_rows": sess_rows,
+            "session_batches": len(lat),
+            "session_batch_latency_ms": {
+                "mean": round(sum(lat) / len(lat), 1) if lat else None,
+                "max": max(lat) if lat else None,
+            },
+            "changelog_rows": sum(seen),
+            "changelog_drain_seconds": round(log_wall, 3),
+            "changelog_rows_per_sec": int(sum(seen) / log_wall) if log_wall else None,
+            "note": "events: readStream parquet -> watermarked session_window "
+            "groupBy -> memory sink (availableNow); changelog: parquet CDC "
+            "log -> foreachBatch processor dispatch. Wall includes stream "
+            "planning + checkpoint IO; latency is per-trigger execution.",
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     if "--single" in sys.argv:
         print(json.dumps(run_suite()))
@@ -278,6 +370,9 @@ def main() -> None:
     scaling = _scaling_block(queries)
     if scaling is not None:
         merged["scaling"] = scaling
+    streaming = _streaming_block()
+    if streaming is not None:
+        merged["streaming"] = streaming
     print(json.dumps(merged))
 
 
