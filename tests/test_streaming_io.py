@@ -132,6 +132,49 @@ def test_multimodal_resize_stub(spark):
                                [b"imagebytes-aaaa", b"imagebytes-bbbb"]))
 
 
+# 1x1 grayscale PNG (pixel value 0) — golden bytes for the real-codec
+# path; generated once with PIL and committed as a literal
+_ONE_PX_PNG = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108000000003a7e9b55"
+    "0000000a4944415478da6360000000020001e527defc0000000049454e44ae426082"
+)
+
+
+def test_multimodal_real_codec_path(spark):
+    """decode_stub=False picks PIL when importable (golden 1-px PNG);
+    without PIL (this container) it raises NotImplementedError instead
+    of silently falling back — the real/stub split is explicit."""
+    import pytest
+
+    from titan_spark.pipeline.multimodal import (
+        _pil_image,
+        extract_features,
+        make_media_table,
+        resize_images,
+    )
+
+    src = spark.createDataFrame([(1, _ONE_PX_PNG)], "id long, payload binary")
+    media = make_media_table(src, "id", F.col("payload"), "image")
+    if _pil_image() is None:
+        with pytest.raises(Exception, match="PIL"):
+            extract_features(media, dim=4, decode_stub=False).collect()
+        with pytest.raises(Exception, match="PIL"):
+            resize_images(media, 2, 2, decode_stub=False).collect()
+    else:
+        row = extract_features(media, dim=4, decode_stub=False).collect()[0]
+        # real decode: 4 grayscale pixels of value 0 -> all -1.0, which
+        # the sha-stub can never produce for this payload
+        assert row["feature"] == [-1.0, -1.0, -1.0, -1.0]
+        rrow = resize_images(media, 2, 2, decode_stub=False).collect()[0]
+        assert rrow["meta"]["width"] == 2 and rrow["payload"][:4] == b"\x89PNG"
+    # audio rows keep the stub features even under the real path
+    audio = make_media_table(src, "id", F.col("payload"), "audio")
+    if _pil_image() is not None:
+        arow = extract_features(audio, dim=4, decode_stub=False).collect()[0]
+        srow = extract_features(audio, dim=4, decode_stub=True).collect()[0]
+        assert arow["feature"] == srow["feature"]
+
+
 def test_incremental_dedup_across_batches(spark, tmp_path):
     """Streaming ingest near-dup filter: batch-2 near-copies of batch-1
     docs are dropped via the persistent signature store; unique docs

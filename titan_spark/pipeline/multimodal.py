@@ -7,21 +7,37 @@ feature-extraction run as ``mapInPandas`` stages so each Arrow batch
 crosses the Python boundary once; partitioning is inherited, so a
 100-TB corpus processes embarrassingly parallel with no shuffle.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container —
-the decode kernel is stubbed: ``decode_stub=True`` (default) derives
-deterministic fake features from the bytes (so the plumbing — schema,
-batching, partition behavior — is fully testable); ``decode_stub=
-False`` raises NotImplementedError where the real library call goes.
+Codec selection: ``decode_stub=True`` (default, and pinned by the
+correctness catalog) derives deterministic fake features from the
+bytes so the plumbing — schema, batching, partition behavior — is
+fully testable AND oracle-replayable. ``decode_stub=False`` takes the
+REAL codec path: the kernel imports PIL inside the executor (worker
+Pythons may differ from the driver) and decodes/resizes with it;
+when PIL is not importable (this container has no image libs) it
+raises NotImplementedError. Audio/video kinds keep the stub under
+the real path — their codecs (ffmpeg/librosa) have no in-container
+fallback and images are the only kind with a golden-bytes test.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pil_image():
+    """The PIL Image module when importable, else None. Called inside
+    the Arrow kernel so the check runs on the executor."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    return Image
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -71,13 +87,25 @@ def extract_features(
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if decode_stub else _pil_image()
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg/librosa (not in container); "
-                    "run with decode_stub=True for the deterministic fake kernel"
-                )
-            feats = [_stub_feature(p, dim) for p in pdf["payload"]]
+            feats = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if decode_stub or kind != "image":
+                    # stub path: also taken for audio/video under the
+                    # real path (no in-container codec fallback)
+                    feats.append(_stub_feature(payload, dim))
+                    continue
+                if image_mod is None:
+                    raise NotImplementedError(
+                        "real image decode requires PIL (not importable on this "
+                        "executor); run with decode_stub=True for the "
+                        "deterministic fake kernel"
+                    )
+                # real path: decode -> grayscale -> dim x 1 resample ->
+                # pixels normalized to [-1, 1)
+                img = image_mod.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+                feats.append([(px - 128.0) / 128.0 for px in img.getdata()])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -119,6 +147,7 @@ def resize_images(
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if decode_stub else _pil_image()
         for pdf in batches:
             out_payload, out_meta = [], []
             for kind, payload, meta in zip(pdf["kind"], pdf["payload"], pdf["meta"]):
@@ -128,10 +157,19 @@ def resize_images(
                     out_meta.append(meta)
                     continue
                 if not decode_stub:
-                    raise NotImplementedError(
-                        "real image resize requires PIL (not in container); "
-                        "run with decode_stub=True for the deterministic fake kernel"
-                    )
+                    if image_mod is None:
+                        raise NotImplementedError(
+                            "real image resize requires PIL (not importable on "
+                            "this executor); run with decode_stub=True for the "
+                            "deterministic fake kernel"
+                        )
+                    img = image_mod.open(io.BytesIO(payload)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out_payload.append(buf.getvalue())
+                    meta.update({"width": width, "height": height})
+                    out_meta.append(meta)
+                    continue
                 # fake resize: sha256-keyed stream of width*height//256 + 1
                 # blocks — size tracks the target resolution, content is a
                 # pure function of (source bytes, target size)
