@@ -125,3 +125,94 @@ def test_multi_card_values_fixture(spark):
     assert got == [10, 20, 30]
     got1 = sorted(r["vals"] for r in g.V().has_id(1).values("vals").collect())
     assert got1 == [10, 20]
+
+
+def _text_graph(spark):
+    from titan_spark.graph import PropertyGraph
+
+    # uniform 4-token docs (plus one short doc outside the main query's
+    # match set): equal lengths isolate the term-count / IDF / tf
+    # effects, where fraction and BM25 rank concordantly — mixed
+    # lengths add BM25's length normalization, which fraction scoring
+    # cannot see (tested separately below)
+    docs = [
+        (1, "spark engine distributed query"),
+        (2, "spark spark spark tuning"),
+        (3, "distributed query planner cost"),
+        (4, "lucene scoring relevance ranking"),
+        (5, "query engine cluster nodes"),
+        (6, "spark query relevance planner"),
+        (7, "relevance alpha beta gamma"),
+        (8, "planner alpha"),
+    ]
+    v = spark.createDataFrame(
+        [(i, "doc", t) for i, t in docs], "id long, label string, text string"
+    )
+    e = spark.createDataFrame([], "edge_id long, src long, dst long, label string")
+    return PropertyGraph(v, e)
+
+
+def test_bm25_scoring_rank_agreement(spark):
+    """Score calibration (RawQuery.java:60-73 returns live backend
+    scores; IndexQueryBuilder.java:198-211): the bm25 mode must (a)
+    match the same result set as the oracle-checked fraction mode,
+    (b) agree with it on ranks (Spearman), and (c) show the IDF /
+    length effects fraction scoring cannot express."""
+    g = _text_graph(spark)
+    q = "v.text:(spark query relevance)"
+    frac = {r["id"]: r["score"] for r in raw_index_query(g, q).collect()}
+    bm25 = {r["id"]: r["score"] for r in raw_index_query(g, q, scoring="bm25").collect()}
+    # same deterministic match set (doc 8 matches no term)
+    assert set(frac) == set(bm25) == {1, 2, 3, 4, 5, 6, 7}
+    s = pd.DataFrame({"f": pd.Series(frac), "b": pd.Series(bm25)})
+    # spearman = pearson over ranks (pandas' spearman needs scipy,
+    # which this container lacks)
+    rho = s["f"].rank().corr(s["b"].rank())
+    # closed-form on this fixture: 0.816 (bm25 fully orders fraction's
+    # 1/3-score tier, cross-tier order is concordant)
+    assert rho >= 0.75, f"rank agreement too low: spearman={rho}"
+    # tier concordance at equal doc length: whenever fraction strictly
+    # prefers u over v, bm25 agrees
+    for u in frac:
+        for v in frac:
+            if frac[u] > frac[v]:
+                assert bm25[u] > bm25[v], (u, v)
+    # full-match doc tops both rankings
+    assert max(bm25, key=bm25.get) == 6 and max(frac, key=frac.get) == 6
+    # IDF: the rare-term doc ('relevance', df=3) outranks the
+    # common-term doc ('query', df=4) under bm25; fraction ties them
+    assert bm25[7] > bm25[5] and frac[7] == frac[5]
+    # length normalization (invisible to fraction): same single
+    # 'planner' match, the 2-token doc beats the 4-token doc
+    lb = {
+        r["id"]: r["score"]
+        for r in raw_index_query(g, "v.text:(planner)", scoring="bm25").collect()
+    }
+    lf = {r["id"]: r["score"] for r in raw_index_query(g, "v.text:(planner)").collect()}
+    assert lb[8] > lb[3] and lf[8] == lf[3]
+
+
+def test_bm25_tf_saturation(spark):
+    """tf saturation: repeated terms help sublinearly — doc 2's three
+    'spark's score less than 3x a single occurrence, and more than 1x."""
+    g = _text_graph(spark)
+    bm25 = {
+        r["id"]: r["score"]
+        for r in raw_index_query(g, "v.text:(spark)", scoring="bm25").collect()
+    }
+    single = bm25[1]  # one 'spark' in a 4-token doc
+    triple = bm25[2]  # three 'spark's in a 4-token doc
+    assert single < triple < 3 * single
+
+
+def test_bm25_gods_fixture_agreement(gods):
+    """On the reference's own fixture both modes agree on the match
+    set, and bm25 prefers the shorter of two equal-match docs."""
+    frac = {r["id"]: r["score"] for r in raw_index_query(gods, "e.reason:(loves waves fresh)").collect()}
+    bm25 = {
+        r["id"]: r["score"]
+        for r in raw_index_query(gods, "e.reason:(loves waves fresh)", scoring="bm25").collect()
+    }
+    assert set(frac) == set(bm25) == {2, 5}
+    assert frac[2] == frac[5]  # fraction ties the two 2-of-3 matches
+    assert bm25[5] > bm25[2]  # 'loves waves' (2 tokens) > 3-token doc

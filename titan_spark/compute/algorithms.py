@@ -897,6 +897,17 @@ def betweenness_centrality(
     published accuracy/cost knob; exact betweenness (k = |V|) is the
     quadratic ceiling this sampling exists to avoid. Per-round
     lineage cuts throughout.
+
+    Error bound (Brandes–Pich, "Centrality Estimation in Large
+    Networks", IJBC 2007): the population estimate (n/k)·Σ_{s∈S}
+    δ(v, s) over k uniformly chosen sources deviates from exact
+    betweenness by more than ε·n(n−1) with probability at most
+    2·exp(−2kε²) per vertex (Hoeffding on the per-source dependency
+    δ(v,s)/(n−1) ∈ [0,1]); :func:`auto_num_sources` inverts this to
+    pick k for a target (ε, δ) with a union bound over all vertices,
+    giving the published k = Θ(log n / ε²). Measured on the 200-vertex
+    ring+chord fixture: max scaled error falls ~2× from k=4 to k=16
+    (tests/test_betweenness_error.py).
     """
     e = graph.edges
     if edge_labels:
@@ -983,6 +994,23 @@ def betweenness_centrality(
     return graph.vertices.select("id").join(bc, "id", "left").select(
         "id", F.coalesce(F.col("betweenness"), F.lit(0.0)).alias("betweenness")
     )
+
+
+def auto_num_sources(
+    n_vertices: int, eps: float = 0.1, delta: float = 0.1
+) -> int:
+    """Sample size for source-sampled betweenness (Brandes–Pich 2007,
+    via Hoeffding + union bound): with k = ⌈ln(2n/δ) / (2ε²)⌉ uniform
+    sources, every vertex's population-scaled estimate is within
+    ε·n(n−1) of its exact betweenness with probability ≥ 1−δ — the
+    published Θ(log n / ε²) sources, independent of edge count. Capped
+    at n (k = n IS exact Brandes)."""
+    import math
+
+    if n_vertices <= 1:
+        return 1
+    k = math.ceil(math.log(2 * n_vertices / delta) / (2 * eps * eps))
+    return max(1, min(int(k), int(n_vertices)))
 
 
 def greedy_coloring(

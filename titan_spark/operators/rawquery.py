@@ -20,11 +20,27 @@ phrases the ES examples use):
     NOT clause / -clause     negation (row must NOT match the clause)
     +clause                  required (the conjunctive default)
 
-Scoring is deterministic (documented, reproducible — unlike
-Lucene TF-IDF): score = Σ over positive clauses of
-matched-term-fraction (1.0 for a matched phrase or range); negated
-clauses filter but never score. Results order by (score desc, id asc)
-then offset/limit.
+Scoring is deterministic (documented, reproducible — unlike a live
+Lucene/ES backend whose scores depend on index segment statistics):
+
+- ``scoring="fraction"`` (default, the oracle-checked mode): score =
+  Σ over positive clauses of matched-term-fraction (1.0 for a matched
+  phrase or range); negated clauses filter but never score.
+- ``scoring="bm25"``: Okapi BM25 per positive terms-clause — IDF(t) =
+  ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) and the (k1, b) tf-saturation
+  / length normalization Lucene itself uses, so rankings track what a
+  user of the reference's ES/Lucene backend sees (RawQuery.java:60-73
+  returns backend scores verbatim). Corpus statistics (N, avg doc
+  length, per-term document frequency) come from ONE aggregate over
+  the scanned field and ride the plan as literals — at any scale the
+  stats pass is a single scan producing a handful of broadcast
+  scalars, and the score itself stays whole-stage-codegen column
+  algebra. Phrase/range clauses contribute 1.0 as in fraction mode.
+  Still deterministic: same corpus → same scores.
+
+Both orders results by (score desc, id asc) then offset/limit.
+tests/test_rawquery_scan.py pins the rank agreement between the two
+modes on the gods fixture (Spearman ≥ 0.9 on multi-term queries).
 """
 
 from __future__ import annotations
@@ -87,18 +103,42 @@ def parse_raw_query(query: str) -> list[dict]:
     return [{"prefix": prefix}] + clauses
 
 
+def _bm25_stats(df: DataFrame, field: str, terms: list[str]) -> tuple[float, float, dict]:
+    """One aggregate over the tokenized field → (N, avgdl, df per
+    term). Driver-sized result (2 + len(terms) scalars) that rides the
+    scoring expression as literals."""
+    toks = tokenize(F.col(field).cast("string"))
+    row = df.select(toks.alias("_toks")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size("_toks")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("_toks", t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).collect()[0]
+    dfs = {t: float(row[f"df_{i}"] or 0) for i, t in enumerate(terms)}
+    return float(row["n"]), float(row["avgdl"] or 0.0) or 1.0, dfs
+
+
 def raw_index_query(
     graph,
     query: str,
     limit: int | None = None,
     offset: int = 0,
+    scoring: str = "fraction",
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> DataFrame:
     """Run a raw query string → DataFrame(id, score), ordered by
     (score desc, id asc), paginated with offset/limit.
 
     ``v.``/``e.`` prefix selects the element table (default vertices;
     ``p.`` maps to the vertex_properties table when present).
+    ``scoring``: "fraction" (oracle-checked default) or "bm25" (Lucene
+    -practical ranking; see module docstring).
     """
+    if scoring not in ("fraction", "bm25"):
+        raise ValueError(f"scoring must be fraction|bm25, got {scoring!r}")
     parsed = parse_raw_query(query)
     prefix = parsed[0]["prefix"] or "v"
     clauses = parsed[1:]
@@ -118,16 +158,33 @@ def raw_index_query(
         neg = c.get("negated", False)
         if c["kind"] == "terms":
             toks = tokenize(fld.cast("string"))
-            qarr = F.array(*[F.lit(t) for t in sorted(set(c["terms"]))])
+            qterms = sorted(set(c["terms"]))
+            qarr = F.array(*[F.lit(t) for t in qterms])
             matched = F.size(F.array_intersect(toks, qarr))
             # NULL field counts as "does not contain" — a negated
             # clause must MATCH rows whose field is absent
             hit = F.coalesce(matched > 0, F.lit(False))
             if neg:
                 cond = cond & ~hit
+            elif scoring == "bm25" and c["field"] in df.columns:
+                import math
+
+                cond = cond & hit
+                n_docs, avgdl, dfs = _bm25_stats(df, c["field"], qterms)
+                dl = F.size(toks).cast("double")
+                norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+                def _tf(term, _toks=toks):
+                    # single-parameter lambda: a second (defaulted)
+                    # param would make F.filter pass the array INDEX
+                    return F.size(F.filter(_toks, lambda x: x == F.lit(term)))
+
+                for t in qterms:
+                    idf = math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                    tf = _tf(t).cast("double")
+                    score = score + F.lit(idf) * tf * (k1 + 1.0) / (tf + norm)
             else:
                 cond = cond & hit
-                score = score + matched.cast("double") / max(len(set(c["terms"])), 1)
+                score = score + matched.cast("double") / max(len(qterms), 1)
         elif c["kind"] == "phrase":
             toks = tokenize(fld.cast("string"))
             padded = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
