@@ -145,3 +145,37 @@ def test_weighted_sample_determinism_and_bias(spark):
     assert got != other
     dfz = spark.createDataFrame([(1, 0), (2, 5)], ["doc_id", "w"])
     assert [r["doc_id"] for r in weighted_sample(dfz, 5, "w").collect()] == [2]
+
+
+def test_quota_sample_caps_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from titan_spark.pipeline.sampling import quota_sample
+
+    # 3 sources with 10/5/2 docs; quota 4 binds only on the first two
+    rows = [(i, "a" if i < 10 else ("b" if i < 15 else "c")) for i in range(17)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = quota_sample(df, "source", 4)
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"a": 4, "b": 4, "c": 2}
+    # deterministic across runs; different seed reshuffles group 'a'
+    again = quota_sample(df, "source", 4)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    other = quota_sample(df, "source", 4, seed=1)
+    a0 = {r["doc_id"] for r in kept.filter("source = 'a'").collect()}
+    a1 = {r["doc_id"] for r in other.filter("source = 'a'").collect()}
+    assert len(a0) == len(a1) == 4 and a0 != a1
+    # scale shape: the plan carries a WindowGroupLimit (partial top-n
+    # below the shuffle), not a bare global window
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kept.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()

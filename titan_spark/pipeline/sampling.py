@@ -228,3 +228,37 @@ def weighted_sample(
         .limit(n)
         .drop("_wkey")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group document quota: keep at most ``n_per_group`` rows of
+    each group, chosen deterministically by the portable hash of
+    (seed, id) — the standard curation guard against source/domain
+    domination of a training mix (cap docs per domain/crawl host
+    before mixing; C4-style per-source balance).
+
+    Compiles to a rank-filter window partitioned by the group:
+    WindowGroupLimit pushes a per-partition partial top-n below the
+    shuffle, so only ~n·partitions rows move per group and no global
+    sort exists at any corpus size. Skewed groups (one giant domain)
+    are exactly the rows the partial pass prunes before the exchange.
+    """
+    from pyspark.sql import Window
+
+    from titan_spark.functions.hashing import portable_hash64
+
+    h = portable_hash64(
+        F.concat(F.lit(f"q{seed}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_qrn", F.row_number().over(w))
+        .filter(F.col("_qrn") <= n_per_group)
+        .drop("_qrn")
+    )

@@ -3992,6 +3992,36 @@ ORACLE_SQL["map_nation_counts"] = """
 """
 
 
+def q_quota_by_source(spark, sf_dir):
+    """Per-source document quota (C4-style per-domain cap before
+    mixing): at most 15 docs per source, chosen by the deterministic
+    portable hash. WindowGroupLimit prunes each group to a
+    per-partition partial top-n BELOW the shuffle — a skewed giant
+    domain is cut before its rows ever move."""
+    from titan_spark.pipeline.sampling import quota_sample
+
+    d = tables(spark, sf_dir)["documents"]
+    return quota_sample(d, "source", 15).select("doc_id", "source")
+
+
+QUERIES["quota_by_source"] = q_quota_by_source
+
+from titan_spark.functions.hashing import portable_hash64_sql as _h60_sql  # noqa: E402
+
+ORACLE_SQL["quota_by_source"] = f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_h60_sql("'q0:' || CAST(doc_id AS VARCHAR)")} ASC,
+                            doc_id ASC
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 15
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 entries. Promote the round-5 flagships line_dedup /
@@ -4062,6 +4092,9 @@ _SLOT_SWAPS = [
     # semi-join family kept by where_exists_twohop.
     ("local_top3_sum", "topk_per_vertex"),
     ("map_nation_counts", "semi_join_exists"),
+    # per-source quota cap in; exact-dedup family keeps dedup_clusters
+    # + semantic_dedup in the prefix when line_dedup rotates out
+    ("quota_by_source", "line_dedup"),
 ]
 _order = list(QUERIES)
 for _new, _old in _SLOT_SWAPS:
