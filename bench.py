@@ -101,6 +101,12 @@ HEADLINE = [
     "mis_geo",
     "topo_levels",
     "betweenness",
+    # round 6: generic local() scoping (per-origin window + reduce),
+    # generic map steps, per-source quota cap
+    "local_top3_sum",
+    "map_nation_counts",
+    "quota_by_source",
+    "random_walk_corpus",
 ]
 
 

@@ -372,3 +372,46 @@ def test_greedy_coloring_proper_and_bounded(spark):
     assert max(got.values()) <= 3  # <= Delta + 1 = 4 colors (ids 0..3)
     again = {r["id"]: r["color"] for r in greedy_coloring(g).collect()}
     assert again == got
+
+
+def test_random_walks_semantics(spark, gods):
+    """Deterministic hash-argmin walks: reproducible, dead ends stop,
+    distinct walks from one start diverge, every step follows an edge."""
+    from titan_spark.compute import random_walks
+
+    g = gods.graph if hasattr(gods, "graph") else gods
+    w = random_walks(g, length=3, direction="both", walks_per_start=2)
+    rows = w.collect()
+    assert len(rows) == 12 * 2 * 4  # every vertex has a neighbor (connected fixture)
+    again = random_walks(g, length=3, direction="both", walks_per_start=2)
+    assert {(r["walk_id"], r["step"], r["id"]) for r in rows} == {
+        (r["walk_id"], r["step"], r["id"]) for r in again.collect()
+    }
+    # each step moves along a real (undirected) edge
+    adj = set()
+    for e in g.edges.select("src", "dst").collect():
+        adj.add((e["src"], e["dst"]))
+        adj.add((e["dst"], e["src"]))
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["id"]
+    for steps in walks.values():
+        for t in range(3):
+            assert (steps[t], steps[t + 1]) in adj
+    # two walks per start: at least half diverge on this fixture
+    starts = {wid // 2 for wid in walks}
+    diverging = sum(
+        1 for s in starts if walks[2 * s] != walks.get(2 * s + 1, {})
+    )
+    assert diverging >= len(starts) // 2
+
+    # directed walks stop at dead ends: hercules -father-> jupiter
+    # -father-> saturn (no outgoing 'father') => 3 rows, steps 0..2
+    herc = {r["name"]: r["id"] for r in g.vertices.select("id", "name").collect()}[
+        "hercules"
+    ]
+    dw = random_walks(
+        g, length=5, direction="out", edge_labels=("father",), start_ids=[herc]
+    ).collect()
+    got = sorted((r["step"], r["id"]) for r in dw)
+    assert [s for s, _ in got] == [0, 1, 2]

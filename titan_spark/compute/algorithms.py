@@ -1058,3 +1058,90 @@ def greedy_coloring(
     if verts.limit(1).count() > 0:
         raise ValueError(f"coloring did not finish within {max_colors} colors")
     return colored
+
+
+def random_walks(
+    graph: PropertyGraph,
+    length: int = 3,
+    seed: int = 0,
+    edge_labels: tuple[str, ...] = (),
+    direction: str = "both",
+    start_ids: list[int] | None = None,
+    walks_per_start: int = 1,
+) -> DataFrame:
+    """Deterministic random walks → (walk_id, step, id): the corpus
+    generator for DeepWalk/node2vec-style graph embeddings (Perozzi
+    2014, Grover–Leskovec 2016) and for graph-sampled training-data
+    augmentation.
+
+    Each walk takes ``length`` steps; the step from vertex v in walk w
+    at step t moves to the neighbor u minimizing the portable hash of
+    (seed, w, t, u) — the engine's standard reproducible-randomness
+    contract (same as sample_/coin_/weighted_sample), which makes every
+    walk replayable in the SQL oracle and identical across engines and
+    runs. ``walk_id = start_id * walks_per_start + j`` so distinct
+    walks from one start diverge (the hash keys on walk_id). Walks at
+    a dead-end vertex stop (no rows for later steps), matching the
+    standard walk-corpus convention.
+
+    Scale shape: step t is ONE frontier⋈adjacency join plus one
+    min(struct) agg per walk — map-side-combinable, shuffle ∝ frontier
+    out-degree mass, never |V|·|E|; per-step lineage cut. W walks × L
+    steps over 100 TB of edges is L joins, embarrassingly partitioned
+    on the walk frontier.
+    """
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out|in|both, got {direction!r}")
+    from titan_spark.functions.hashing import portable_hash64
+
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    parts = []
+    if direction in ("out", "both"):
+        parts.append(e.select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    if direction in ("in", "both"):
+        parts.append(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    ad = parts[0]
+    for p in parts[1:]:
+        ad = ad.unionByName(p)
+    ad = ad.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"]).cache()
+    ad.count()
+
+    starts = graph.vertices.select("id")
+    if start_ids is not None:
+        starts = starts.filter(F.col("id").isin([int(x) for x in start_ids]))
+    frontier = None
+    for j in range(walks_per_start):
+        leg = starts.select(
+            (F.col("id") * walks_per_start + F.lit(j)).alias("walk_id"),
+            F.col("id").alias("cur"),
+        )
+        frontier = leg if frontier is None else frontier.unionByName(leg)
+    frontier = cut_lineage(frontier, eager=True)
+    acc = frontier.select(
+        "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("id")
+    )
+    for t in range(length):
+        key = portable_hash64(
+            F.concat(
+                F.lit(f"rw{seed}:"),
+                F.col("walk_id").cast("string"),
+                F.lit(f":{t}:"),
+                F.col("v").cast("string"),
+            )
+        )
+        nxt = (
+            frontier.join(ad, frontier["cur"] == ad["u"])
+            .groupBy("walk_id")
+            .agg(F.min(F.struct(key.alias("k"), F.col("v").alias("v"))).alias("_m"))
+            .select("walk_id", F.col("_m.v").alias("cur"))
+        )
+        frontier = cut_lineage(nxt, eager=True, round_idx=t)
+        acc = acc.unionByName(
+            frontier.select(
+                "walk_id", F.lit(t + 1).cast("int").alias("step"), F.col("cur").alias("id")
+            )
+        )
+    ad.unpersist()
+    return acc

@@ -3992,6 +3992,83 @@ ORACLE_SQL["map_nation_counts"] = """
 """
 
 
+def q_random_walk_corpus(spark, sf_dir):
+    """Deterministic random-walk corpus (DeepWalk/node2vec input) over
+    the undirected geography graph: one 3-step walk per vertex, each
+    step the hash-argmin neighbor — L frontier joins total, replayed
+    exactly by the oracle's fixed-round window CTEs."""
+    from titan_spark.compute import random_walks
+
+    sub = _geo_subgraph(spark, sf_dir)
+    return random_walks(sub, length=3, direction="both").select(
+        "walk_id", "step", "id"
+    )
+
+
+QUERIES["random_walk_corpus"] = q_random_walk_corpus
+
+
+def _random_walk_oracle(length: int = 3, seed: int = 0) -> str:
+    """Fixed-round replay of the hash-argmin walk: step t picks the
+    neighbor minimizing the same portable h60 the engine computes,
+    ties to the lowest neighbor id."""
+    from titan_spark.functions.hashing import portable_hash64_sql
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    steps, prev = [], "w0"
+    for t in range(length):
+        key = portable_hash64_sql(
+            f"'rw{seed}:' || CAST(walk_id AS VARCHAR) || ':{t}:' || CAST(ue.v AS VARCHAR)"
+        )
+        steps.append(
+            f"""w{t + 1} AS (
+        SELECT walk_id, v AS cur FROM (
+            SELECT p.walk_id, ue.v,
+                   row_number() OVER (
+                       PARTITION BY p.walk_id
+                       ORDER BY {key} ASC, ue.v ASC
+                   ) AS rn
+            FROM {prev} p JOIN ue ON p.cur = ue.u
+        ) WHERE rn = 1
+    )"""
+        )
+        prev = f"w{t + 1}"
+    steps_sql = ",\n    ".join(steps)
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT walk_id, CAST({t} AS INT) AS step, cur AS id FROM w{t}"
+        for t in range(length + 1)
+    )
+    return f"""
+    WITH e AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+               CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+    ),
+    ue AS (
+        SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        UNION
+        SELECT dst AS u, src AS v FROM e WHERE src <> dst
+    ),
+    verts AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS id FROM customer
+        UNION ALL SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT) FROM supplier
+        UNION ALL SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT) FROM nation
+        UNION ALL SELECT CAST({_OFF['region']} + r_regionkey AS BIGINT) FROM region
+    ),
+    w0 AS (SELECT id AS walk_id, id AS cur FROM verts),
+    {steps_sql}
+    {selects}
+"""
+
+
+ORACLE_SQL["random_walk_corpus"] = _random_walk_oracle()
+
+
 def q_quota_by_source(spark, sf_dir):
     """Per-source document quota (C4-style per-domain cap before
     mixing): at most 15 docs per source, chosen by the deterministic
@@ -4095,6 +4172,9 @@ _SLOT_SWAPS = [
     # per-source quota cap in; exact-dedup family keeps dedup_clusters
     # + semantic_dedup in the prefix when line_dedup rotates out
     ("quota_by_source", "line_dedup"),
+    # random-walk corpus in; degree family keeps subgraph_degree +
+    # group_by_nation when both_degree_nation rotates out
+    ("random_walk_corpus", "both_degree_nation"),
 ]
 _order = list(QUERIES)
 for _new, _old in _SLOT_SWAPS:
