@@ -415,3 +415,59 @@ def test_random_walks_semantics(spark, gods):
     ).collect()
     got = sorted((r["step"], r["id"]) for r in dw)
     assert [s for s, _ in got] == [0, 1, 2]
+
+
+def test_scc_closed_forms(spark):
+    """SCC on handcrafted digraphs: cycles, singleton chains, and the
+    color-invasion case that needs a second peeling round (upstream
+    cycle {10,11} shadows downstream cycle {1,2})."""
+    from titan_spark.compute import strongly_connected_components
+
+    def scc_of(edges, ids):
+        v = spark.createDataFrame([(i, "n") for i in ids], "id long, label string")
+        e = spark.createDataFrame(
+            [(k, a, b, "x") for k, (a, b) in enumerate(edges)],
+            "edge_id long, src long, dst long, label string",
+        )
+        return {
+            r["id"]: r["component"]
+            for r in strongly_connected_components(PropertyGraph(v, e)).collect()
+        }
+
+    # directed triangle + a tail: {1,2,3} one SCC, 4 singleton
+    got = scc_of([(1, 2), (2, 3), (3, 1), (3, 4)], [1, 2, 3, 4])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+    # a directed path is all singletons (no mutual reachability)
+    got = scc_of([(1, 2), (2, 3), (3, 4)], [1, 2, 3, 4])
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+    # color invasion: cycle {10,11} feeds cycle {1,2}; forward max
+    # color 11 floods {1,2}, so their root check fails in round 1 and
+    # they resolve only after {10,11} retires — two outer rounds
+    got = scc_of([(10, 11), (11, 10), (11, 1), (1, 2), (2, 1)], [1, 2, 10, 11])
+    assert got == {10: 10, 11: 10, 1: 1, 2: 1}
+
+    # figure-eight sharing vertex 5: one SCC (mutual through 5)
+    got = scc_of([(5, 6), (6, 5), (5, 7), (7, 5)], [5, 6, 7])
+    assert got == {5: 5, 6: 5, 7: 5}
+
+    # self-loop-only and isolated vertices are singletons
+    got = scc_of([(1, 1)], [1, 2])
+    assert got == {1: 1, 2: 2}
+
+
+def test_scc_agrees_with_weak_cc_on_symmetric_graph(spark):
+    """On a symmetric (bidirectional) graph SCC must equal weak CC."""
+    from titan_spark.compute import strongly_connected_components
+
+    v = spark.createDataFrame([(i, "n") for i in range(1, 7)], "id long, label string")
+    pairs = [(1, 2), (2, 3), (5, 4)]
+    e = spark.createDataFrame(
+        [(k, a, b, "x") for k, (a, b) in enumerate(pairs + [(b, a) for a, b in pairs])],
+        "edge_id long, src long, dst long, label string",
+    )
+    g = PropertyGraph(v, e)
+    scc = {r["id"]: r["component"] for r in strongly_connected_components(g).collect()}
+    wcc = {r["id"]: r["component"] for r in connected_components(g).collect()}
+    assert scc == wcc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}

@@ -35,6 +35,10 @@ def test_registry_shape():
         "event_funnel",
         "cube_order_stats",
         "closeness_centrality",
+        "local_top3_sum",
+        "map_nation_counts",
+        "quota_by_source",
+        "random_walk_corpus",
     ):
         assert k in first50
 

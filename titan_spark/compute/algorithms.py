@@ -1068,6 +1068,8 @@ def random_walks(
     direction: str = "both",
     start_ids: list[int] | None = None,
     walks_per_start: int = 1,
+    max_neighbors: int | None = None,
+    cut_every: int = 4,
 ) -> DataFrame:
     """Deterministic random walks → (walk_id, step, id): the corpus
     generator for DeepWalk/node2vec-style graph embeddings (Perozzi
@@ -1075,20 +1077,27 @@ def random_walks(
     augmentation.
 
     Each walk takes ``length`` steps; the step from vertex v in walk w
-    at step t moves to the neighbor u minimizing the portable hash of
-    (seed, w, t, u) — the engine's standard reproducible-randomness
-    contract (same as sample_/coin_/weighted_sample), which makes every
-    walk replayable in the SQL oracle and identical across engines and
-    runs. ``walk_id = start_id * walks_per_start + j`` so distinct
-    walks from one start diverge (the hash keys on walk_id). Walks at
-    a dead-end vertex stop (no rows for later steps), matching the
+    at step t moves to ``neighbors(v)[h(seed, w, t) mod degree(v)]``
+    over v's SORTED neighbor array — the engine's standard
+    reproducible-randomness contract (same hash family as
+    sample_/coin_/weighted_sample), which makes every walk replayable
+    in the SQL oracle and identical across engines and runs.
+    ``walk_id = start_id * walks_per_start + j`` so distinct walks
+    from one start diverge (the hash keys on walk_id). Walks at a
+    dead-end vertex stop (no rows for later steps), matching the
     standard walk-corpus convention.
 
-    Scale shape: step t is ONE frontier⋈adjacency join plus one
-    min(struct) agg per walk — map-side-combinable, shuffle ∝ frontier
-    out-degree mass, never |V|·|E|; per-step lineage cut. W walks × L
-    steps over 100 TB of edges is L joins, embarrassingly partitioned
-    on the walk frontier.
+    Scale shape: neighbor arrays are built ONCE (one groupBy over the
+    edges); each step is then one frontier⋈neighbor-array join
+    emitting exactly ONE row per walk — O(frontier) per step
+    regardless of degree. The earlier candidate-enumeration design
+    (argmin of a per-neighbor hash) was measured 80× superlinear on
+    the sf1 geography graph: every walk sitting on a 64k-degree
+    nation hub expanded its whole adjacency per step. Index-by-hash
+    keeps supernodes O(1) per visiting walk. ``max_neighbors`` caps a
+    hub's stored array (hash-selected subset, documented sampling
+    bias on vertices above the cap) so no single row exceeds memory
+    at true-supernode scale; None stores exact adjacency.
     """
     if direction not in ("out", "in", "both"):
         raise ValueError(f"direction must be out|in|both, got {direction!r}")
@@ -1105,8 +1114,21 @@ def random_walks(
     ad = parts[0]
     for p in parts[1:]:
         ad = ad.unionByName(p)
-    ad = ad.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"]).cache()
-    ad.count()
+    ad = ad.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    if max_neighbors is not None:
+        from pyspark.sql import Window
+
+        pick = portable_hash64(
+            F.concat(F.lit(f"rwn{seed}:"), F.col("v").cast("string"))
+        )
+        w = Window.partitionBy("u").orderBy(pick.asc(), F.col("v").asc())
+        ad = (
+            ad.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_neighbors)
+            .drop("_rn")
+        )
+    nbrs = ad.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("_ns")).cache()
+    nbrs.count()
 
     starts = graph.vertices.select("id")
     if start_ids is not None:
@@ -1123,25 +1145,146 @@ def random_walks(
         "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("id")
     )
     for t in range(length):
-        key = portable_hash64(
-            F.concat(
-                F.lit(f"rw{seed}:"),
-                F.col("walk_id").cast("string"),
-                F.lit(f":{t}:"),
-                F.col("v").cast("string"),
-            )
+        draw = portable_hash64(
+            F.concat(F.lit(f"rw{seed}:"), F.col("walk_id").cast("string"), F.lit(f":{t}"))
         )
-        nxt = (
-            frontier.join(ad, frontier["cur"] == ad["u"])
-            .groupBy("walk_id")
-            .agg(F.min(F.struct(key.alias("k"), F.col("v").alias("v"))).alias("_m"))
-            .select("walk_id", F.col("_m.v").alias("cur"))
+        idx = (F.pmod(draw, F.size("_ns")) + F.lit(1)).cast("int")
+        nxt = frontier.join(nbrs, frontier["cur"] == nbrs["u"]).select(
+            "walk_id", F.element_at("_ns", idx).alias("cur")
         )
-        frontier = cut_lineage(nxt, eager=True, round_idx=t)
+        # periodic cut, not per-step: a short walk's plan is a bounded
+        # join chain over the cached neighbor table, and each eager cut
+        # is a full job — cutting every step made fixed overhead, not
+        # data, the dominant cost (measured ~2.5x on the sf0.1 row)
+        if (t + 1) % cut_every == 0:
+            frontier = cut_lineage(nxt, eager=True, round_idx=t)
+        else:
+            frontier = nxt
         acc = acc.unionByName(
             frontier.select(
                 "walk_id", F.lit(t + 1).cast("int").alias("step"), F.col("cur").alias("id")
             )
         )
-    ad.unpersist()
+    acc = cut_lineage(acc, eager=True)
+    nbrs.unpersist()
     return acc
+
+
+def strongly_connected_components(
+    graph: PropertyGraph,
+    edge_labels: tuple[str, ...] = (),
+    max_outer: int = 25,
+    max_inner: int = 80,
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED graph →
+    (id, component) with component = the min vertex id of the SCC —
+    the directed complement of :func:`connected_components` (which
+    ignores edge direction).
+
+    Forward-max coloring with backward collection (the classic
+    Pregel-family SCC of Orzan 2004 / FW-BW peeling): per outer round,
+
+    1. forward fixpoint: color(v) = max(id(v), colors of in-neighbors)
+       over the remaining subgraph — every vertex learns the largest
+       ancestor id in its color region;
+    2. roots: vertices with color(v) == id(v) (their own id beat every
+       ancestor). Each root r's SCC is exactly the vertices of color r
+       that can reach r BACKWARD inside the color class (mutual
+       reachability: forward via the color, backward via the BFS);
+    3. the collected SCCs retire from the remaining subgraph; a color
+       region that straddled two SCCs (an upstream cycle invading a
+       downstream one) resolves in a later round once the invader is
+       gone.
+
+    Outer rounds = SCC-DAG peeling depth of the color structure
+    (1 on graphs whose cycles don't shadow each other, ≤ SCC-chain
+    length worst case); inner rounds track region diameter, with the
+    standard per-round lineage cuts. Every join is frontier- or
+    remaining-subgraph-sized; nothing is quadratic in |V|.
+    """
+    import warnings
+
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    ed_all = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    remaining = cut_lineage(graph.vertices.select("id"), eager=True)
+    done: DataFrame | None = None
+    for _outer in range(max_outer):
+        if remaining.limit(1).count() == 0:
+            break
+        sub_e = (
+            ed_all.join(remaining.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(remaining.withColumnRenamed("id", "v"), "v", "left_semi")
+            .cache()
+        )
+        sub_e.count()
+        # 1. forward max-color fixpoint (changed-frontier expansion)
+        color = cut_lineage(remaining.select("id", F.col("id").alias("color")), eager=True)
+        frontier = color
+        for _i in range(max_inner):
+            cand = (
+                sub_e.join(
+                    frontier.select(F.col("id").alias("u"), "color"), "u"
+                )
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.max("color").alias("_nc"))
+            )
+            bumped = (
+                cand.join(color, "id")
+                .filter(F.col("_nc") > F.col("color"))
+                .select("id", F.col("_nc").alias("color"))
+            )
+            bumped = cut_lineage(bumped, eager=True, round_idx=_i)
+            if bumped.limit(1).count() == 0:
+                break
+            color = cut_lineage(
+                color.join(bumped, "id", "left_anti").unionByName(bumped), eager=True
+            )
+            frontier = bumped
+        # 2. backward collection from roots within each color class
+        members = cut_lineage(
+            color.filter(F.col("color") == F.col("id")).select("id", "color"),
+            eager=True,
+        )
+        bfront = members
+        for _i in range(max_inner):
+            # predecessors u of collected v, same color class, not yet in
+            cand = (
+                sub_e.join(bfront.select(F.col("id").alias("v"), "color"), "v")
+                .select(F.col("u").alias("id"), "color")
+                .join(color.withColumnRenamed("color", "_uc"), "id")
+                .filter(F.col("_uc") == F.col("color"))
+                .select("id", "color")
+                .dropDuplicates(["id"])
+            )
+            new = cut_lineage(cand.join(members, "id", "left_anti"), eager=True, round_idx=_i)
+            if new.limit(1).count() == 0:
+                break
+            members = cut_lineage(members.unionByName(new), eager=True)
+            bfront = new
+        # 3. retire: rep = min id of each collected SCC
+        rep = members.groupBy("color").agg(F.min("id").alias("component"))
+        assigned = members.join(rep, "color").select("id", "component")
+        done = assigned if done is None else done.unionByName(assigned)
+        done = cut_lineage(done, eager=True)
+        remaining = cut_lineage(
+            remaining.join(members.select("id"), "id", "left_anti"), eager=True
+        )
+        sub_e.unpersist()
+    else:
+        if remaining.limit(1).count() > 0:
+            warnings.warn(
+                f"strongly_connected_components did not converge in {max_outer} "
+                "outer rounds; returning partial assignment",
+                stacklevel=2,
+            )
+            leftover = remaining.select("id", F.col("id").alias("component"))
+            done = leftover if done is None else done.unionByName(leftover)
+    return done if done is not None else graph.vertices.select(
+        "id", F.col("id").alias("component")
+    ).limit(0)

@@ -3992,6 +3992,31 @@ ORACLE_SQL["map_nation_counts"] = """
 """
 
 
+def q_scc_blocks(spark, sf_dir):
+    """Strongly connected components on the deterministic block-cycle
+    digraph (sources/fixtures.py): 96 blocks of 8 — cyclic blocks are
+    8-vertex SCCs, every third block is an open chain of singleton
+    SCCs, heads chain the condensation into a DAG. The oracle states
+    the CLOSED-FORM ground truth (component = block head for cyclic
+    blocks, self for chain blocks) rather than replaying the
+    algorithm — a stronger check than round replay."""
+    from titan_spark.compute import strongly_connected_components
+    from titan_spark.sources.fixtures import block_cycle_digraph
+
+    g = block_cycle_digraph(spark, n_blocks=96, block=8)
+    return strongly_connected_components(g).select("id", "component")
+
+
+QUERIES["scc_blocks"] = q_scc_blocks
+
+ORACLE_SQL["scc_blocks"] = """
+    SELECT CAST(r.range AS BIGINT) AS id,
+           CAST(CASE WHEN (r.range // 8) % 3 = 2 THEN r.range
+                ELSE (r.range // 8) * 8 END AS BIGINT) AS component
+    FROM range(0, 768) r
+"""
+
+
 def q_random_walk_corpus(spark, sf_dir):
     """Deterministic random-walk corpus (DeepWalk/node2vec input) over
     the undirected geography graph: one 3-step walk per vertex, each
@@ -4009,27 +4034,22 @@ QUERIES["random_walk_corpus"] = q_random_walk_corpus
 
 
 def _random_walk_oracle(length: int = 3, seed: int = 0) -> str:
-    """Fixed-round replay of the hash-argmin walk: step t picks the
-    neighbor minimizing the same portable h60 the engine computes,
-    ties to the lowest neighbor id."""
+    """Fixed-round replay of the index-by-hash walk: step t moves to
+    sorted_neighbors[h60(seed, walk_id, t) mod degree] — the same
+    portable hash and sorted adjacency array the engine uses."""
     from titan_spark.functions.hashing import portable_hash64_sql
     from titan_spark.sources.tpch import OFF as _OFF
 
     steps, prev = [], "w0"
     for t in range(length):
-        key = portable_hash64_sql(
-            f"'rw{seed}:' || CAST(walk_id AS VARCHAR) || ':{t}:' || CAST(ue.v AS VARCHAR)"
+        draw = portable_hash64_sql(
+            f"'rw{seed}:' || CAST(p.walk_id AS VARCHAR) || ':{t}'"
         )
         steps.append(
             f"""w{t + 1} AS (
-        SELECT walk_id, v AS cur FROM (
-            SELECT p.walk_id, ue.v,
-                   row_number() OVER (
-                       PARTITION BY p.walk_id
-                       ORDER BY {key} ASC, ue.v ASC
-                   ) AS rn
-            FROM {prev} p JOIN ue ON p.cur = ue.u
-        ) WHERE rn = 1
+        SELECT p.walk_id,
+               nb.ns[CAST({draw} % len(nb.ns) AS BIGINT) + 1] AS cur
+        FROM {prev} p JOIN nbrs nb ON p.cur = nb.u
     )"""
         )
         prev = f"w{t + 1}"
@@ -4053,6 +4073,9 @@ def _random_walk_oracle(length: int = 3, seed: int = 0) -> str:
         SELECT src AS u, dst AS v FROM e WHERE src <> dst
         UNION
         SELECT dst AS u, src AS v FROM e WHERE src <> dst
+    ),
+    nbrs AS (
+        SELECT u, list(v ORDER BY v) AS ns FROM ue GROUP BY u
     ),
     verts AS (
         SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS id FROM customer

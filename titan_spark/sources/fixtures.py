@@ -83,3 +83,52 @@ def k4_chain_graph(spark: SparkSession, n_blocks: int = 2000) -> PropertyGraph:
         F.lit("link").alias("label"),
     )
     return PropertyGraph(v, clique.unionByName(connectors))
+
+
+def block_cycle_digraph(
+    spark: SparkSession, n_blocks: int = 512, block: int = 8
+) -> PropertyGraph:
+    """Deterministic DIRECTED SCC fixture: ``n_blocks`` blocks of
+    ``block`` consecutive ids. Every block is a directed chain
+    ``i -> i+1``; blocks with ``block_idx % 3 != 2`` close the chain
+    back to the block head (one directed cycle per block = one
+    non-trivial SCC), blocks with ``block_idx % 3 == 2`` stay open
+    chains (every vertex its own SCC). Block heads additionally point
+    at the next block's head, linking the SCC condensation into a DAG.
+
+    Ground truth is closed-form: component(v) = block_head(v) for
+    cyclic blocks, v itself for chain blocks — the oracle states it
+    directly rather than replaying the algorithm (a stronger check).
+    Pure column arithmetic over ``spark.range``; no files, no RNG.
+    """
+    n = n_blocks * block
+    v = spark.range(n).select(F.col("id"), F.lit("node").alias("label"))
+    ids = spark.range(n)
+    head = (F.col("id") / block).cast("long") * block
+    in_block_next = F.col("id") + 1
+    chain = ids.filter((F.col("id") % block) != block - 1).select(
+        (F.col("id") + 1_000_000_000).alias("edge_id"),
+        F.col("id").alias("src"),
+        in_block_next.alias("dst"),
+        F.lit("step").alias("label"),
+    )
+    closing = (
+        ids.filter(
+            ((F.col("id") % block) == block - 1)
+            & (((F.col("id") / block).cast("long") % 3) != 2)
+        ).select(
+            (F.col("id") + 2_000_000_000).alias("edge_id"),
+            F.col("id").alias("src"),
+            head.alias("dst"),
+            F.lit("close").alias("label"),
+        )
+    )
+    cross = ids.filter(
+        ((F.col("id") % block) == 0) & (F.col("id") + block < n)
+    ).select(
+        (F.col("id") + 3_000_000_000).alias("edge_id"),
+        F.col("id").alias("src"),
+        (F.col("id") + block).alias("dst"),
+        F.lit("link").alias("label"),
+    )
+    return PropertyGraph(v, chain.unionByName(closing).unionByName(cross))
