@@ -173,3 +173,29 @@ def test_embed_topk_pairs_has_no_cross_join(tables):
     p = plan_of(lsh_topk_pairs(tables["embeddings"], k=20))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_local_scoped_limit_uses_window_group_limit(tpch):
+    """Generic local(order.limit) must push a per-partition partial
+    top-k (WindowGroupLimit) below the exchange and never plan a
+    global sort (RangePartitioning) — the shape that keeps a
+    supernode origin from shipping its whole adjacency."""
+    t = tpch.V().has_label("supplier").local_(
+        lambda s: s.inE("supplied_by").order_by("-extendedprice").limit(3)
+    )
+    p = plan_of(t.df)
+    assert "WindowGroupLimit" in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_random_walk_step_joins_one_row_per_walk(spark, tpch):
+    """The walk step must join the frontier against the ONE-row-per-
+    vertex neighbor-array table (no per-candidate expansion: zero
+    Expand/Generate nodes, no cross join) — the fix for the measured
+    79.9x superlinear candidate-enumeration design."""
+    from titan_spark.compute import random_walks
+
+    df = random_walks(tpch, length=2, direction="both",
+                      edge_labels=("in_nation", "in_region"), cut_every=99)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "Generate" not in p
