@@ -179,3 +179,29 @@ def test_quota_sample_caps_and_determinism(spark):
     with contextlib.redirect_stdout(buf):
         kept.explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from titan_spark.pipeline.text_quality import gopher_rules
+
+    good = "the quick brown fox and the lazy dog run in " + " ".join(
+        f"field{i}" for i in range(50)
+    )
+    docs = [
+        (1, good),                                        # passes all rules
+        (2, "too short for the corpus"),                  # word count < min
+        (3, "### " * 60 + good),                          # symbol ratio
+        (4, "\n".join("- bullet point here" for _ in range(20))),  # bullets
+        (5, " ".join("12345" for _ in range(60))),        # alpha ratio + stops
+        (6, good.replace("the", "xx").replace("and", "yy").replace("in", "zz")),  # stops
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[1]["keep"] == 1
+    assert got[2]["keep"] == 0 and got[2]["n_words"] < 50
+    assert got[3]["keep"] == 0 and got[3]["symbol_ratio"] > 0.1
+    assert got[4]["keep"] == 0 and got[4]["bullet_ratio"] == 1.0
+    assert got[5]["keep"] == 0 and got[5]["alpha_ratio"] == 0.0
+    assert got[6]["keep"] == 0 and got[6]["stop_hits"] < 2
+    # features always emitted, not just the decision
+    assert got[1]["mean_word_len"] > 3.0 and got[1]["stop_hits"] >= 2

@@ -115,11 +115,25 @@ def embedding_topk_pairs(
     k: int = 20,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kernel: str = "fold",
 ) -> DataFrame:
     """Globally most-similar vector pairs (embedding-cosine near-dup
     detection): exact all-pairs scoring, global top-k under a total
     order. Validation-scale; the LSH/IVF paths below are the 100-TB
-    route."""
+    route.
+
+    ``kernel="fold"`` (default) scores pairs with JVM column folds —
+    bit-identical to the SQL oracle, the verification path.
+    ``kernel="arrow"`` broadcasts the normalized matrix and scores
+    each partition's block against it with one numpy matmul
+    (per-block top-k, then a global TakeOrdered merge) — the same
+    production/oracle split as pq_encode; measured ~50x at sf0.1
+    (5k vectors: 69 s -> under 2 s). Scores can differ at ulp
+    distance on near-ties (BLAS accumulation order)."""
+    if kernel == "arrow":
+        return _embedding_topk_pairs_arrow(df, k, vec_col, id_col)
+    if kernel != "fold":
+        raise ValueError(f"kernel must be fold|arrow, got {kernel!r}")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -127,6 +141,50 @@ def embedding_topk_pairs(
         "id_a", "id_b", F.round(cosine_similarity("va", "vb"), 6).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()).limit(k)
+
+
+def _embedding_topk_pairs_arrow(df, k, vec_col, id_col) -> DataFrame:
+    """Arrow/BLAS kernel for the exact all-pairs baseline: broadcast
+    the (n, d) normalized matrix (validation-scale by contract — the
+    all-pairs baseline only exists where n² is feasible), block-matmul
+    per partition, keep each row's top-k (i < j), merge globally."""
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def kernel(batches):
+        all_ids, m = bc.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a = np.stack(pdf[vec_col].to_numpy())
+            a = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
+            sims = a @ m.T
+            out_a, out_b, out_c = [], [], []
+            for i, aid in enumerate(a_ids):
+                row = sims[i]
+                mask = all_ids > aid  # pair orientation id_a < id_b
+                if not mask.any():
+                    continue
+                cand = np.where(mask)[0]
+                top = cand[np.argsort(-row[cand], kind="stable")[:k]]
+                out_a.extend([aid] * len(top))
+                out_b.extend(all_ids[top].tolist())
+                out_c.extend(row[top].tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    out = df.mapInPandas(kernel, "id_a long, id_b long, cosine double")
+    return (
+        out.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k)
+    )
 
 
 def adaptive_planes(n_rows: int, target_occupancy: int = 16, floor: int = 8) -> int:

@@ -354,3 +354,77 @@ def lm_perplexity(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al., "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", 2021, §A1.1):
+    the standard pre-training document filter — word-count bounds,
+    mean word length, symbol-to-word ratio (# and ellipsis), bullet-
+    and ellipsis-line ratios, alphabetic-word ratio, and stop-word
+    presence. Defaults are the published thresholds; every feature is
+    emitted alongside ``keep`` so downstream mixes can re-threshold
+    without a rescan.
+
+    Pure JVM column algebra over one scan (words = whitespace split,
+    lines = newline split) — no UDF, no shuffle; reproducible in the
+    SQL oracle.
+    """
+    txt = F.col(text_col)
+    words = F.filter(F.split(txt, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    safe_words = F.greatest(n_words, F.lit(1))
+    word_chars = F.length(F.regexp_replace(txt, r"\s+", ""))
+    mean_wl = word_chars.cast("double") / safe_words
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.regexp_replace(txt, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / safe_words
+    lines = F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != F.lit(""))
+    safe_lines = F.greatest(F.size(lines), F.lit(1))
+    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+    n_ell_line = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$")))
+    bullet_ratio = n_bullet.cast("double") / safe_lines
+    ellipsis_ratio = n_ell_line.cast("double") / safe_lines
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_ratio = n_alpha.cast("double") / safe_words
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.array_intersect(lower_words, F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+        & (alpha_ratio >= min_alpha_ratio)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_ratio, 4).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 4).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    )

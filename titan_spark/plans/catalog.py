@@ -3992,6 +3992,65 @@ ORACLE_SQL["map_nation_counts"] = """
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher pre-training quality rules (Rae 2021 §A1.1) at the
+    published thresholds — word-count bounds, mean word length,
+    symbol/bullet/ellipsis ratios, alphabetic-word ratio, stop-word
+    presence — every feature + the keep decision per document, one
+    JVM-side scan (min_words=50 splits this corpus near its median,
+    so both outcomes are value-checked)."""
+    from titan_spark.pipeline.text_quality import gopher_rules
+
+    d = tables(spark, sf_dir)["documents"]
+    return gopher_rules(d)
+
+
+QUERIES["gopher_rules"] = q_gopher_rules
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"))
+
+ORACLE_SQL["gopher_rules"] = f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS words,
+               list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               len(words) AS n_words,
+               greatest(len(words), 1) AS sw,
+               greatest(len(lines), 1) AS sl,
+               CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS wchars,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+               len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+               len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS n_elline,
+               len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+               len(list_filter([{_STOP_SQL}],
+                               s -> list_contains(list_transform(words, w -> lower(w)), s))) AS stop_hits
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           ROUND(wchars / sw, 4) AS mean_word_len,
+           ROUND((n_hash + n_ell) / sw, 4) AS symbol_ratio,
+           ROUND(CAST(n_bullet AS DOUBLE) / sl, 4) AS bullet_ratio,
+           ROUND(CAST(n_elline AS DOUBLE) / sl, 4) AS ellipsis_ratio,
+           ROUND(CAST(n_alpha AS DOUBLE) / sw, 4) AS alpha_ratio,
+           CAST(stop_hits AS INT) AS stop_hits,
+           CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                      AND wchars / sw >= 3.0 AND wchars / sw <= 10.0
+                      AND (n_hash + n_ell) / sw <= 0.1
+                      AND CAST(n_bullet AS DOUBLE) / sl <= 0.9
+                      AND CAST(n_elline AS DOUBLE) / sl <= 0.3
+                      AND CAST(n_alpha AS DOUBLE) / sw >= 0.8
+                      AND stop_hits >= 2
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM feats
+"""
+
+
 def q_scc_blocks(spark, sf_dir):
     """Strongly connected components on the deterministic block-cycle
     digraph (sources/fixtures.py): 96 blocks of 8 — cyclic blocks are
