@@ -241,3 +241,36 @@ def test_personalized_pagerank_mass_stays_near_seeds(spark):
     assert got[0] == 0.15
     assert got[1] == round(0.85 * 0.15, 9)
     assert got[2] == 0.0 and got[3] == 0.0
+
+
+def test_bidirectional_distance_closed_forms(spark):
+    """Meet-in-the-middle distance equals the classical BFS on chains,
+    cycles, and disconnected pairs; directed mode respects direction."""
+    from titan_spark.compute import bidirectional_distance
+    from titan_spark.graph import PropertyGraph
+
+    # path 1-2-3-4-5-6 plus isolated 9
+    v = spark.createDataFrame(
+        [(i, "n") for i in [1, 2, 3, 4, 5, 6, 9]], "id long, label string"
+    )
+    e = spark.createDataFrame(
+        [(i, i, i + 1, "x") for i in range(1, 6)],
+        "edge_id long, src long, dst long, label string",
+    )
+    g = PropertyGraph(v, e)
+    assert bidirectional_distance(g, 1, 6).collect()[0]["distance"] == 5
+    assert bidirectional_distance(g, 4, 4).collect()[0]["distance"] == 0
+    assert bidirectional_distance(g, 1, 9).collect()[0]["distance"] is None
+    # directed: 6 -> 1 unreachable with direction="out", 5 hops back
+    assert bidirectional_distance(g, 6, 1, direction="out").collect()[0]["distance"] is None
+    assert bidirectional_distance(g, 1, 6, direction="out").collect()[0]["distance"] == 5
+    # early-terminate correctness: cycle of 8 — opposite vertices at 4
+    ec = spark.createDataFrame(
+        [(i, i, (i + 1) % 8, "x") for i in range(8)],
+        "edge_id long, src long, dst long, label string",
+    )
+    gc = PropertyGraph(
+        spark.createDataFrame([(i, "n") for i in range(8)], "id long, label string"), ec
+    )
+    assert bidirectional_distance(gc, 0, 4).collect()[0]["distance"] == 4
+    assert bidirectional_distance(gc, 0, 3).collect()[0]["distance"] == 3

@@ -1288,3 +1288,90 @@ def strongly_connected_components(
     return done if done is not None else graph.vertices.select(
         "id", F.col("id").alias("component")
     ).limit(0)
+
+
+def bidirectional_distance(
+    graph: PropertyGraph,
+    src_id: int,
+    dst_id: int,
+    edge_labels: tuple[str, ...] = (),
+    direction: str = "both",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Point-to-point unweighted distance by bidirectional BFS →
+    one row (src, dst, distance; NULL when unreachable).
+
+    Meet-in-the-middle: expand the SMALLER frontier each round
+    (forward from src, backward from dst — reversed edges when
+    ``direction='out'``), track the best meeting distance, stop once
+    level_f + level_b ≥ best (any later meeting is no shorter) or a
+    side exhausts. On a graph with branching factor b and distance d,
+    explored volume is O(b^(d/2)) per side instead of O(b^d) — the
+    standard big-graph point-query optimization over a full SSSP
+    (:func:`shortest_distance` remains the all-destinations form).
+    Frontier-sized joins + per-round lineage cuts throughout.
+    """
+    if direction not in ("out", "both"):
+        raise ValueError(f"direction must be out|both, got {direction!r}")
+    spark = graph.vertices.sparkSession
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    fwd_e = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    bwd_e = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    if direction == "both":
+        fwd_e = fwd_e.unionByName(bwd_e)
+        bwd_e = fwd_e
+    fwd_e = fwd_e.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"]).cache()
+    bwd_e = bwd_e.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"]).cache()
+
+    def one_row(dist):
+        return spark.createDataFrame(
+            [(int(src_id), int(dst_id), dist)],
+            "src bigint, dst bigint, distance bigint",
+        )
+
+    if int(src_id) == int(dst_id):
+        fwd_e.unpersist(), bwd_e.unpersist()
+        return one_row(0)
+
+    sides = {
+        "f": {"edges": fwd_e, "level": 0,
+              "visited": cut_lineage(spark.createDataFrame(
+                  [(int(src_id), 0)], "id bigint, d bigint"), eager=True)},
+        "b": {"edges": bwd_e, "level": 0,
+              "visited": cut_lineage(spark.createDataFrame(
+                  [(int(dst_id), 0)], "id bigint, d bigint"), eager=True)},
+    }
+    for s in sides.values():
+        s["frontier"] = s["visited"]
+        s["frontier_n"] = 1
+    best: int | None = None
+    for _i in range(max_iterations):
+        lf, lb = sides["f"]["level"], sides["b"]["level"]
+        if best is not None and lf + lb >= best:
+            break
+        side = sides["f"] if sides["f"]["frontier_n"] <= sides["b"]["frontier_n"] else sides["b"]
+        other = sides["b"] if side is sides["f"] else sides["f"]
+        nxt = (
+            side["frontier"].join(side["edges"], side["frontier"]["id"] == side["edges"]["u"])
+            .select(F.col("v").alias("id"), (F.col("d") + 1).alias("d"))
+            .groupBy("id").agg(F.min("d").alias("d"))
+            .join(side["visited"].select("id"), "id", "left_anti")
+        )
+        nxt = cut_lineage(nxt, eager=True, round_idx=_i)
+        n = nxt.count()
+        side["level"] += 1
+        side["frontier"], side["frontier_n"] = nxt, n
+        if n == 0:
+            break  # side exhausted: no shorter path remains
+        side["visited"] = cut_lineage(side["visited"].unionByName(nxt), eager=True)
+        meet = (
+            nxt.join(other["visited"].withColumnRenamed("d", "d2"), "id")
+            .agg(F.min(F.col("d") + F.col("d2")).alias("m"))
+            .collect()[0]["m"]
+        )
+        if meet is not None:
+            best = int(meet) if best is None else min(best, int(meet))
+    fwd_e.unpersist(), bwd_e.unpersist()
+    return one_row(best)

@@ -3992,6 +3992,70 @@ ORACLE_SQL["map_nation_counts"] = """
 """
 
 
+def q_point_distance(spark, sf_dir):
+    """Bidirectional point-to-point BFS distance (meet-in-the-middle)
+    between customer 1 and customer 2 on the undirected geography
+    graph — O(b^(d/2)) explored per side vs the full SSSP's O(b^d);
+    the oracle replays a plain fixed-round min-plus BFS from the
+    source and reads off the destination's distance, so the
+    bidirectional plan is checked against the classical definition,
+    not its own structure."""
+    from titan_spark.compute import bidirectional_distance
+
+    sub = _geo_subgraph(spark, sf_dir)
+    return bidirectional_distance(
+        sub, OFF["customer"] + 1, OFF["customer"] + 2, direction="both"
+    )
+
+
+QUERIES["point_distance"] = q_point_distance
+
+
+def _point_distance_oracle(rounds: int = 6) -> str:
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    src = _OFF["customer"] + 1
+    dst = _OFF["customer"] + 2
+    prev = "d0"
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""d{r} AS (
+        SELECT id, MIN(d) AS d FROM (
+            SELECT id, d FROM {prev}
+            UNION ALL
+            SELECT ue.v AS id, p.d + 1 AS d FROM {prev} p JOIN ue ON p.id = ue.u
+        ) GROUP BY 1
+    )"""
+        )
+        prev = f"d{r}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+               CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+    ),
+    ue AS (
+        SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        UNION
+        SELECT dst AS u, src AS v FROM e WHERE src <> dst
+    ),
+    d0 AS (SELECT CAST({src} AS BIGINT) AS id, CAST(0 AS BIGINT) AS d),
+    {steps_sql}
+    SELECT CAST({src} AS BIGINT) AS src, CAST({dst} AS BIGINT) AS dst,
+           (SELECT d FROM {prev} WHERE id = {dst}) AS distance
+"""
+
+
+ORACLE_SQL["point_distance"] = _point_distance_oracle()
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher pre-training quality rules (Rae 2021 §A1.1) at the
     published thresholds — word-count bounds, mean word length,
