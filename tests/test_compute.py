@@ -274,3 +274,38 @@ def test_bidirectional_distance_closed_forms(spark):
     )
     assert bidirectional_distance(gc, 0, 4).collect()[0]["distance"] == 4
     assert bidirectional_distance(gc, 0, 3).collect()[0]["distance"] == 3
+
+
+def test_feature_propagation_closed_forms(spark):
+    """SGC-style smoothing on a 3-path with f = (10, 20, 40)."""
+    import pytest
+
+    from titan_spark.compute import feature_propagation
+    from titan_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [(1, "n", 10.0), (2, "n", 20.0), (3, "n", 40.0)], "id long, label string, f double"
+    )
+    e = spark.createDataFrame(
+        [(1, 1, 2, "x"), (2, 2, 3, "x")], "edge_id long, src long, dst long, label string"
+    )
+    g = PropertyGraph(v, e)
+    got = {r["id"]: r for r in feature_propagation(g, "f", hops=2).collect()}
+    # hop1 self-augmented means: (20+10)/2, (10+40+20)/3, (20+40)/2
+    assert got[1]["f1"] == 15.0 and got[3]["f1"] == 30.0
+    assert got[2]["f1"] == pytest.approx(23.33, abs=0.01)
+    # hop2 consumes hop1 (endpoint 1 sees only vertex 2)
+    assert got[1]["f2"] == pytest.approx((got[2]["f1"] + 15.0) / 2, abs=0.01)
+    # sum aggregation without self-mixing
+    s = {r["id"]: r for r in
+         feature_propagation(g, "f", hops=1, agg="sum", include_self=False).collect()}
+    assert s[2]["f1"] == 50.0 and s[1]["f1"] == 20.0
+    # NULL feature takes the neighbor aggregate; isolated NULL stays NULL
+    v2 = spark.createDataFrame(
+        [(1, "n", None), (2, "n", 8.0), (9, "n", None)], "id long, label string, f double"
+    )
+    e2 = spark.createDataFrame(
+        [(1, 1, 2, "x")], "edge_id long, src long, dst long, label string"
+    )
+    n = {r["id"]: r for r in feature_propagation(PropertyGraph(v2, e2), "f", hops=1).collect()}
+    assert n[1]["f1"] == 8.0 and n[9]["f1"] is None

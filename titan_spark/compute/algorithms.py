@@ -1375,3 +1375,96 @@ def bidirectional_distance(
             best = int(meet) if best is None else min(best, int(meet))
     fwd_e.unpersist(), bwd_e.unpersist()
     return one_row(best)
+
+
+def feature_propagation(
+    graph: PropertyGraph,
+    feature_col: str,
+    hops: int = 2,
+    agg: str = "mean",
+    edge_labels: tuple[str, ...] = (),
+    direction: str = "both",
+    include_self: bool = True,
+) -> DataFrame:
+    """k-hop neighborhood feature smoothing → (id, f0, f1, ..., fk):
+    the preprocessing of simplified/scalable GNNs (SGC, Wu 2019; SIGN,
+    Frasca 2020) — hop t+1's feature is the neighbor ``agg`` of hop
+    t's, every hop kept as its own column so a downstream model (or
+    mixture) picks its receptive field without re-running the graph.
+
+    ``agg``: mean | sum | min | max. ``include_self`` mixes the
+    vertex's own hop-t value into hop t+1 (self-loop-augmented
+    smoothing, the GCN convention); vertices with no neighbors carry
+    their value forward either way (NULL-safe).
+
+    One shuffle per hop (edges ⋈ features + map-side-combinable agg),
+    adjacency cached across hops, k is small by construction — the
+    same per-round economics as PageRank, with features instead of
+    mass.
+    """
+    aggs = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}, got {agg!r}")
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    parts = []
+    if direction in ("out", "both"):
+        parts.append(e.select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    if direction in ("in", "both"):
+        parts.append(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    if not parts:
+        raise ValueError(f"direction must be out|in|both, got {direction!r}")
+    ad = parts[0]
+    for p in parts[1:]:
+        ad = ad.unionByName(p)
+    # message flows v -> u (u aggregates its neighbors' values)
+    ad = ad.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"]).cache()
+    ad.count()
+    state = graph.vertices.select(
+        "id", F.col(feature_col).cast("double").alias("f0")
+    )
+    state = cut_lineage(state, eager=True)
+    for t in range(hops):
+        prev, nxt = f"f{t}", f"f{t + 1}"
+        msgs = (
+            ad.join(state.select(F.col("id").alias("v"), F.col(prev).alias("_x")), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(aggs[agg]("_x").alias("_agg"), F.count("_x").alias("_n"))
+        )
+        if not include_self:
+            with_self = F.col("_agg")
+        elif agg == "mean":
+            with_self = (F.col("_agg") * F.col("_n") + F.col(prev)) / (F.col("_n") + 1)
+        elif agg == "sum":
+            with_self = F.col("_agg") + F.col(prev)
+        elif agg == "min":
+            with_self = F.least("_agg", prev)
+        else:
+            with_self = F.greatest("_agg", prev)
+        # NULL handling: no neighbor signal carries the own value
+        # forward; a NULL own value (e.g. a label without the feature)
+        # takes the neighbor aggregate alone instead of poisoning it
+        mixed = (
+            F.when(F.col("_agg").isNull(), F.col(prev))
+            .when(F.col(prev).isNull(), F.col("_agg"))
+            .otherwise(with_self)
+        )
+        state = cut_lineage(
+            state.join(msgs, "id", "left")
+            .select(
+                "id",
+                *[f"f{j}" for j in range(t + 1)],
+                # floor-based cent rounding, NOT F.round: Spark rounds
+                # via the decimal string (HALF_UP) while SQL engines
+                # round the binary double, and self-mix averages land
+                # exactly on half-cents — floor(x*100+0.5)/100 is pure
+                # double arithmetic, bit-identical on identical inputs
+                (F.floor(mixed * 100.0 + F.lit(0.5)) / 100.0).alias(nxt),
+            )
+            ,
+            eager=True,
+            round_idx=t,
+        )
+    ad.unpersist()
+    return state

@@ -3992,6 +3992,75 @@ ORACLE_SQL["map_nation_counts"] = """
 """
 
 
+def q_feature_smooth(spark, sf_dir):
+    """SGC/SIGN-style k-hop feature propagation (Wu 2019, Frasca
+    2020) over the undirected geography graph: acctbal smoothed two
+    hops with self-loop-augmented means, every hop kept as a column —
+    GNN preprocessing at warehouse scale (one shuffle per hop)."""
+    from titan_spark.compute import feature_propagation
+
+    sub = _geo_subgraph(spark, sf_dir)
+    return feature_propagation(sub, "acctbal", hops=2, agg="mean", direction="both")
+
+
+QUERIES["feature_smooth"] = q_feature_smooth
+
+
+def _feature_smooth_oracle() -> str:
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    hop = """h{n} AS (
+        SELECT v.id, {prev_cols},
+               FLOOR((CASE WHEN a.ag IS NULL THEN v.{prev}
+                           WHEN v.{prev} IS NULL THEN a.ag
+                           ELSE (a.ag * a.n + v.{prev}) / (a.n + 1) END) * 100 + 0.5)
+                   / 100 AS f{n}
+        FROM h{p} v LEFT JOIN (
+            SELECT ue.u AS id, AVG(x.f{p}) AS ag, COUNT(x.f{p}) AS n
+            FROM ue JOIN h{p} x ON ue.v = x.id
+            GROUP BY ue.u
+        ) a ON v.id = a.id
+    )"""
+    h1 = hop.format(n=1, p=0, prev="f0", prev_cols="v.f0")
+    h2 = hop.format(n=2, p=1, prev="f1", prev_cols="v.f0, v.f1")
+    return f"""
+    WITH e AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+               CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+    ),
+    ue AS (
+        SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        UNION
+        SELECT dst AS u, src AS v FROM e WHERE src <> dst
+    ),
+    h0 AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS id,
+               CAST(c_acctbal AS DOUBLE) AS f0 FROM customer
+        UNION ALL
+        SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST(s_acctbal AS DOUBLE) FROM supplier
+        UNION ALL
+        SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+               CAST(NULL AS DOUBLE) FROM nation
+        UNION ALL
+        SELECT CAST({_OFF['region']} + r_regionkey AS BIGINT),
+               CAST(NULL AS DOUBLE) FROM region
+    ),
+    {h1},
+    {h2}
+    SELECT id, f0, f1, f2 FROM h2
+"""
+
+
+ORACLE_SQL["feature_smooth"] = _feature_smooth_oracle()
+
+
 def q_point_distance(spark, sf_dir):
     """Bidirectional point-to-point BFS distance (meet-in-the-middle)
     between customer 1 and customer 2 on the undirected geography
