@@ -471,3 +471,34 @@ def test_scc_agrees_with_weak_cc_on_symmetric_graph(spark):
     scc = {r["id"]: r["component"] for r in strongly_connected_components(g).collect()}
     wcc = {r["id"]: r["component"] for r in connected_components(g).collect()}
     assert scc == wcc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_link_prediction_closed_forms(spark):
+    """4-cycle 1-2-3-4: opposite corners share both neighbors."""
+    import math
+
+    import pytest
+
+    from titan_spark.compute import link_prediction
+
+    v = spark.createDataFrame([(i, "n") for i in range(1, 5)], "id long, label string")
+    e = spark.createDataFrame(
+        [(1, 1, 2, "x"), (2, 2, 3, "x"), (3, 3, 4, "x"), (4, 4, 1, "x")],
+        "edge_id long, src long, dst long, label string",
+    )
+    g = PropertyGraph(v, e)
+    got = {(r["id_a"], r["id_b"]): r for r in link_prediction(g).collect()}
+    # wedge-generated candidates: the two diagonals only (adjacent
+    # corners share no neighbor on a 4-cycle)
+    assert set(got) == {(1, 3), (2, 4)}
+    r = got[(1, 3)]
+    assert r["common_neighbors"] == 2
+    assert r["jaccard"] == 1.0  # 2 / (2 + 2 - 2)
+    assert r["adamic_adar"] == pytest.approx(2 / math.log(2), abs=1e-6)
+    assert r["resource_allocation"] == pytest.approx(1.0, abs=1e-6)
+    # explicit candidate pairs: a no-common-neighbor pair scores zeros
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    z = link_prediction(g, pairs=pairs).collect()[0]
+    assert z["common_neighbors"] == 0 and z["jaccard"] == 0.0
+    # hub cap: center degree 2 excludes every center on the square
+    assert link_prediction(g, max_center_degree=1).count() == 0

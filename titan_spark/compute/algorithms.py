@@ -1468,3 +1468,94 @@ def feature_propagation(
         )
     ad.unpersist()
     return state
+
+
+def link_prediction(
+    graph: PropertyGraph,
+    pairs: DataFrame | None = None,
+    edge_labels: tuple[str, ...] = (),
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Topological link-prediction scores → (id_a, id_b,
+    common_neighbors, jaccard, adamic_adar, resource_allocation) —
+    the classic similarity indices (Liben-Nowell & Kleinberg 2003;
+    Adamic–Adar 2003; Zhou 2009 RA) over the undirected graph.
+
+    ``pairs`` (id_a, id_b) drives scoring — the scale-safe form: feed
+    candidates from LSH buckets, sampled wedges, or a business list,
+    and the scoring join shuffles Σ|Γ(a)|+|Γ(b)| over the candidate
+    set only. With ``pairs=None`` candidates are ALL wedge-connected
+    pairs (a < b sharing a neighbor) — O(Σ deg²) pair volume, the
+    supernode trap; ``max_center_degree`` excludes hub centers from
+    candidate GENERATION (a 10⁶-degree hub would emit 10¹² pairs, and
+    hub-mediated similarity carries little signal — the standard cap),
+    while scoring still counts every common neighbor including hubs.
+    """
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    ad = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .cache()
+    )
+    ad.count()
+    deg = ad.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    if pairs is None:
+        centers = ad.select(F.col("v").alias("w"), F.col("u").alias("n"))
+        if max_center_degree is not None:
+            ok = deg.filter(F.col("deg") <= max_center_degree).select(
+                F.col("id").alias("w")
+            )
+            centers = centers.join(ok, "w", "left_semi")
+        a = centers.select("w", F.col("n").alias("id_a"))
+        b = centers.select("w", F.col("n").alias("id_b"))
+        pairs = (
+            a.join(b, "w")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
+    # common neighbors w of (a, b) with their degree-derived weights
+    na = ad.select(F.col("u").alias("id_a"), F.col("v").alias("w"))
+    nb = ad.select(F.col("u").alias("id_b"), F.col("v").alias("w"))
+    commons = (
+        pairs.join(na, "id_a")
+        .join(nb, ["id_b", "w"])
+        .join(deg.select(F.col("id").alias("w"), F.col("deg").alias("dw")), "w")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log("dw")), 6).alias("adamic_adar"),
+            F.round(F.sum(1.0 / F.col("dw")), 6).alias("resource_allocation"),
+        )
+    )
+    da = deg.select(F.col("id").alias("id_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("id_b"), F.col("deg").alias("db"))
+    out = (
+        pairs.join(commons, ["id_a", "id_b"], "left")
+        .join(da, "id_a", "left")
+        .join(db, "id_b", "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("common_neighbors", F.lit(0)).alias("common_neighbors"),
+            F.round(
+                F.coalesce("common_neighbors", F.lit(0)).cast("double")
+                / F.greatest(
+                    F.coalesce("da", F.lit(0))
+                    + F.coalesce("db", F.lit(0))
+                    - F.coalesce("common_neighbors", F.lit(0)),
+                    F.lit(1),
+                ),
+                6,
+            ).alias("jaccard"),
+            F.coalesce("adamic_adar", F.lit(0.0)).alias("adamic_adar"),
+            F.coalesce("resource_allocation", F.lit(0.0)).alias("resource_allocation"),
+        )
+    )
+    out = cut_lineage(out, eager=True)
+    ad.unpersist()
+    return out

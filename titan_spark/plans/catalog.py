@@ -3992,6 +3992,78 @@ ORACLE_SQL["map_nation_counts"] = """
 """
 
 
+def q_link_prediction(spark, sf_dir):
+    """Topological link-prediction indices (Liben-Nowell–Kleinberg
+    2003; Adamic–Adar; resource allocation) over the geography graph:
+    wedge-generated candidate pairs with hub centers excluded
+    (max_center_degree=30 keeps regions as centers and drops
+    supernode nations — the documented candidate cap), then
+    common-neighbor/Jaccard/AA/RA scores per pair."""
+    from titan_spark.compute import link_prediction
+
+    sub = _geo_subgraph(spark, sf_dir)
+    return link_prediction(sub, max_center_degree=30)
+
+
+QUERIES["link_prediction"] = q_link_prediction
+
+
+def _link_prediction_oracle() -> str:
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    return f"""
+    WITH e AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+               CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+    ),
+    ue AS (
+        SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        UNION
+        SELECT dst AS u, src AS v FROM e WHERE src <> dst
+    ),
+    deg AS (SELECT u AS id, COUNT(*) AS deg FROM ue GROUP BY u),
+    centers AS (
+        SELECT ue.v AS w, ue.u AS n FROM ue
+        JOIN deg ON deg.id = ue.v AND deg.deg <= 30
+    ),
+    pairs AS (
+        SELECT DISTINCT a.n AS id_a, b.n AS id_b
+        FROM centers a JOIN centers b ON a.w = b.w AND a.n < b.n
+    ),
+    commons AS (
+        SELECT p.id_a, p.id_b,
+               COUNT(*) AS cn,
+               ROUND(SUM(1.0 / ln(dw.deg)), 6) AS aa,
+               ROUND(SUM(1.0 / dw.deg), 6) AS ra
+        FROM pairs p
+        JOIN ue na ON na.u = p.id_a
+        JOIN ue nb ON nb.u = p.id_b AND nb.v = na.v
+        JOIN deg dw ON dw.id = na.v
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(COALESCE(c.cn, 0) AS BIGINT) AS common_neighbors,
+           ROUND(CAST(COALESCE(c.cn, 0) AS DOUBLE)
+                 / greatest(COALESCE(da.deg, 0) + COALESCE(db.deg, 0)
+                            - COALESCE(c.cn, 0), 1), 6) AS jaccard,
+           COALESCE(c.aa, 0.0) AS adamic_adar,
+           COALESCE(c.ra, 0.0) AS resource_allocation
+    FROM pairs p
+    LEFT JOIN commons c ON c.id_a = p.id_a AND c.id_b = p.id_b
+    LEFT JOIN deg da ON da.id = p.id_a
+    LEFT JOIN deg db ON db.id = p.id_b
+"""
+
+
+ORACLE_SQL["link_prediction"] = _link_prediction_oracle()
+
+
 def q_feature_smooth(spark, sf_dir):
     """SGC/SIGN-style k-hop feature propagation (Wu 2019, Frasca
     2020) over the undirected geography graph: acctbal smoothed two
