@@ -502,3 +502,35 @@ def test_link_prediction_closed_forms(spark):
     assert z["common_neighbors"] == 0 and z["jaccard"] == 0.0
     # hub cap: center degree 2 excludes every center on the square
     assert link_prediction(g, max_center_degree=1).count() == 0
+
+
+def test_condensation_and_khop(spark):
+    """SCC condensation of the block-cycle fixture is a DAG whose
+    topological levels match block order; k-hop extraction returns the
+    induced ball."""
+    from titan_spark.compute import (
+        condensation,
+        k_hop_subgraph,
+        strongly_connected_components,
+        topological_levels,
+    )
+    from titan_spark.sources.fixtures import block_cycle_digraph
+
+    g = block_cycle_digraph(spark, n_blocks=6, block=4)
+    scc = strongly_connected_components(g)
+    cond = condensation(g, components=scc)
+    # cyclic blocks (idx % 3 != 2) contract to 1 vertex of 4 members;
+    # chain blocks contribute 4 singletons: 4 blocks x 1 + 2 x 4 = 12
+    sizes = {r["id"]: r["n_members"] for r in cond.vertices.collect()}
+    assert len(sizes) == 12 and sorted(sizes.values())[-4:] == [4, 4, 4, 4]
+    # the condensation is a DAG: topological layering converges, and
+    # block heads appear in block order
+    lv = {r["id"]: r["level"] for r in topological_levels(cond).collect()}
+    assert lv[0] < lv[4] < lv[12]  # heads of blocks 0, 1, 3
+    # 1-hop ball around vertex 0: its cycle neighbors {1, 3} + cross head 4
+    sub = k_hop_subgraph(g, [0], k=1)
+    assert {r["id"] for r in sub.vertices.collect()} == {0, 1, 3, 4}
+    # induced edges only (both endpoints inside)
+    pairs = {(r["src"], r["dst"]) for r in sub.edges.collect()}
+    assert (0, 1) in pairs and (3, 0) in pairs and (0, 4) in pairs
+    assert all(a in {0, 1, 3, 4} and b in {0, 1, 3, 4} for a, b in pairs)

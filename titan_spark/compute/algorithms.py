@@ -1559,3 +1559,113 @@ def link_prediction(
     out = cut_lineage(out, eager=True)
     ad.unpersist()
     return out
+
+
+def condensation(
+    graph: PropertyGraph,
+    components: DataFrame | None = None,
+    edge_labels: tuple[str, ...] = (),
+) -> PropertyGraph:
+    """SCC condensation → the DAG of strongly connected components as
+    a new :class:`PropertyGraph`: one vertex per component (id = the
+    component rep, label ``scc``, property ``n_members``), one
+    ``link`` edge per distinct inter-component edge. The classical
+    cycle-free view every dependency/scheduling analysis runs on —
+    and, being a PropertyGraph, :func:`topological_levels` /
+    traversals apply directly.
+
+    ``components`` defaults to running
+    :func:`strongly_connected_components`; pass a precomputed
+    (id, component) frame to reuse one. Edge contraction is two
+    broadcast-or-shuffle joins + a distinct — |E|-proportional.
+    """
+    if components is None:
+        components = strongly_connected_components(graph, edge_labels=edge_labels)
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    verts = (
+        components.groupBy(F.col("component").alias("id"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_members"))
+        .withColumn("label", F.lit("scc"))
+        .select("id", "label", "n_members")
+    )
+    ca = components.select(F.col("id").alias("src"), F.col("component").alias("ca"))
+    cb = components.select(F.col("id").alias("dst"), F.col("component").alias("cb"))
+    ce = (
+        e.select("src", "dst")
+        .join(ca, "src")
+        .join(cb, "dst")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        .dropDuplicates()
+        .select(
+            F.monotonically_increasing_id().alias("edge_id"),
+            "src",
+            "dst",
+            F.lit("link").alias("label"),
+        )
+    )
+    return PropertyGraph(verts, ce)
+
+
+def k_hop_subgraph(
+    graph: PropertyGraph,
+    seed_ids: list[int],
+    k: int = 2,
+    edge_labels: tuple[str, ...] = (),
+    direction: str = "both",
+) -> PropertyGraph:
+    """Ego-network extraction: the subgraph induced by every vertex
+    within ``k`` hops of the seeds → a new :class:`PropertyGraph`
+    carrying full vertex/edge properties (GNN mini-batch neighborhoods,
+    case-investigation views, debugging slices).
+
+    k frontier-sized expansion joins collect the vertex set; edges are
+    those with BOTH endpoints inside (induced-subgraph convention,
+    matching ``subgraph_``'s edge-induced dual). Never materializes
+    anything larger than the k-hop ball.
+    """
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    parts = []
+    if direction in ("out", "both"):
+        parts.append(e.select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    if direction in ("in", "both"):
+        parts.append(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    if not parts:
+        raise ValueError(f"direction must be out|in|both, got {direction!r}")
+    ad = parts[0]
+    for p in parts[1:]:
+        ad = ad.unionByName(p)
+    ad = ad.dropDuplicates(["u", "v"]).cache()
+    ad.count()
+    spark = graph.vertices.sparkSession
+    seen = cut_lineage(
+        spark.createDataFrame([(int(s),) for s in seed_ids], "id bigint"), eager=True
+    )
+    frontier = seen
+    for i in range(k):
+        nxt = (
+            frontier.join(ad, frontier["id"] == ad["u"])
+            .select(F.col("v").alias("id"))
+            .dropDuplicates()
+            .join(seen, "id", "left_anti")
+        )
+        nxt = cut_lineage(nxt, eager=True, round_idx=i)
+        if nxt.limit(1).count() == 0:
+            break
+        seen = cut_lineage(seen.unionByName(nxt), eager=True)
+        frontier = nxt
+    ad.unpersist()
+    v = graph.vertices.join(seen, "id", "left_semi")
+    ee = graph.edges.join(
+        seen.withColumnRenamed("id", "src"), "src", "left_semi"
+    ).join(seen.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    if edge_labels:
+        ee = ee.filter(F.col("label").isin(list(edge_labels)))
+    vp = graph.vertex_properties
+    if vp is not None:
+        vp = vp.join(seen.withColumnRenamed("id", "vertex_id"), "vertex_id", "left_semi")
+    return PropertyGraph(v, ee.select(*graph.edges.columns), vp, schema=graph.schema)
