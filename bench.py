@@ -107,6 +107,12 @@ HEADLINE = [
     "map_nation_counts",
     "quota_by_source",
     "random_walk_corpus",
+    # round 6 (cont.): Gopher rules, GNN feature smoothing,
+    # bidirectional point query, link-prediction indices
+    "gopher_rules",
+    "feature_smooth",
+    "point_distance",
+    "link_prediction",
 ]
 
 
