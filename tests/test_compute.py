@@ -309,3 +309,21 @@ def test_feature_propagation_closed_forms(spark):
     )
     n = {r["id"]: r for r in feature_propagation(PropertyGraph(v2, e2), "f", hops=1).collect()}
     assert n[1]["f1"] == 8.0 and n[9]["f1"] is None
+
+
+def test_hits_closed_form(spark):
+    """HITS on a 2-hub/1-authority star: hubs split, authority 1."""
+    import pytest
+
+    from titan_spark.compute import hits
+    from titan_spark.graph import PropertyGraph
+
+    # 1 -> 3, 2 -> 3: vertex 3 is the sole authority; 1 and 2 equal hubs
+    v = spark.createDataFrame([(i, "n") for i in (1, 2, 3)], "id long, label string")
+    e = spark.createDataFrame(
+        [(1, 1, 3, "x"), (2, 2, 3, "x")], "edge_id long, src long, dst long, label string"
+    )
+    got = {r["id"]: r for r in hits(PropertyGraph(v, e), iterations=2).collect()}
+    assert got[3]["authority"] == 1.0 and got[3]["hub"] == 0.0
+    assert got[1]["hub"] == got[2]["hub"] == pytest.approx(1 / 2**0.5, abs=1e-6)
+    assert got[1]["authority"] == 0.0

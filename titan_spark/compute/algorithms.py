@@ -1669,3 +1669,62 @@ def k_hop_subgraph(
     if vp is not None:
         vp = vp.join(seen.withColumnRenamed("id", "vertex_id"), "vertex_id", "left_semi")
     return PropertyGraph(v, ee.select(*graph.edges.columns), vp, schema=graph.schema)
+
+
+def hits(
+    graph: PropertyGraph,
+    iterations: int = 3,
+    edge_labels: tuple[str, ...] = (),
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, "Authoritative Sources in a
+    Hyperlinked Environment", JACM 1999) → (id, hub, authority).
+
+    Per iteration: authority(v) = Σ_{u→v} hub(u), L2-normalized;
+    then hub(u) = Σ_{u→v} authority(v), L2-normalized — the classic
+    mutually-recursive power iteration. Each half-step is one edge
+    join + one map-side-combinable sum (PageRank economics); the L2
+    norm is a one-scalar aggregate collected to the driver and folded
+    into the plan as a literal. Scores round to 6 so the fixed-round
+    SQL replay (same normalize-authority-before-hub order) matches.
+    """
+    import math
+
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    ed = e.select("src", "dst").dropDuplicates().cache()
+    ed.count()
+    hub = graph.vertices.select("id", F.lit(1.0).alias("h"))
+    hub = cut_lineage(hub, eager=True)
+    auth = None
+    for t in range(iterations):
+        araw = (
+            ed.join(hub.select(F.col("id").alias("src"), "h"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("a"))
+        )
+        araw = cut_lineage(araw, eager=True, round_idx=t)
+        na = araw.agg(F.sum(F.col("a") * F.col("a"))).collect()[0][0]
+        na = math.sqrt(na) if na else 1.0
+        auth = araw.select("id", (F.col("a") / F.lit(na)).alias("a"))
+        hraw = (
+            ed.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hraw = cut_lineage(hraw, eager=True, round_idx=t)
+        nh = hraw.agg(F.sum(F.col("h") * F.col("h"))).collect()[0][0]
+        nh = math.sqrt(nh) if nh else 1.0
+        hub = hraw.select("id", (F.col("h") / F.lit(nh)).alias("h"))
+        hub = cut_lineage(hub, eager=True)
+    ed.unpersist()
+    return (
+        graph.vertices.select("id")
+        .join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.round(F.coalesce("h", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("a", F.lit(0.0)), 6).alias("authority"),
+        )
+    )

@@ -3992,6 +3992,73 @@ ORACLE_SQL["map_nation_counts"] = """
 """
 
 
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) on the directed
+    geography graph, 3 power iterations with L2 normalization —
+    customers/suppliers are pure hubs, regions pure authorities,
+    nations both."""
+    from titan_spark.compute import hits
+
+    sub = _geo_subgraph(spark, sf_dir)
+    return hits(sub, iterations=3)
+
+
+QUERIES["hits_scores"] = q_hits_scores
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    steps = []
+    for t in range(1, iterations + 1):
+        steps.append(
+            f"""a{t}raw AS (
+        SELECT e.dst AS id, SUM(h.h) AS a FROM e JOIN h{t - 1} h ON h.id = e.src GROUP BY 1
+    ),
+    a{t} AS (
+        SELECT id, a / (SELECT sqrt(SUM(a * a)) FROM a{t}raw) AS a FROM a{t}raw
+    ),
+    h{t}raw AS (
+        SELECT e.src AS id, SUM(a.a) AS h FROM e JOIN a{t} a ON a.id = e.dst GROUP BY 1
+    ),
+    h{t} AS (
+        SELECT id, h / (SELECT sqrt(SUM(h * h)) FROM h{t}raw) AS h FROM h{t}raw
+    )"""
+        )
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH verts AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS id FROM customer
+        UNION ALL SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT) FROM supplier
+        UNION ALL SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT) FROM nation
+        UNION ALL SELECT CAST({_OFF['region']} + r_regionkey AS BIGINT) FROM region
+    ),
+    e AS (
+        SELECT DISTINCT * FROM (
+            SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+                   CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+            UNION ALL
+            SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+                   CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+            UNION ALL
+            SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+                   CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+        )
+    ),
+    h0 AS (SELECT id, 1.0 AS h FROM verts),
+    {steps_sql}
+    SELECT v.id,
+           ROUND(COALESCE(h.h, 0.0), 6) AS hub,
+           ROUND(COALESCE(a.a, 0.0), 6) AS authority
+    FROM verts v
+    LEFT JOIN h{iterations} h ON h.id = v.id
+    LEFT JOIN a{iterations} a ON a.id = v.id
+"""
+
+
+ORACLE_SQL["hits_scores"] = _hits_oracle()
+
+
 def q_link_prediction(spark, sf_dir):
     """Topological link-prediction indices (Liben-Nowell–Kleinberg
     2003; Adamic–Adar; resource allocation) over the geography graph:
