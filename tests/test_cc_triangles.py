@@ -534,3 +534,23 @@ def test_condensation_and_khop(spark):
     pairs = {(r["src"], r["dst"]) for r in sub.edges.collect()}
     assert (0, 1) in pairs and (3, 0) in pairs and (0, 4) in pairs
     assert all(a in {0, 1, 3, 4} and b in {0, 1, 3, 4} for a, b in pairs)
+
+
+def test_degree_assortativity_closed_forms(spark):
+    """Star = perfectly disassortative (-1); a single edge between
+    equal-degree endpoints has zero variance -> 0 by convention."""
+    from titan_spark.compute import degree_assortativity
+
+    v = spark.createDataFrame([(i, "n") for i in range(1, 5)], "id long, label string")
+    e = spark.createDataFrame(
+        [(1, 1, 2, "x"), (2, 1, 3, "x"), (3, 1, 4, "x")],
+        "edge_id long, src long, dst long, label string",
+    )
+    row = degree_assortativity(PropertyGraph(v, e)).collect()[0]
+    assert row["n_edges"] == 3 and row["assortativity"] == -1.0
+    v2 = spark.createDataFrame([(1, "n"), (2, "n")], "id long, label string")
+    e2 = spark.createDataFrame(
+        [(1, 1, 2, "x")], "edge_id long, src long, dst long, label string"
+    )
+    row2 = degree_assortativity(PropertyGraph(v2, e2)).collect()[0]
+    assert row2["n_edges"] == 1 and row2["assortativity"] == 0.0

@@ -1728,3 +1728,55 @@ def hits(
             F.round(F.coalesce("a", F.lit(0.0)), 6).alias("authority"),
         )
     )
+
+
+def degree_assortativity(
+    graph: PropertyGraph,
+    edge_labels: tuple[str, ...] = (),
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, "Assortative mixing
+    in networks", PRL 2002) → one row (n_edges, assortativity): the
+    Pearson correlation of (degree(u), degree(v)) over the undirected
+    edge set, each edge counted in both orientations (the standard
+    symmetric estimator). Positive = hubs link hubs (social), negative
+    = hubs link leaves (technological/star).
+
+    One degree aggregation + one edge join + a five-sum reduce — all
+    map-side-combinable; the coefficient itself is a single-row
+    closed form, so the SQL oracle replays it exactly.
+    """
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    ue = (
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    deg = ue.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        ue.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+        .select(F.col("du").cast("double"), F.col("dv").cast("double"))
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("du").alias("sx"),
+        F.sum("dv").alias("sy"),
+        F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).alias("sxx"),
+        F.sum(F.col("dv") * F.col("dv")).alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    num = F.col("sxy") / m - (F.col("sx") / m) * (F.col("sy") / m)
+    den = F.sqrt(
+        (F.col("sxx") / m - (F.col("sx") / m) * (F.col("sx") / m))
+        * (F.col("syy") / m - (F.col("sy") / m) * (F.col("sy") / m))
+    )
+    return s.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6).alias(
+            "assortativity"
+        ),
+    )

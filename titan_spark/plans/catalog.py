@@ -3992,6 +3992,61 @@ ORACLE_SQL["map_nation_counts"] = """
 """
 
 
+def q_assortativity(spark, sf_dir):
+    """Newman degree assortativity over the undirected geography
+    graph (strongly negative: customer/supplier leaves attach to
+    nation hubs) — one row, closed-form SQL twin."""
+    from titan_spark.compute import degree_assortativity
+
+    return degree_assortativity(_geo_subgraph(spark, sf_dir))
+
+
+QUERIES["assortativity"] = q_assortativity
+
+
+def _assortativity_oracle() -> str:
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    return f"""
+    WITH e AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+               CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+    ),
+    ue AS (
+        SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        UNION
+        SELECT dst AS u, src AS v FROM e WHERE src <> dst
+    ),
+    deg AS (SELECT u AS id, COUNT(*) AS d FROM ue GROUP BY u),
+    p AS (
+        SELECT CAST(a.d AS DOUBLE) AS du, CAST(b.d AS DOUBLE) AS dv
+        FROM ue JOIN deg a ON a.id = ue.u JOIN deg b ON b.id = ue.v
+    ),
+    s AS (
+        SELECT COUNT(*) AS m, SUM(du) AS sx, SUM(dv) AS sy,
+               SUM(du * dv) AS sxy, SUM(du * du) AS sxx, SUM(dv * dv) AS syy
+        FROM p
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           ROUND(CASE WHEN sqrt((sxx / m - (sx / m) * (sx / m))
+                               * (syy / m - (sy / m) * (sy / m))) > 0
+                 THEN (sxy / m - (sx / m) * (sy / m))
+                      / sqrt((sxx / m - (sx / m) * (sx / m))
+                             * (syy / m - (sy / m) * (sy / m)))
+                 ELSE 0.0 END, 6) AS assortativity
+    FROM s
+"""
+
+
+ORACLE_SQL["assortativity"] = _assortativity_oracle()
+
+
 def q_hits_scores(spark, sf_dir):
     """HITS hubs & authorities (Kleinberg 1999) on the directed
     geography graph, 3 power iterations with L2 normalization —
