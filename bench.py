@@ -113,6 +113,8 @@ HEADLINE = [
     "feature_smooth",
     "point_distance",
     "link_prediction",
+    "hits_scores",
+    "assortativity",
 ]
 
 
