@@ -554,3 +554,25 @@ def test_degree_assortativity_closed_forms(spark):
     )
     row2 = degree_assortativity(PropertyGraph(v2, e2)).collect()[0]
     assert row2["n_edges"] == 1 and row2["assortativity"] == 0.0
+
+
+def test_transitivity_closed_forms(spark):
+    """K4: every wedge closes (transitivity 1); star: none close."""
+    from titan_spark.compute import transitivity
+
+    v = spark.createDataFrame([(i, "n") for i in range(1, 5)], "id long, label string")
+    k4 = spark.createDataFrame(
+        [(k, a, b, "x") for k, (a, b) in enumerate(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])],
+        "edge_id long, src long, dst long, label string",
+    )
+    row = transitivity(PropertyGraph(v, k4)).collect()[0]
+    assert row["n_triangles"] == 4 and row["n_wedges"] == 12
+    assert row["transitivity"] == 1.0
+    star = spark.createDataFrame(
+        [(1, 1, 2, "x"), (2, 1, 3, "x"), (3, 1, 4, "x")],
+        "edge_id long, src long, dst long, label string",
+    )
+    row2 = transitivity(PropertyGraph(v, star)).collect()[0]
+    assert row2["n_triangles"] == 0 and row2["n_wedges"] == 3
+    assert row2["transitivity"] == 0.0

@@ -1780,3 +1780,47 @@ def degree_assortativity(
             "assortativity"
         ),
     )
+
+
+def transitivity(
+    graph: PropertyGraph, edge_labels: tuple[str, ...] = ()
+) -> DataFrame:
+    """Global clustering coefficient (transitivity) → one row
+    (n_triangles, n_wedges, transitivity = 3·T/W): the graph-level
+    closed-triangle fraction (Newman 2003), complementing the
+    per-vertex :func:`clustering_coefficient`. Triangles come from
+    the degree-ordered (hub-safe) enumeration; wedges are
+    Σ d(d−1)/2 from one degree aggregation — two single-row
+    aggregates joined broadcast-of-one-row."""
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    w = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    t = (
+        triangle_count(graph, edge_labels)
+        .agg((F.sum("triangles") / 3).cast("long").alias("n_triangles"))
+    )
+    return t.crossJoin(w).select(
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
+        F.round(
+            F.when(
+                F.coalesce("n_wedges", F.lit(0)) > 0,
+                3.0 * F.coalesce("n_triangles", F.lit(0)) / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("transitivity"),
+    )

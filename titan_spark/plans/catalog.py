@@ -3992,6 +3992,67 @@ ORACLE_SQL["map_nation_counts"] = """
 """
 
 
+def q_transitivity(spark, sf_dir):
+    """Global clustering coefficient 3T/W over the order–part–supplier
+    co-lineitem graph (same graph as triangle_count) — single-row
+    closed form; triangles via the degree-ordered enumeration, oracle
+    via id-ordering (orientation-invariant on counts)."""
+    from titan_spark.compute import transitivity
+
+    g = graph(spark, sf_dir)
+    li = tables(spark, sf_dir)["lineitem"]
+    v = g.vertices.filter(F.col("label").isin(["order", "part", "supplier"])).select(
+        "id", "label"
+    )
+    base = g.edges.filter(F.col("label").isin(["contains", "supplied_by"])).select(
+        "edge_id", "src", "dst", "label"
+    )
+    extra = li.select(
+        F.lit(0).cast("long").alias("edge_id"),
+        (F.lit(OFF["order"]) + F.col("l_orderkey")).cast("long").alias("src"),
+        (F.lit(OFF["supplier"]) + F.col("l_suppkey")).cast("long").alias("dst"),
+        F.lit("assigned").alias("label"),
+    )
+    return transitivity(PropertyGraph(v, base.unionByName(extra)))
+
+
+QUERIES["transitivity"] = q_transitivity
+
+ORACLE_SQL["transitivity"] = """
+    WITH e AS (
+        SELECT DISTINCT CAST(400000000000 + l_orderkey AS BIGINT) AS s,
+                        CAST(300000000000 + l_partkey AS BIGINT) AS t
+        FROM lineitem
+        UNION
+        SELECT DISTINCT CAST(300000000000 + l_partkey AS BIGINT),
+                        CAST(200000000000 + l_suppkey AS BIGINT)
+        FROM lineitem
+        UNION
+        SELECT DISTINCT CAST(400000000000 + l_orderkey AS BIGINT),
+                        CAST(200000000000 + l_suppkey AS BIGINT)
+        FROM lineitem
+    ),
+    und AS (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM e WHERE s <> t
+    ),
+    deg AS (
+        SELECT id, COUNT(*) AS d FROM (
+            SELECT a AS id FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY id
+    ),
+    tri AS (
+        SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           ROUND(3.0 * (SELECT COUNT(*) FROM tri)
+                 / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6) AS transitivity
+"""
+
+
 def q_assortativity(spark, sf_dir):
     """Newman degree assortativity over the undirected geography
     graph (strongly negative: customer/supplier leaves attach to
