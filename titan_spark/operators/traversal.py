@@ -1205,7 +1205,17 @@ class GraphTraversal:
         current frontier for its effect (sink write, metric, external
         accumulator) and continue with the traverser stream unchanged.
         The named accumulation forms remain :meth:`aggregate_` /
-        ``store``; this is the generic escape hatch."""
+        ``store``; this is the generic escape hatch.
+
+        DIVERGENCE (documented): ``fn`` executes EAGERLY, once, at
+        chain-construction time on the driver — any Spark action it
+        triggers (``count()``, a sink write) runs even if the
+        traversal is never materialized, and it does NOT re-run per
+        execution or per traverser as Gremlin's lazy per-iterator
+        sideEffect does. In a set-oriented plan-building engine there
+        is no per-traverser execution point to hook; callers needing
+        effects tied to materialization should write the returned
+        DataFrame through :class:`PropertyGraph` sinks instead."""
         fn(self._with(self._df))
         return self._with(self._df)
 
