@@ -4645,6 +4645,29 @@ _SLOT_SWAPS = [
     # random-walk corpus in; degree family keeps subgraph_degree +
     # group_by_nation when both_degree_nation rotates out
     ("random_walk_corpus", "both_degree_nation"),
+    # ninth wave (r7, VERDICT r6 #1): the nine r6 overflow flagships
+    # into the driver prefix. Each demotion keeps a family sibling in
+    # slots 1-50: centrality by betweenness (harmonic + closeness both
+    # rotate out — three driver centrality rows was over-covered);
+    # directed/DAG analysis by scc_blocks itself (topo_levels out);
+    # triangle machinery by transitivity itself (triangle_count out —
+    # transitivity IS the degree-ordered triangle total + wedge agg);
+    # iterative peel/greedy family by k_core + pagerank (mis_geo out);
+    # clustering/ANN by ivfpq_ann + pq_codes + embed_covariance
+    # (kmeans_cells out; ivfpq's codebook fit is per-subspace Lloyd);
+    # temporal/window by sessionize_events + range_join_clicks +
+    # asof_view_before_purchase (event_funnel + user_activity_stats
+    # out); OLAP cube/rollup by rollup_revenue + json_props_agg
+    # (cube_order_stats out).
+    ("hits_scores", "harmonic_centrality"),
+    ("assortativity", "closeness_centrality"),
+    ("scc_blocks", "topo_levels"),
+    ("transitivity", "triangle_count"),
+    ("point_distance", "mis_geo"),
+    ("feature_smooth", "kmeans_cells"),
+    ("link_prediction", "event_funnel"),
+    ("gopher_rules", "cube_order_stats"),
+    ("lang_length_quantiles", "user_activity_stats"),
 ]
 _order = list(QUERIES)
 for _new, _old in _SLOT_SWAPS:
