@@ -4569,6 +4569,154 @@ ORACLE_SQL["quota_by_source"] = f"""
 """
 
 
+def q_condensation_dag(spark, sf_dir):
+    """Condensation DAG of the block-cycle digraph (VERDICT r6 #6):
+    contract every SCC to one vertex, keep distinct inter-component
+    edges. Emits (component id, member count, out/in degree in the
+    DAG) — member counts check the contraction, degrees check the
+    edge structure. The oracle contracts the same edge list under the
+    CLOSED-FORM ground-truth component map (no algorithm replay).
+    Reference analog: derived-graph OLAP output
+    (FulgoraGraphComputer.java:250-295)."""
+    from titan_spark.compute import condensation
+    from titan_spark.sources.fixtures import block_cycle_digraph
+
+    g = block_cycle_digraph(spark, n_blocks=96, block=8)
+    c = condensation(g)
+    out_deg = c.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    in_deg = c.edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("i")
+    )
+    return (
+        c.vertices.join(out_deg, "id", "left")
+        .join(in_deg, "id", "left")
+        .select(
+            "id",
+            "n_members",
+            F.coalesce("o", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("i", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+QUERIES["condensation_dag"] = q_condensation_dag
+
+ORACLE_SQL["condensation_dag"] = """
+    WITH comp AS (
+        SELECT CAST(r.range AS BIGINT) AS id,
+               CAST(CASE WHEN (r.range // 8) % 3 = 2 THEN r.range
+                    ELSE (r.range // 8) * 8 END AS BIGINT) AS component
+        FROM range(0, 768) r
+    ),
+    e AS (
+        SELECT CAST(r.range AS BIGINT) AS src, CAST(r.range + 1 AS BIGINT) AS dst
+        FROM range(0, 768) r WHERE r.range % 8 <> 7
+        UNION ALL
+        SELECT CAST(r.range AS BIGINT), CAST((r.range // 8) * 8 AS BIGINT)
+        FROM range(0, 768) r WHERE r.range % 8 = 7 AND (r.range // 8) % 3 <> 2
+        UNION ALL
+        SELECT CAST(r.range AS BIGINT), CAST(r.range + 8 AS BIGINT)
+        FROM range(0, 768) r WHERE r.range % 8 = 0 AND r.range + 8 < 768
+    ),
+    ce AS (
+        SELECT DISTINCT ca.component AS src, cb.component AS dst
+        FROM e
+        JOIN comp ca ON e.src = ca.id
+        JOIN comp cb ON e.dst = cb.id
+        WHERE ca.component <> cb.component
+    ),
+    verts AS (
+        SELECT component AS id, CAST(count(*) AS INT) AS n_members
+        FROM comp GROUP BY component
+    )
+    SELECT v.id, v.n_members,
+           CAST(coalesce(o.c, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(i.c, 0) AS BIGINT) AS in_deg
+    FROM verts v
+    LEFT JOIN (SELECT src, count(*) AS c FROM ce GROUP BY src) o ON v.id = o.src
+    LEFT JOIN (SELECT dst, count(*) AS c FROM ce GROUP BY dst) i ON v.id = i.dst
+"""
+
+
+def q_k_hop_ego(spark, sf_dir):
+    """2-hop ego network of region 1 in the geography graph (VERDICT
+    r6 #6): frontier-join ball collection (region → its nations → their
+    customers/suppliers under direction='both'), then the induced
+    subgraph — emitted as (id, label, out/in degree over the induced
+    directed edges) so both the vertex ball and the induced edge set
+    are value-checked. Oracle = bounded-depth BFS over the same edge
+    union. GNN mini-batch neighborhood shape
+    (FulgoraGraphComputer.java:250-295 derived-view analog)."""
+    from titan_spark.compute import k_hop_subgraph
+
+    sub = _geo_subgraph(spark, sf_dir)
+    ego = k_hop_subgraph(sub, [OFF["region"] + 1], k=2, direction="both")
+    ie = ego.edges.select("src", "dst").dropDuplicates()
+    out_deg = ie.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("o"))
+    in_deg = ie.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("i"))
+    return (
+        ego.vertices.select("id", "label")
+        .join(out_deg, "id", "left")
+        .join(in_deg, "id", "left")
+        .select(
+            "id",
+            "label",
+            F.coalesce("o", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("i", F.lit(0)).cast("long").alias("in_deg"),
+        )
+    )
+
+
+QUERIES["k_hop_ego"] = q_k_hop_ego
+
+ORACLE_SQL["k_hop_ego"] = f"""
+    WITH e AS (
+        SELECT CAST({OFF['customer']} + c_custkey AS BIGINT) AS src,
+               CAST({OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST({OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST({OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({OFF['region']} + r_regionkey AS BIGINT)
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    ue AS (
+        SELECT src AS u, dst AS v FROM e
+        UNION
+        SELECT dst AS u, src AS v FROM e
+    ),
+    seed AS (SELECT CAST({OFF['region']} + 1 AS BIGINT) AS id),
+    h1 AS (
+        SELECT DISTINCT ue.v AS id FROM ue JOIN seed ON ue.u = seed.id
+    ),
+    h2 AS (
+        SELECT DISTINCT ue.v AS id FROM ue JOIN h1 ON ue.u = h1.id
+    ),
+    ball AS (
+        SELECT id FROM seed UNION SELECT id FROM h1 UNION SELECT id FROM h2
+    ),
+    ie AS (
+        SELECT DISTINCT e.src, e.dst
+        FROM e
+        JOIN ball b1 ON e.src = b1.id
+        JOIN ball b2 ON e.dst = b2.id
+    )
+    SELECT b.id,
+           CASE WHEN b.id >= {OFF['region']} THEN 'region'
+                WHEN b.id >= {OFF['nation']} THEN 'nation'
+                WHEN b.id >= {OFF['supplier']} THEN 'supplier'
+                ELSE 'customer' END AS label,
+           CAST(coalesce(o.c, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(i.c, 0) AS BIGINT) AS in_deg
+    FROM ball b
+    LEFT JOIN (SELECT src, count(*) AS c FROM ie GROUP BY src) o ON b.id = o.src
+    LEFT JOIN (SELECT dst, count(*) AS c FROM ie GROUP BY dst) i ON b.id = i.dst
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 entries. Promote the round-5 flagships line_dedup /
