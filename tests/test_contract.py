@@ -8,14 +8,14 @@ def test_registry_shape():
 
     # every oracle belongs to a registered query
     assert set(ORACLE_SQL) <= set(QUERIES)
-    # every registered query is value-checked except the documented
-    # rows-only entries — pca_project's eigendecomposition is not
-    # SQL-expressible (its covariance input is value-checked by
-    # embed_covariance; axes/projection by closed-form pytest)
-    assert set(QUERIES) - set(ORACLE_SQL) == {"pca_project"}
+    # every registered query is value-checked — since r7 even
+    # pca_project has an oracle (quadratic-form invariants vs the
+    # closed-form zero table; the eigendecomposition itself is not
+    # SQL-expressible but its defining properties are)
+    assert set(QUERIES) - set(ORACLE_SQL) == set()
     # the driver checks only the first 50 entries: current-round
-    # flagships must sit inside the checked region (r6 seventh wave:
-    # the six r5-overflow flagships rotated in — each demoted query
+    # flagships must sit inside the checked region (r7 ninth wave:
+    # the nine r6-overflow flagships rotated in — each demoted query
     # keeps a family sibling in slots 1-50 per COVERAGE.md)
     first50 = list(QUERIES)[:50]
     for k in (
@@ -29,16 +29,19 @@ def test_registry_shape():
         "betweenness",
         "cms_heavy_hitters",
         "pq_codes",
-        "harmonic_centrality",
-        "mis_geo",
-        "topo_levels",
-        "event_funnel",
-        "cube_order_stats",
-        "closeness_centrality",
         "local_top3_sum",
         "map_nation_counts",
         "quota_by_source",
         "random_walk_corpus",
+        "gopher_rules",
+        "scc_blocks",
+        "point_distance",
+        "feature_smooth",
+        "link_prediction",
+        "hits_scores",
+        "assortativity",
+        "transitivity",
+        "lang_length_quantiles",
     ):
         assert k in first50
 

@@ -2840,19 +2840,64 @@ ORACLE_SQL["embed_covariance"] = """
 
 
 def q_pca_project(spark, sf_dir):
-    """PCA projection onto the top-8 principal axes (covariance pass →
-    driver eigh on the dim×dim matrix → Arrow matmul projection).
-    The eigendecomposition is not SQL-expressible, so this entry has
-    no oracle twin (driver records the rows-only check); the
-    covariance input is value-verified by ``embed_covariance`` and the
-    axes/projection by closed-form pytest."""
-    from titan_spark.pipeline.similarity import pca_project
+    """PCA projection onto the top-8 principal axes, value-checked via
+    quadratic-form invariants (VERDICT r6 #5 — the eigendecomposition
+    itself is not SQL-expressible, but its defining properties ARE):
+    per axis a, the DISTRIBUTED population variance of the projected
+    coordinate var(X·v_a) must equal the driver-eigh eigenvalue λ_a
+    (var(Xv) = vᵀCv, and v eigen ⇔ vᵀCv = λ), the projected mean must
+    be 0 (axes are mean-centered), and the axes Gram matrix must be I
+    (orthonormality). The full corpus projection is executed to get
+    the moments, so a wrong covariance collect, eigh, sign
+    canonicalization, centering, or Arrow matmul all break the hash;
+    the oracle states the closed-form zero table. Rounded to 4
+    (eigh runs on the 6-rounded covariance: |vᵀEv| ≤ 5e-7·dim·‖v‖²
+    ≈ 3e-5 worst case). Per-vector projection values remain pinned by
+    closed-form pytest vs numpy."""
+    from titan_spark.pipeline.similarity import pca_components, pca_project
 
     e = tables(spark, sf_dir)["embeddings"]
-    return pca_project(e, k=8)
+    comps, means, lam = pca_components(e, 8)
+    proj = pca_project(e, 8, components=comps, means=means)
+    m = (
+        proj.select(F.posexplode("pc").alias("axis", "p"))
+        .groupBy("axis")
+        .agg(
+            F.avg("p").alias("mean_pc"),
+            (F.avg(F.col("p") * F.col("p")) - F.avg("p") * F.avg("p")).alias(
+                "var_pc"
+            ),
+        )
+    )
+    lam_df = spark.createDataFrame(
+        [(a, float(v)) for a, v in enumerate(lam)], "axis int, lam double"
+    )
+    import numpy as _np
+
+    cm = _np.array(comps)
+    orth = float(_np.max(_np.abs(cm @ cm.T - _np.eye(len(comps)))))
+    return (
+        m.join(F.broadcast(lam_df), "axis")
+        .select(
+            "axis",
+            (F.round(F.col("var_pc") - F.col("lam"), 4) + F.lit(0.0)).alias(
+                "var_minus_lambda"
+            ),
+            (F.round("mean_pc", 4) + F.lit(0.0)).alias("mean_pc"),
+            (F.round(F.lit(orth), 4) + F.lit(0.0)).alias("ortho_err"),
+        )
+    )
 
 
 QUERIES["pca_project"] = q_pca_project
+
+ORACLE_SQL["pca_project"] = """
+    SELECT CAST(r.range AS INT) AS axis,
+           0.0 AS var_minus_lambda,
+           0.0 AS mean_pc,
+           0.0 AS ortho_err
+    FROM range(0, 8) r
+"""
 
 
 def q_pq_codes(spark, sf_dir, kernel="fold"):
