@@ -167,12 +167,80 @@ def test_multimodal_real_codec_path(spark):
         assert row["feature"] == [-1.0, -1.0, -1.0, -1.0]
         rrow = resize_images(media, 2, 2, decode_stub=False).collect()[0]
         assert rrow["meta"]["width"] == 2 and rrow["payload"][:4] == b"\x89PNG"
-    # audio rows keep the stub features even under the real path
+    # audio under the real path decodes WAV (r7); a non-RIFF payload
+    # raises NotImplementedError instead of silently falling back
     audio = make_media_table(src, "id", F.col("payload"), "audio")
-    if _pil_image() is not None:
-        arow = extract_features(audio, dim=4, decode_stub=False).collect()[0]
-        srow = extract_features(audio, dim=4, decode_stub=True).collect()[0]
-        assert arow["feature"] == srow["feature"]
+    with pytest.raises(Exception, match="PCM WAV"):
+        extract_features(audio, dim=4, decode_stub=False).collect()
+    # video still takes the stub under the real path
+    video = make_media_table(src, "id", F.col("payload"), "video")
+    vrow = extract_features(video, dim=4, decode_stub=False).collect()[0]
+    srow = extract_features(video, dim=4, decode_stub=True).collect()[0]
+    assert vrow["feature"] == srow["feature"]
+
+
+def _golden_wav(nch: int = 1, rate: int = 8000, seconds: float = 1.0) -> tuple[bytes, list[int]]:
+    """Deterministic 1-second 16-bit PCM WAV built with the stdlib
+    wave writer: a linear ramp alternating sign per frame. Returns
+    (bytes, mono-frame sample values)."""
+    import io as _io
+    import struct
+    import wave
+
+    n = int(rate * seconds)
+    frames = []
+    mono = []
+    for i in range(n):
+        v = (-1) ** i * ((i * 7) % 20000)
+        mono.append(v)
+        frames.append(struct.pack("<" + "h" * nch, *([v] * nch)))
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(frames))
+    return buf.getvalue(), mono
+
+
+def test_multimodal_wav_real_decode(spark):
+    """Golden-bytes check of the stdlib-wave audio path (VERDICT r6
+    #4): per-window RMS features of a generated 1-second PCM WAV match
+    the closed-form computation; stereo mixes to the same mono values;
+    no NotImplementedError anywhere on the WAV path."""
+    import math
+
+    from titan_spark.pipeline.multimodal import (
+        extract_features,
+        make_media_table,
+    )
+
+    dim = 8
+    wav_mono, samples = _golden_wav(nch=1)
+    wav_stereo, _ = _golden_wav(nch=2)
+    src = spark.createDataFrame(
+        [(1, wav_mono), (2, wav_stereo)], "id long, payload binary"
+    )
+    media = make_media_table(src, "id", F.col("payload"), "audio")
+    rows = {
+        r["media_id"]: list(r["feature"])
+        for r in extract_features(media, dim=dim, decode_stub=False).collect()
+    }
+    n = len(samples)
+    expected = []
+    for k in range(dim):
+        lo, hi = k * n // dim, max((k + 1) * n // dim, k * n // dim + 1)
+        win = samples[lo:hi]
+        expected.append(
+            math.sqrt(sum(float(v) * v for v in win) / len(win)) / 32768.0
+        )
+    for a, b in zip(rows[1], expected):
+        assert abs(a - b) < 1e-6
+    # stereo duplicates each frame across channels -> identical mono mix
+    for a, b in zip(rows[2], expected):
+        assert abs(a - b) < 1e-6
+    # energy features are non-trivial (ramp -> increasing RMS)
+    assert rows[1][0] < rows[1][-1]
 
 
 def test_incremental_dedup_across_batches(spark, tmp_path):
