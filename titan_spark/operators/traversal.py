@@ -43,6 +43,11 @@ _NOTSET = object()
 
 _META_COLS = ("_origin", "_other", "_dir")
 
+
+class TimeLimitExceeded(RuntimeError):
+    """Raised by a terminal action when a ``time_limit(max_ms)`` budget
+    expires before the Spark job finishes (the job group is cancelled)."""
+
 # implicit keys backed by writer-populated metadata columns
 # (graphdb/types/system/ImplicitKey.java:28-46)
 _IMPLICIT_META = {"~timestamp": "_ts", "~ttl": "_ttl", "~visibility": "_vis"}
@@ -93,6 +98,8 @@ class GraphTraversal:
         # column of the per-origin sub-traversal — order-dependent and
         # reducing steps compile per-scope while this is non-None.
         self._local_scope: str | None = None
+        # time_limit(max_ms) budget honored by terminal actions
+        self._time_budget_ms: int | None = None
 
     # ------------------------------------------------------------------ ctor
     @staticmethod
@@ -138,6 +145,7 @@ class GraphTraversal:
             self._lazy_v if lazy_v is _NOTSET else lazy_v,
         )
         t._local_scope = self._local_scope
+        t._time_budget_ms = self._time_budget_ms
         return t
 
     def _ensure_cols(self) -> None:
@@ -235,6 +243,96 @@ class GraphTraversal:
             "shuffles": plan.count("Exchange"),
             "plan": plan,
         }
+
+    def explain_(self, mode: str = "formatted") -> str:
+        """Gremlin ``explain()`` (TraversalExplanation;
+        ProcessStandardSuite membership
+        BerkeleyTitanProcessTest.java:12-15): the compiled physical
+        plan as text WITHOUT executing — the reference prints the
+        strategy-rewritten traversal, here the Catalyst plan IS the
+        rewritten form. ``mode``: simple | extended | formatted | cost.
+        :meth:`profile` is the executing sibling."""
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self._df.explain(mode)
+        return buf.getvalue()
+
+    def time_limit(
+        self, max_ms: int | None = None, max_rows: int | None = None
+    ) -> "GraphTraversal":
+        """Gremlin ``timeLimit(ms)`` (TimeLimitStep;
+        ProcessStandardSuite membership
+        BerkeleyTitanProcessTest.java:12-15): bound the work a
+        traversal may do.
+
+        DIVERGENCE (documented): the reference's TimeLimitStep is a
+        cooperative per-traverser cutoff that returns whatever partial
+        result the iterator produced before the deadline; a
+        set-oriented Spark plan either commits or aborts, so ``max_ms``
+        arms a watchdog on the terminal actions (:meth:`count_value`,
+        :meth:`to_rows`, :meth:`profile`) that cancels the job group at
+        the deadline and raises :class:`TimeLimitExceeded` — no partial
+        rows. ``max_rows`` is the deterministic partial-result form
+        (LIMIT n), matching the reference's smart-limit bound
+        (LimitAdjustingIterator)."""
+        t = self
+        if max_rows is not None:
+            t = t._with(t._df.limit(int(max_rows)))
+        if max_ms is not None:
+            t = t._with(t._df)
+            t._time_budget_ms = int(max_ms)
+        return t
+
+    def _guarded(self, action):
+        """Run a driver-side action under the time_limit watchdog."""
+        ms = self._time_budget_ms
+        if not ms:
+            return action()
+        import threading
+        import uuid
+
+        sc = self._df.sparkSession.sparkContext
+        group = f"timelimit-{uuid.uuid4().hex[:8]}"
+        fired = threading.Event()
+        done = threading.Event()
+
+        def _watchdog():
+            if done.wait(ms / 1000.0):
+                return
+            fired.set()
+            # a job may be submitted AFTER the deadline (plan analysis
+            # happens first) — keep cancelling until the action returns
+            while not done.is_set():
+                sc.cancelJobGroup(group)
+                done.wait(0.05)
+
+        sc.setJobGroup(group, f"time_limit({ms}ms)", interruptOnCancel=True)
+        watchdog = threading.Thread(target=_watchdog, daemon=True)
+        watchdog.start()
+        try:
+            return action()
+        except Exception as exc:
+            if fired.is_set():
+                raise TimeLimitExceeded(
+                    f"traversal exceeded time_limit({ms} ms); job group "
+                    f"cancelled"
+                ) from exc
+            raise
+        finally:
+            done.set()
+            for prop in (
+                "spark.jobGroup.id",
+                "spark.job.description",
+                "spark.job.interruptOnCancel",
+            ):
+                sc.setLocalProperty(prop, None)
+
+    def to_rows(self) -> list:
+        """Terminal collect of the frontier (honors ``time_limit``)."""
+        return self._guarded(self._df.collect)
 
     # ------------------------------------------------------------ filter ops
     def has(self, key: str, value: Any = _NOTSET) -> "GraphTraversal":
@@ -1341,14 +1439,19 @@ class GraphTraversal:
         self._ensure_cols()
         return self._df.select(*[self.col(k).alias(k) for k in keys])
 
-    def properties_(self, *keys: str, has_value=None) -> DataFrame:
+    def properties_(self, *keys: str, has_value=None, meta=None) -> DataFrame:
         """Vertex-property rows for the current frontier (Gremlin
         ``properties()``): long-format rows ``(vertex_id, key, value,
         prop_id, <meta columns>)`` from the vertex_properties table —
         meta-properties (properties on properties, docs/advschema.
-        txt:72) are ordinary columns here and filter like any other.
+        txt:72) are ordinary columns here.
         ``keys`` is Gremlin's ``hasKey()`` restriction; ``has_value``
-        is ``hasValue(v)`` (exact match on the property value).
+        is ``hasValue(v)`` (value or ``P.xx`` predicate); ``meta`` is
+        mid-traversal meta-property filtering —
+        ``properties().has(metaKey, pred)`` in the reference
+        (ProcessStandardSuite shape,
+        BerkeleyTitanProcessTest.java:12-15) — as a dict of
+        meta-column → value-or-predicate.
         """
         self._require("V", "properties_")
         vp = self.graph.vertex_properties
@@ -1359,7 +1462,14 @@ class GraphTraversal:
                 F.col("key") == keys[0] if len(keys) == 1 else F.col("key").isin(list(keys))
             )
         if has_value is not None:
-            vp = vp.filter(F.col("value") == has_value)
+            vp = vp.filter(as_pred(has_value)(F.col("value")))
+        for mk, mv in (meta or {}).items():
+            if mk not in vp.columns:
+                raise ValueError(
+                    f"meta-property {mk!r} not present on the "
+                    f"vertex_properties table (columns: {vp.columns})"
+                )
+            vp = vp.filter(as_pred(mv)(F.col(mk)))
         ids = self._df.select(F.col("id").alias("vertex_id"))
         return ids.join(vp, "vertex_id")
 
@@ -1388,7 +1498,7 @@ class GraphTraversal:
         return self._df.agg(F.count(F.lit(1)).alias("count"))
 
     def count_value(self) -> int:
-        return self.count().collect()[0][0]
+        return self._guarded(lambda: self.count().collect()[0][0])
 
     def group_count(self, *keys) -> DataFrame:
         """``groupCount().by(key)`` → groupBy + count (§2.10); inside

@@ -4762,6 +4762,55 @@ ORACLE_SQL["k_hop_ego"] = f"""
 """
 
 
+def q_prop_meta_filter(spark, sf_dir):
+    """Mid-traversal meta-property has() (VERDICT r6 #8; reference:
+    properties().has(...) over meta-properties, docs/advschema.txt:72,
+    ProcessStandardSuite membership
+    BerkeleyTitanProcessTest.java:12-15): orders' LIST-cardinality
+    'partnames' property carries a 'qty' meta-property (the line
+    quantity); keep property instances whose qty ≥ 45 AND whose value
+    contains the token 'red', projecting (vertex_id, value) — the
+    property stream filtered on value and meta simultaneously."""
+    from titan_spark.functions.predicates import P as _P
+    from titan_spark.schema import Cardinality
+
+    g = graph(spark, sf_dir)
+    li = tables(spark, sf_dir)["lineitem"]
+    pt = tables(spark, sf_dir)["part"]
+    vp = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        (F.lit(OFF["order"]) + F.col("l_orderkey")).cast("long").alias("vertex_id"),
+        F.lit("partnames").alias("key"),
+        F.col("p_name").alias("value"),
+        (F.lit(20_000_000_000_000) + F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("prop_id"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    gs = g.schema
+    gs.make_property_key("partnames", "string", Cardinality.LIST)
+    g2 = PropertyGraph(g.vertices, g.edges, vp, gs)
+    props = g2.V().has_label("order").properties_(
+        "partnames",
+        has_value=_P.text_contains("red"),
+        meta={"qty": _P.gte(45.0)},
+    )
+    return props.select("vertex_id", "value")
+
+
+QUERIES["prop_meta_filter"] = q_prop_meta_filter
+
+ORACLE_SQL["prop_meta_filter"] = f"""
+    SELECT CAST({OFF['order']} + l_orderkey AS BIGINT) AS vertex_id,
+           p_name AS value
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity >= 45
+      AND list_contains(
+            list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'),
+                        t -> t <> ''),
+            'red')
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 entries. Promote the round-5 flagships line_dedup /
