@@ -115,6 +115,18 @@ HEADLINE = [
     "link_prediction",
     "hits_scores",
     "assortativity",
+    # round 7: global clustering coefficient, directed SCC + its
+    # condensation DAG (fixed-size fixture — constant-time rows),
+    # language/length quantiles, k-hop ego extraction, meta-property
+    # stream filtering, PCA invariant check (full-corpus projection +
+    # covariance + eigh under the hood)
+    "transitivity",
+    "scc_blocks",
+    "condensation_dag",
+    "lang_length_quantiles",
+    "k_hop_ego",
+    "prop_meta_filter",
+    "pca_project",
 ]
 
 
@@ -152,6 +164,14 @@ def run_suite() -> dict:
     adaptive = reps_env == "adaptive"
     reps = 1 if adaptive else int(reps_env)
 
+    # subset restriction (used by the sf10 flagship pass)
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    headline = (
+        [q for q in HEADLINE if q in set(only_env.split(","))]
+        if only_env
+        else HEADLINE
+    )
+
     # bulk-load shape: build the graph view and materialize counts
     t0 = time.perf_counter()
     g = graph(spark, sf_dir)
@@ -159,7 +179,7 @@ def run_suite() -> dict:
     ne = g.num_edges()
     timings["graph_build_count"] = round(time.perf_counter() - t0, 3)
 
-    for name in HEADLINE:
+    for name in headline:
         fn = overrides.get(name, QUERIES[name])
         runs = []
         for _ in range(reps):  # median-of-reps: robust to load spikes either way
@@ -262,15 +282,109 @@ def _scaling_block(base_queries: dict[str, float]) -> dict | None:
     }
 
 
-def _streaming_block() -> dict | None:
-    """Streaming performance signal (VERDICT r5 #5): §2.8 was tested
-    but never benched. Two measured paths at $SPARK_GRAFT_SF_DIR:
+SF10_FLAGSHIPS = [
+    # the iterative/pipeline flagships (VERDICT r6 #2) — the queries
+    # whose asymptotics matter; graph_build_count + pagerank_full_graph
+    # ride along from the suite pass itself. scc_blocks/condensation_dag
+    # are excluded: they run on a fixed-size fixture (constant time by
+    # construction, a ratio would measure nothing).
+    "k_core",
+    "dedup_clusters",
+    "semantic_dedup",
+    "random_walk_corpus",
+    "betweenness",
+    "mix_corpus",
+    "ivfpq_ann",
+    "shard_layout",
+    "line_dedup",
+    "lm_perplexity",
+]
 
-    - events file-stream → watermarked session windows → memory sink
-      (the readStream → stateful agg → sink shape), reporting rows/s
-      and per-micro-batch trigger latency from the query progress;
+
+def _sf10_block(sf1_queries: dict[str, float] | None) -> dict | None:
+    """Second decade of scale evidence (VERDICT r6 #2): one fresh-JVM
+    pass of the iterative/pipeline flagships at sf10 (100x sf0.1,
+    ~137 M edges, derived from sf1 by another 10x replication),
+    reported as per-query sf10/sf1 ratios. One decade of sublinearity
+    separates nothing; two decades separates constant factors from
+    asymptotics. Ratios > 15 are flagged. Disable with
+    SPARK_GRAFT_SF10_CHECK=0.
+    """
+    if os.environ.get("SPARK_GRAFT_SF10_CHECK", "1") == "0" or not sf1_queries:
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", os.path.join(repo, "data", "sf1")
+    )
+    sf10_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE10_DIR", os.path.join(repo, "data", "sf10")
+    )
+    if not os.path.exists(os.path.join(sf10_dir, "lineitem.parquet")):
+        gen = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "make_scaled_sf.py"),
+             "--src", sf1_dir, "--dst", sf10_dir, "--replicas", "10"],
+            capture_output=True,
+            text=True,
+        )
+        if gen.returncode != 0:
+            sys.stderr.write(gen.stdout + gen.stderr)
+            return None
+    res = _run_single(
+        {
+            "SPARK_GRAFT_SF_DIR": sf10_dir,
+            "SPARK_GRAFT_BENCH_REPS": "1",
+            "SPARK_GRAFT_BENCH_ONLY": ",".join(SF10_FLAGSHIPS),
+        }
+    )
+    if res is None:
+        return None
+    ratios = {
+        q: round(t / sf1_queries[q], 1)
+        for q, t in res["queries"].items()
+        if sf1_queries.get(q)
+    }
+    return {
+        "sf": 10.0,
+        "data_ratio_vs_sf1": 10.0,
+        "total": res["value"],
+        "queries": res["queries"],
+        "n_vertices": res.get("n_vertices"),
+        "n_edges": res.get("n_edges"),
+        "ratio_vs_sf1": ratios,
+        "flagged_superlinear": sorted(q for q, r in ratios.items() if r > 15),
+        "note": "flagship subset, one fresh JVM, single rep; sf10 derived "
+        "from sf1 via tools/make_scaled_sf.py (10x replication, key "
+        "offsets, per-replica text/embedding decorrelation); ratios are "
+        "sf10/sf1 at 10x the data — <10 = sublinear. "
+        "graph_build_count/pagerank_full_graph ride along from the suite "
+        "pass; scc_blocks/condensation_dag excluded (fixed-size fixture).",
+    }
+
+
+def _pctile(xs: list[float], p: float):
+    if not xs:
+        return None
+    xs = sorted(xs)
+    i = min(len(xs) - 1, int(round(p / 100.0 * (len(xs) - 1))))
+    return xs[i]
+
+
+def _streaming_block() -> dict | None:
+    """Streaming performance signal (VERDICT r5 #5 + r6 #3 multi-batch
+    latency profile). Three measured paths at $SPARK_GRAFT_SF_DIR:
+
+    - events split into ~12 source files and streamed one file per
+      trigger (maxFilesPerTrigger=1, availableNow) → watermarked
+      session windows → memory sink: ≥10 real micro-batches, with
+      p50/p95 per-trigger latency and session-state-store rows from
+      the query progress (r5's single availableNow batch measured
+      mostly plan setup);
+    - 10 document micro-batches through IncrementalDedup's
+      foreachBatch step (persistent banded-signature store), p50/p95
+      per-batch wall;
     - N change rows through the CDC log → LogProcessorFramework
-      foreachBatch dispatch (Titan's user-log processor shape).
+      foreachBatch dispatch (Titan's user-log processor shape,
+      diskstorage/log/ReadMarker.java read-interval analog).
 
     Disable with SPARK_GRAFT_STREAM_BENCH=0.
     """
@@ -282,21 +396,51 @@ def _streaming_block() -> dict | None:
     from pyspark.sql import functions as F
 
     from titan_spark.session import get_spark
+    from titan_spark.sources.tpch import normalize_events_ts
     from titan_spark.streaming.changelog import LogProcessorFramework
+    from titan_spark.streaming.ingest import IncrementalDedup
     from titan_spark.streaming.windows import (
-        read_events_stream,
+        EVENTS_STREAM_SCHEMA,
         run_to_memory_sink,
         session_windows,
     )
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("titan_spark_stream_bench")
-    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count()
     tmp = tempfile.mkdtemp(prefix="stream_bench_")
     try:
+        # ---- multi-batch sessionization: 12 source files, one per
+        # trigger, so the profile measures steady-state micro-batches
+        # rather than one availableNow mega-batch
+        multi_dir = os.path.join(tmp, "events_multi")
+        # 12 ts-slice files written SEQUENTIALLY so modification times
+        # increase in event-time order — FileStreamSource picks files
+        # by modTime, and in-order arrival is the realistic stream
+        # shape (scrambled arrival would drop most input as late
+        # behind the watermark). ntile is harness prep, not engine.
+        from pyspark.sql import Window
+
+        sliced = events.withColumn(
+            "_slice", F.ntile(12).over(Window.orderBy("ts"))
+        ).cache()
+        for i in range(1, 13):
+            sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
+                1
+            ).write.mode("append").parquet(multi_dir)
+        sliced.unpersist()
+        batch_dt = dict(spark.read.parquet(multi_dir).dtypes).get("ts")
+        ts_type = "long" if batch_dt == "bigint" else batch_dt
+        raw = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA.format(ts_type=ts_type))
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(multi_dir)
+        )
         t0 = time.perf_counter()
         q = run_to_memory_sink(
-            session_windows(read_events_stream(spark, sf_dir)),
+            session_windows(normalize_events_ts(raw)),
             "bench_sessions",
             os.path.join(tmp, "ckpt_sessions"),
             output_mode="complete",
@@ -311,6 +455,24 @@ def _streaming_block() -> dict | None:
             for p in prog
             if p.get("numInputRows", 0) > 0 and "durationMs" in p
         ]
+        state_rows = None
+        for p in reversed(prog):
+            ops = p.get("stateOperators") or []
+            if ops:
+                state_rows = ops[0].get("numRowsTotal")
+                break
+
+        # ---- incremental near-dup ingest: 10 micro-batches against
+        # the persistent signature store
+        dd = IncrementalDedup(spark, os.path.join(tmp, "sigstore"))
+        dedup_lat: list[float] = []
+        dedup_kept = 0
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for b in range(10):
+            bdf = docs.filter(F.col("doc_id") % 10 == b)
+            t0 = time.perf_counter()
+            dedup_kept += dd.process_batch(bdf, b).count()
+            dedup_lat.append((time.perf_counter() - t0) * 1000.0)
 
         # CDC log drain: synthetic ADD-vertex rows written as the log's
         # parquet append stream, drained through a counting processor
@@ -339,16 +501,29 @@ def _streaming_block() -> dict | None:
             "session_out_rows": sess_rows,
             "session_batches": len(lat),
             "session_batch_latency_ms": {
+                "p50": _pctile(lat, 50),
+                "p95": _pctile(lat, 95),
                 "mean": round(sum(lat) / len(lat), 1) if lat else None,
                 "max": max(lat) if lat else None,
             },
+            "session_state_rows": state_rows,
+            "dedup_batches": len(dedup_lat),
+            "dedup_batch_latency_ms": {
+                "p50": round(_pctile(dedup_lat, 50), 1) if dedup_lat else None,
+                "p95": round(_pctile(dedup_lat, 95), 1) if dedup_lat else None,
+                "max": round(max(dedup_lat), 1) if dedup_lat else None,
+            },
+            "dedup_kept_rows": dedup_kept,
             "changelog_rows": sum(seen),
             "changelog_drain_seconds": round(log_wall, 3),
             "changelog_rows_per_sec": int(sum(seen) / log_wall) if log_wall else None,
-            "note": "events: readStream parquet -> watermarked session_window "
-            "groupBy -> memory sink (availableNow); changelog: parquet CDC "
-            "log -> foreachBatch processor dispatch. Wall includes stream "
-            "planning + checkpoint IO; latency is per-trigger execution.",
+            "note": "events: 12 source files streamed 1 file/trigger "
+            "(availableNow) -> watermarked session_window groupBy -> memory "
+            "sink; latency percentiles are per-trigger execution over the "
+            "multi-batch run, state rows from the last progress. dedup: 10 "
+            "document micro-batches through IncrementalDedup (persistent "
+            "banded-signature store). changelog: parquet CDC log -> "
+            "foreachBatch processor dispatch.",
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -384,6 +559,9 @@ def main() -> None:
     scaling = _scaling_block(queries)
     if scaling is not None:
         merged["scaling"] = scaling
+        sf10 = _sf10_block(scaling.get("queries"))
+        if sf10 is not None:
+            merged["scaling_sf10"] = sf10
     streaming = _streaming_block()
     if streaming is not None:
         merged["streaming"] = streaming
