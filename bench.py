@@ -261,25 +261,66 @@ def _scaling_block(base_queries: dict[str, float]) -> dict | None:
     )
     if res is None:
         return None
+    queries = dict(res["queries"])
+    queries, confirm_note = _confirm_flags(
+        queries, base_queries, scale_dir, threshold=15.0
+    )
     ratios = {
         q: round(t / base_queries[q], 1)
-        for q, t in res["queries"].items()
+        for q, t in queries.items()
         if base_queries.get(q)
     }
     return {
         "sf": 1.0,
         "data_ratio": 10.0,
-        "total": res["value"],
-        "queries": res["queries"],
+        "total": round(sum(queries.values()), 3),
+        "queries": queries,
         "n_vertices": res.get("n_vertices"),
         "n_edges": res.get("n_edges"),
         "ratio_vs_sf0.1": ratios,
         "flagged_superlinear": sorted(q for q, r in ratios.items() if r > 15),
+        "flag_confirmation": confirm_note,
         "note": "one fresh JVM; adaptive reps (min-of-2 below 5s, single "
         "rep above); sf1 derived from sf0.1 via tools/make_scaled_sf.py "
         "(10x replication, key offsets, per-replica text/embedding "
-        "decorrelation)",
+        "decorrelation); queries whose first-pass ratio exceeded the "
+        "superlinear threshold are re-run once in a second fresh JVM "
+        "(min taken) so a transiently loaded host cannot fake a scale "
+        "regression",
     }
+
+
+def _confirm_flags(
+    queries: dict[str, float],
+    base_queries: dict[str, float],
+    sf_dir: str,
+    threshold: float,
+) -> tuple[dict[str, float], str | None]:
+    """Re-run queries whose scale ratio exceeds ``threshold`` once in a
+    second fresh JVM and keep the per-query min — separating real
+    superlinearity (reproduces) from transient host contention
+    (vanishes)."""
+    flagged = sorted(
+        q
+        for q, t in queries.items()
+        if base_queries.get(q) and t / base_queries[q] > threshold
+    )
+    if not flagged:
+        return queries, None
+    res2 = _run_single(
+        {
+            "SPARK_GRAFT_SF_DIR": sf_dir,
+            "SPARK_GRAFT_BENCH_REPS": "1",
+            "SPARK_GRAFT_BENCH_ONLY": ",".join(flagged),
+        }
+    )
+    if res2 is None:
+        return queries, f"confirmation pass failed for {flagged}"
+    out = dict(queries)
+    for q in flagged:
+        if q in res2["queries"]:
+            out[q] = min(out[q], res2["queries"][q])
+    return out, f"first-pass flags re-run in a fresh JVM: {flagged}"
 
 
 SF10_FLAGSHIPS = [
@@ -338,16 +379,21 @@ def _sf10_block(sf1_queries: dict[str, float] | None) -> dict | None:
     )
     if res is None:
         return None
+    queries = dict(res["queries"])
+    queries, confirm_note = _confirm_flags(
+        queries, sf1_queries, sf10_dir, threshold=15.0
+    )
     ratios = {
         q: round(t / sf1_queries[q], 1)
-        for q, t in res["queries"].items()
+        for q, t in queries.items()
         if sf1_queries.get(q)
     }
     return {
         "sf": 10.0,
         "data_ratio_vs_sf1": 10.0,
-        "total": res["value"],
-        "queries": res["queries"],
+        "total": round(sum(queries.values()), 3),
+        "queries": queries,
+        "flag_confirmation": confirm_note,
         "n_vertices": res.get("n_vertices"),
         "n_edges": res.get("n_edges"),
         "ratio_vs_sf1": ratios,
