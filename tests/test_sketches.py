@@ -46,3 +46,72 @@ def test_cms_mergeable_across_partitions(spark):
     for k, v in p2.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == whole
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+
+def test_hll_estimate_accuracy(spark):
+    """p=8 (256 registers) has theoretical stderr 1.04/sqrt(m) ~ 6.5%;
+    a 10k-distinct stream must estimate within 4 sigma (26%), and in
+    practice lands much closer."""
+    from titan_spark.pipeline.sketches import hll_distinct
+
+    items = spark.range(10_000).select(
+        F.concat(F.lit("user-"), F.col("id")).alias("item")
+    )
+    est = hll_distinct(items, "item", p=8).collect()[0]["estimate"]
+    assert abs(est - 10_000) / 10_000 < 0.26
+    # duplicates never change the registers: 3x the same stream
+    tripled = items.unionByName(items).unionByName(items)
+    est3 = hll_distinct(tripled, "item", p=8).collect()[0]["estimate"]
+    assert est3 == est
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities fall into the linear-counting branch and are
+    near-exact (it is exact until register collisions)."""
+    from titan_spark.pipeline.sketches import hll_distinct
+
+    items = spark.range(30).select(F.concat(F.lit("x"), F.col("id")).alias("item"))
+    est = hll_distinct(items, "item", p=8).collect()[0]["estimate"]
+    assert abs(est - 30) <= 2
+
+
+def test_hll_merge_equals_rebuild(spark):
+    """union+max of shard sketches == sketch of the union (lossless
+    mergeability — the property that makes it a shard/day aggregate)."""
+    from titan_spark.pipeline.sketches import hll_build, hll_merge
+
+    a = spark.range(0, 4000).select(F.concat(F.lit("u"), F.col("id")).alias("item"))
+    b = spark.range(3000, 7000).select(F.concat(F.lit("u"), F.col("id")).alias("item"))
+    whole = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_build(a.unionByName(b), "item").collect()
+    }
+    merged = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_merge(hll_build(a, "item"), hll_build(b, "item")).collect()
+    }
+    assert merged == whole
+
+
+def test_hll_registers_match_duckdb(spark, tmp_path):
+    """The register table replays bit-identically in DuckDB from the
+    same h60 bit budget (the oracle contract of the hll_users row)."""
+    import duckdb
+
+    from titan_spark.pipeline.sketches import hll_build, hll_register_sql
+
+    items = spark.range(500).select(
+        F.concat(F.lit("k"), F.col("id")).alias("item")
+    )
+    pq = str(tmp_path / "items.parquet")
+    items.write.parquet(pq)
+    got = {
+        r["bucket"]: r["max_rho"] for r in hll_build(items, "item", p=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW items AS SELECT * FROM '{pq}/*.parquet'")
+    want = dict(con.execute(hll_register_sql("item", "items", p=8)).fetchall())
+    assert got == want

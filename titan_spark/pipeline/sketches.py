@@ -121,3 +121,103 @@ def cms_bucket_sql(expr: str, row: int, width: int) -> str:
     """DuckDB twin of the salted row-bucket hash (oracle builder)."""
     salted = f"'cm{row}:' || {expr}"
     return f"({portable_hash64_sql(salted)} % {width})"
+
+
+# ---------------------------------------------------------------- HyperLogLog
+#
+# Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm", AofA 2007. m = 2^p
+# registers; each item's h60 hash spends p low bits on the bucket and
+# the remaining W = 60-p bits on rho = leading-zero run + 1; register
+# j keeps max rho. Estimate = alpha_m * m^2 / sum(2^-M_j) with the
+# standard small-range linear-counting correction.
+#
+# Why it matters at 100 TB: COUNT(DISTINCT) over an open domain (users,
+# URLs, shingles) shuffles the full key set; the HLL register table is
+# a FIXED-SIZE mergeable aggregate (elementwise max), so distinct
+# estimation costs m rows of traffic regardless of corpus size and
+# composes across shards/days by a trivial union+max — the same
+# mergeability contract as the CM sketch above. Spark ships
+# approx_count_distinct (also HLL) for the one-shot case; this
+# implementation exposes the REGISTERS so sketches persist, merge
+# across pipelines, and replay bit-identically in ANSI SQL (the
+# portable-h60 trick — approx_count_distinct's internal hash cannot be
+# oracle-checked).
+
+_HLL_BITS = 60  # width of the portable h60 hash
+
+
+def hll_build(items: DataFrame, item_col: str = "item", p: int = 8) -> DataFrame:
+    """One pass → the register table (bucket, max_rho), ≤ 2^p rows.
+
+    bucket = h % m (low p bits); rho = position of the first 1-bit in
+    the remaining W-bit window, via ``W - length(bin(rest)) + 1``
+    (``bin`` is minimal-width in both Spark and DuckDB, so bit_length
+    is a string length — no float log2 edge cases). The groupBy-max is
+    map-side combinable: each task emits ≤ m rows."""
+    m = 1 << p
+    w = _HLL_BITS - p
+    h = portable_hash64(F.col(item_col))
+    rest = F.floor(h / F.lit(m)).cast("long")
+    rho = (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.lit(w) - F.length(F.bin(rest)) + 1)
+        .cast("int")
+    )
+    return (
+        items.select(
+            F.pmod(h, F.lit(m)).cast("int").alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables from independent passes (shards, days,
+    engines) into one sketch: elementwise max — the lossless HLL merge."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+    """One-row (estimate) from a register table. Buckets absent from
+    the table are empty registers (rho 0 → 2^-0 = 1 each); linear
+    counting replaces the raw estimate in the small range
+    (E ≤ 2.5m with empty registers), per the published algorithm."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    agg = sketch.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s"),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    zeros = F.lit(m) - F.col("nz")
+    raw = F.lit(alpha * m * m) / (F.coalesce(F.col("s"), F.lit(0.0)) + zeros)
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
+    return agg.select(F.round(est).cast("long").alias("estimate"))
+
+
+def hll_distinct(items: DataFrame, item_col: str = "item", p: int = 8) -> DataFrame:
+    """Convenience: build + estimate in one call → one-row (estimate)."""
+    return hll_estimate(hll_build(items, item_col, p), p)
+
+
+def hll_register_sql(expr: str, from_clause: str, p: int = 8) -> str:
+    """DuckDB twin of :func:`hll_build` (oracle builder): the exact
+    same registers from the same h60 bit budget."""
+    m = 1 << p
+    w = _HLL_BITS - p
+    h = portable_hash64_sql(expr)
+    return f"""
+    WITH hh AS (SELECT {h} AS h FROM {from_clause}),
+    reg AS (
+        SELECT CAST(h % {m} AS INT) AS bucket,
+               CAST(max(CASE WHEN h // {m} = 0 THEN {w + 1}
+                    ELSE {w} - length(bin(h // {m})) + 1 END) AS INT) AS max_rho
+        FROM hh GROUP BY 1
+    )
+    SELECT bucket, max_rho FROM reg
+"""

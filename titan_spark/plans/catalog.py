@@ -4811,6 +4811,33 @@ ORACLE_SQL["prop_meta_filter"] = f"""
 """
 
 
+def q_hll_users(spark, sf_dir):
+    """HyperLogLog distinct-user sketch (Flajolet 2007) over the events
+    stream: the REGISTER TABLE (bucket, max_rho) at p=8 — a fixed-size
+    mergeable aggregate (elementwise max) replacing a full
+    COUNT(DISTINCT) key shuffle at scale. Registers are built from the
+    portable h60 bit budget, so the oracle replays them
+    bit-identically; the estimator itself (alpha·m²/Σ2^-M with linear
+    counting) is pinned by pytest against exact distinct counts."""
+    from titan_spark.pipeline.sketches import hll_build
+
+    ev = tables(spark, sf_dir)["events"]
+    items = ev.select(F.col("user_id").cast("string").alias("item"))
+    return hll_build(items, "item", p=8)
+
+
+QUERIES["hll_users"] = q_hll_users
+
+
+def _hll_users_oracle() -> str:
+    from titan_spark.pipeline.sketches import hll_register_sql
+
+    return hll_register_sql("CAST(user_id AS VARCHAR)", "events", p=8)
+
+
+ORACLE_SQL["hll_users"] = _hll_users_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 entries. Promote the round-5 flagships line_dedup /
