@@ -185,3 +185,56 @@ def test_embed_topk_pairs_arrow_matches_fold(spark, tables):
     fold = [tuple(r) for r in embedding_topk_pairs(emb, k=10, kernel="fold").collect()]
     arrow = [tuple(r) for r in embedding_topk_pairs(emb, k=10, kernel="arrow").collect()]
     assert fold == arrow
+
+
+# ------------------------------------------------- random projection (JL)
+
+
+def test_jl_projection_preserves_distances(spark):
+    """JL lemma: pairwise Euclidean distances survive the 64->16
+    hash-sign projection within bounded distortion. With k=16 the
+    per-pair guarantee is loose, so assert the MEDIAN distortion over
+    many pairs is small and every pair stays within a generous band."""
+    from titan_spark.pipeline.similarity import random_project
+
+    rows = [
+        (i, [((i * 13 + j * 7) % 17 - 8) / 8.0 for j in range(64)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    proj = {r["vec_id"]: r["proj"] for r in random_project(df, out_dim=16).collect()}
+    orig = dict(rows)
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = []
+    for i in range(0, 40, 3):
+        for j in range(i + 1, 40, 5):
+            d0 = dist(orig[i], orig[j])
+            if d0 > 1e-9:
+                ratios.append(dist(proj[i], proj[j]) / d0)
+    ratios.sort()
+    assert 0.8 < ratios[len(ratios) // 2] < 1.25, ratios[len(ratios) // 2]
+    assert all(0.3 < r < 2.5 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_jl_projection_deterministic_and_shaped(spark):
+    from titan_spark.pipeline.similarity import jl_sign_matrix, random_project
+
+    mat = jl_sign_matrix(8, 4)
+    assert mat == jl_sign_matrix(8, 4)
+    assert {abs(x) for row in mat for x in row} == {0.5}
+    # signs are balanced-ish (md5 low bit), not degenerate
+    total = sum(x for row in mat for x in row)
+    assert abs(total) < 8 * 4 * 0.5
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [0.0] * 8)], ["vec_id", "embedding"]
+    )
+    out = {r["vec_id"]: r["proj"] for r in random_project(df, out_dim=4, in_dim=8).collect()}
+    assert len(out[0]) == 4
+    assert out[1] == [0.0, 0.0, 0.0, 0.0]
+    # projecting the all-ones vector gives the column sums of the matrix
+    col_sums = [round(sum(mat[i][j] for i in range(8)), 6) for j in range(4)]
+    assert out[0] == col_sums

@@ -1132,3 +1132,65 @@ def ivfpq_search(
         .orderBy(F.col("adc").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ------------------------------------------------- random projection (JL)
+#
+# Johnson & Lindenstrauss (1984) via Achlioptas (2003): projecting onto
+# k random +-1 directions scaled by 1/sqrt(k) preserves all pairwise
+# Euclidean distances within (1 +- eps) for k = O(log n / eps^2),
+# independent of the INPUT dimension. The standard pre-step before
+# clustering / ANN / dedup over high-dimensional embeddings: a 1024-d
+# corpus projects to 64-d once, and every downstream distance
+# computation gets 16x cheaper with bounded distortion.
+#
+# Scale shape: the sign matrix is in_dim x out_dim literals compiled
+# into the plan (a few KB even at 4096x128 — broadcast-free), each row
+# is out_dim zip_with/aggregate dot products in whole-stage codegen —
+# ONE scan, ZERO shuffle, no Python per row. Signs derive from the
+# portable h60 hash of "jl:<seed>:<i>:<j>", so the exact matrix — and
+# therefore every projected value — replays in ANSI SQL.
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int, seed: str = "jl") -> list[list[float]]:
+    """Deterministic Achlioptas +-1/sqrt(k) matrix, (in_dim, out_dim).
+
+    Entry (i, j) = +-1/sqrt(out_dim) with the sign taken from the low
+    bit of h60(md5("jl:<seed>:<i>:<j>")) — the same digest
+    :func:`titan_spark.functions.hashing.portable_hash64` computes, so
+    a DuckDB oracle regenerates the identical matrix."""
+    import hashlib
+
+    scale = 1.0 / (out_dim ** 0.5)
+    mat = []
+    for i in range(in_dim):
+        row = []
+        for j in range(out_dim):
+            h = int(hashlib.md5(f"jl:{seed}:{i}:{j}".encode()).hexdigest()[:15], 16)
+            row.append(scale if h % 2 == 1 else -scale)
+        mat.append(row)
+    return mat
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "jl",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """JL random projection → (id_col, proj: array<double> of out_dim).
+
+    Each output coordinate is a strict left-to-right float64 fold over
+    zip_with(vec, sign_column) — bit-reproducible, matching DuckDB's
+    list_dot_product for the oracle. ``in_dim`` defaults to the length
+    of the first vector (one tiny driver lookup)."""
+    if in_dim is None:
+        in_dim = len(df.select(vec_col).first()[0])
+    mat = jl_sign_matrix(in_dim, out_dim, seed)
+    cols = []
+    for j in range(out_dim):
+        sign_col = F.array(*[F.lit(mat[i][j]) for i in range(in_dim)])
+        cols.append(F.round(_dot(F.col(vec_col), sign_col), 6))
+    return df.select(F.col(id_col), F.array(*cols).alias("proj"))

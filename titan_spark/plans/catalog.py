@@ -4838,6 +4838,38 @@ def _hll_users_oracle() -> str:
 ORACLE_SQL["hll_users"] = _hll_users_oracle()
 
 
+def q_jl_project(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64-d → 16-d over the
+    embeddings table: hash-derived Achlioptas ±1/√k sign matrix
+    compiled into the plan as literals, one strict-float64 fold per
+    output coordinate — one scan, zero shuffle, no Python per row. The
+    oracle regenerates the identical matrix from the same md5-derived
+    sign bits and replays every projected value via list_dot_product."""
+    from titan_spark.pipeline.similarity import random_project
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    return random_project(emb, out_dim=16, in_dim=64)
+
+
+QUERIES["jl_project"] = q_jl_project
+
+
+def _jl_project_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
+    from titan_spark.pipeline.similarity import jl_sign_matrix
+
+    mat = jl_sign_matrix(in_dim, out_dim)
+    dots = ", ".join(
+        "ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(["
+        + ", ".join(repr(mat[i][j]) for i in range(in_dim))
+        + "] AS DOUBLE[])), 6)"
+        for j in range(out_dim)
+    )
+    return f"SELECT vec_id, [{dots}] AS proj FROM embeddings"
+
+
+ORACLE_SQL["jl_project"] = _jl_project_oracle()
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 entries. Promote the round-5 flagships line_dedup /
