@@ -220,7 +220,7 @@ def _cc_loop(state, und, max_iterations):
     return state
 
 
-def degree_oriented_edges(und: DataFrame) -> DataFrame:
+def degree_oriented_edges(und: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Orient each undirected edge (a, b) from its (degree, id)-smaller
     endpoint to the larger → (u, v, dv) with dv = degree of the head.
 
@@ -231,13 +231,17 @@ def degree_oriented_edges(und: DataFrame) -> DataFrame:
     out-degree ~0 — all its edges point INTO it and no wedges are
     enumerated there. Plain id-ordering gives the hub ~d²/2 wedges
     whenever its id happens to sort low.
+
+    ``deg`` lets a caller that already aggregated (id, d) over the same
+    edge set share it instead of paying the degree shuffle twice.
     """
-    deg = (
-        und.select(F.col("a").alias("id"))
-        .unionAll(und.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    if deg is None:
+        deg = (
+            und.select(F.col("a").alias("id"))
+            .unionAll(und.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
     und_d = (
         und.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
         .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
@@ -255,24 +259,34 @@ def degree_oriented_edges(und: DataFrame) -> DataFrame:
 def _enumerate_triangles(oriented: DataFrame) -> DataFrame:
     """Each undirected triangle exactly once → (v1, v2, v3), where v1
     is the wedge source and (v2, v3) the heads in (degree, id) order,
-    over a :func:`degree_oriented_edges` edge set. Wedge (u→v, u→w)
-    with (dv, v) < (dw, w); the closing edge {v, w}, if present, is
-    oriented v→w under the same total order."""
-    e1 = oriented.alias("e1")
-    e2 = oriented.alias("e2")
-    e3 = oriented.select("u", "v").alias("e3")
-    heads_ordered = (F.col("e1.dv") < F.col("e2.dv")) | (
-        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
-    )
+    over a :func:`degree_oriented_edges` edge set.
+
+    Edge-iterator formulation: collect each source's out-neighbor
+    array (bounded by the orientation at O(sqrt m) elements), join it
+    onto both endpoints of every oriented edge, and explode the array
+    intersection — for edge u→v, every common out-neighbor w closes
+    the triangle (u, v, w) with heads in (degree, id) order, since
+    w ∈ N+(v) means the closing edge is oriented v→w under the same
+    total order. Identical rows to the wedge-join formulation it
+    replaced, but shuffle volume is O(|E|) edge rows + O(|E|) array
+    payload instead of materializing every oriented wedge (a
+    co-membership graph here measured 1.8 M edges but 14 M wedges —
+    the wedge semi-join was ~2× slower end-to-end)."""
+    nbrs = oriented.groupBy("u").agg(F.collect_list("v").alias("ns"))
     return (
-        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & heads_ordered)
+        oriented.select("u", "v")
         .join(
-            e3,
-            (F.col("e1.v") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
-            "left_semi",
+            nbrs.select(F.col("u").alias("_su"), F.col("ns").alias("nu")),
+            F.col("u") == F.col("_su"),
+        )
+        .join(
+            nbrs.select(F.col("u").alias("_sv"), F.col("ns").alias("nv")),
+            F.col("v") == F.col("_sv"),
         )
         .select(
-            F.col("e1.u").alias("v1"), F.col("e1.v").alias("v2"), F.col("e2.v").alias("v3")
+            F.col("u").alias("v1"),
+            F.col("v").alias("v2"),
+            F.explode(F.array_intersect("nu", "nv")).alias("v3"),
         )
     )
 
@@ -1846,7 +1860,15 @@ def transitivity(
     per-vertex :func:`clustering_coefficient`. Triangles come from
     the degree-ordered (hub-safe) enumeration; wedges are
     Σ d(d−1)/2 from one degree aggregation — two single-row
-    aggregates joined broadcast-of-one-row."""
+    aggregates joined broadcast-of-one-row.
+
+    Unlike :func:`clustering_coefficient` this never needs per-vertex
+    triangle rows, so the whole per-vertex tail of
+    :func:`triangle_count` (explode to 3 rows/triangle, vertex groupBy,
+    join back to the vertex table, eager materialization) is skipped:
+    the enumerated triangle stream feeds ONE count aggregate, and the
+    (id, d) degree table is shared between the wedge sum and the
+    degree orientation instead of being aggregated twice."""
     e = graph.edges
     if edge_labels:
         e = e.filter(F.col("label").isin(list(edge_labels)))
@@ -1854,6 +1876,7 @@ def transitivity(
         e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
+        .cache()
     )
     deg = (
         und.select(F.col("a").alias("id"))
@@ -1864,11 +1887,11 @@ def transitivity(
     w = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
     )
-    t = (
-        triangle_count(graph, edge_labels)
-        .agg((F.sum("triangles") / 3).cast("long").alias("n_triangles"))
+    oriented = degree_oriented_edges(und, deg).cache()
+    t = _enumerate_triangles(oriented).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )
-    return t.crossJoin(w).select(
+    out = t.crossJoin(w).select(
         F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
         F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
         F.round(
@@ -1879,3 +1902,7 @@ def transitivity(
             6,
         ).alias("transitivity"),
     )
+    out = cut_lineage(out, eager=True)
+    oriented.unpersist(blocking=False)
+    und.unpersist(blocking=False)
+    return out
