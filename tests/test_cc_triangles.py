@@ -576,3 +576,24 @@ def test_transitivity_closed_forms(spark):
     row2 = transitivity(PropertyGraph(v, star)).collect()[0]
     assert row2["n_triangles"] == 0 and row2["n_wedges"] == 3
     assert row2["transitivity"] == 0.0
+
+
+def test_dedup_weights_soft_mass(spark):
+    """Cluster {1,2,3} and {10,11} under alpha=1: members weigh 1/size
+    so each cluster sums to one document of mass; 99 is untouched and
+    keeps weight 1 with itself as rep."""
+    from titan_spark.pipeline.dedup import dedup_weights
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r for r in dedup_weights(docs, pairs).collect()}
+    assert {k: v["cluster_rep"] for k, v in rows.items()} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99
+    }
+    assert {k: v["cluster_size"] for k, v in rows.items()} == {
+        1: 3, 2: 3, 3: 3, 10: 2, 11: 2, 99: 1
+    }
+    assert abs(sum(v["weight"] for v in rows.values()) - 3.0) < 1e-5
+    # alpha=0.5 interpolates toward keeping everything
+    half = {r["doc_id"]: r["weight"] for r in dedup_weights(docs, pairs, alpha=0.5).collect()}
+    assert abs(half[1] - 3 ** -0.5) < 1e-6 and half[99] == 1.0

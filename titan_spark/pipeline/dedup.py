@@ -340,6 +340,47 @@ def dedup_clusters(pairs: DataFrame, out_id: str = "doc_id") -> DataFrame:
     return cc.select(F.col("id").alias(out_id), F.col("component").alias("cluster_rep"))
 
 
+def dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Soft dedup: instead of dropping near-dup losers, down-weight
+    every member of a duplicate cluster → (id_col, cluster_rep,
+    cluster_size, weight) with weight = cluster_size^-alpha.
+
+    alpha=1 makes each cluster contribute one document's worth of
+    sampling mass in total (the sum of its member weights is 1) — the
+    standard alternative to hard dedup when duplicates carry signal
+    (popular pages, boilerplate variants) that exact removal would
+    erase; alpha<1 interpolates toward keeping everything. Documents
+    in no pair are singleton clusters at weight 1.
+
+    Scale shape: the pair graph is tiny next to the corpus (dup volume,
+    not corpus volume); cluster sizes are one aggregate over the CC
+    output, and the corpus-sized join is a left join on the doc id —
+    no per-document work beyond it.
+    """
+    clusters = dedup_clusters(pairs, out_id=id_col)
+    sizes = clusters.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(clusters.join(sizes, "cluster_rep"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_rep", F.col(id_col)).alias("cluster_rep"),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+            F.round(
+                F.pow(F.coalesce("cluster_size", F.lit(1)).cast("double"), F.lit(-float(alpha))),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -4870,6 +4870,59 @@ def _jl_project_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
 ORACLE_SQL["jl_project"] = _jl_project_oracle()
 
 
+def q_dedup_weights(spark, sf_dir):
+    """Soft dedup: every document weighted cluster_size^-1 over the
+    jaccard≥0.5 near-dup clusters — each cluster contributes one
+    document's worth of sampling mass instead of hard-dropping losers;
+    singletons keep weight 1. (doc_id, cluster_rep, cluster_size,
+    weight)."""
+    from titan_spark.pipeline.dedup import dedup_weights
+
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = q_jaccard_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_weights(docs, pairs)
+
+
+QUERIES["dedup_weights"] = q_dedup_weights
+
+ORACLE_SQL["dedup_weights"] = f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, {_toks()} AS toks FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(CAST(len(toks) AS INT) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' ')
+               )) AS sh
+        FROM t
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
+    ), und AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+    ), comp AS (
+        SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY 1
+    ), sizes AS (
+        SELECT cluster_rep, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+           CAST(COALESCE(z.cluster_size, 1) AS BIGINT) AS cluster_size,
+           ROUND(POW(COALESCE(z.cluster_size, 1), -1.0), 6) AS weight
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    LEFT JOIN sizes z ON z.cluster_rep = c.cluster_rep
+"""
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 entries. Promote the round-5 flagships line_dedup /
