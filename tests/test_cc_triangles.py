@@ -597,3 +597,32 @@ def test_dedup_weights_soft_mass(spark):
     # alpha=0.5 interpolates toward keeping everything
     half = {r["doc_id"]: r["weight"] for r in dedup_weights(docs, pairs, alpha=0.5).collect()}
     assert abs(half[1] - 3 ** -0.5) < 1e-6 and half[99] == 1.0
+
+
+def test_approximate_diameter_closed_forms(spark):
+    """Path P5: double sweep is exact (diameter 4, start = an interior
+    max-degree vertex, far = an endpoint). Star: diameter_lb 2.
+    Edgeless: empty result."""
+    from titan_spark.compute import approximate_diameter
+    from titan_spark.graph import PropertyGraph
+
+    def g(vids, pairs):
+        v = spark.createDataFrame([(i, "x") for i in vids], ["id", "label"])
+        e = spark.createDataFrame(
+            [(0, a, b, "e") for a, b in pairs],
+            "edge_id long, src long, dst long, label string",
+        )
+        return PropertyGraph(v, e)
+
+    path = g(range(5), [(0, 1), (1, 2), (2, 3), (3, 4)])
+    row = approximate_diameter(path).collect()[0]
+    # degree-2 tie at vertices 1,2,3 -> min id 1; ecc(1)=3 to vertex 4;
+    # second sweep from 4 finds the true diameter 4
+    assert (row["start_id"], row["ecc_start"], row["far_id"], row["diameter_lb"]) == (1, 3, 4, 4)
+
+    star = g(range(6), [(0, i) for i in range(1, 6)])
+    row = approximate_diameter(star).collect()[0]
+    assert row["start_id"] == 0 and row["ecc_start"] == 1 and row["diameter_lb"] == 2
+
+    empty = g([1, 2], [])
+    assert approximate_diameter(empty).count() == 0

@@ -1906,3 +1906,81 @@ def transitivity(
     oriented.unpersist(blocking=False)
     und.unpersist(blocking=False)
     return out
+
+
+def approximate_diameter(
+    graph: PropertyGraph,
+    edge_labels: tuple[str, ...] = (),
+    max_iterations: int = 40,
+) -> DataFrame:
+    """Double-sweep BFS diameter estimate (Magnien, Latapy & Habib
+    2009) → one row (start_id, ecc_start, far_id, diameter_lb).
+
+    Sweep 1 runs an undirected BFS from the max-degree vertex (ties →
+    min id) and takes its eccentricity; sweep 2 re-runs BFS from the
+    farthest vertex found (ties → min id) — that second eccentricity
+    is a LOWER bound on the true diameter, exact on trees and within a
+    small additive error on most real graphs (the standard cheap
+    alternative to the all-pairs computation, which is quadratic and
+    off the table at scale).
+
+    Scale shape: two frontier BFS passes (round cost tracks the
+    frontier, like :func:`shortest_distance`) plus three 1-row driver
+    lookups (start pick, farthest pick, final max) — nothing
+    corpus-sized ever reaches the driver.
+
+    Reference analog: eccentricity-style OLAP jobs run as repeated
+    scan rounds over the full graph (FulgoraGraphComputer's
+    iteration loop); the double sweep needs exactly two of them.
+    """
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .cache()
+    )
+    sym = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .select(
+            F.lit(0).cast("long").alias("edge_id"),
+            "src",
+            "dst",
+            F.lit("sym").alias("label"),
+        )
+    )
+    g2 = PropertyGraph(graph.vertices, sym)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    start = deg.orderBy(F.col("d").desc(), F.col("id").asc()).first()
+    if start is None:  # edgeless graph
+        und.unpersist(blocking=False)
+        return graph.vertices.sparkSession.createDataFrame(
+            [], "start_id long, ecc_start long, far_id long, diameter_lb long"
+        )
+    start_id = start["id"]
+    d1 = shortest_distance(
+        g2, seed_id=start_id, direction="out", max_iterations=max_iterations
+    )
+    far = (
+        d1.filter(F.col("distance").isNotNull())
+        .orderBy(F.col("distance").desc(), F.col("id").asc())
+        .first()
+    )
+    ecc_start, far_id = int(far["distance"]), far["id"]
+    d2 = shortest_distance(
+        g2, seed_id=far_id, direction="out", max_iterations=max_iterations
+    )
+    lb = d2.agg(F.max("distance").alias("m")).first()["m"]
+    und.unpersist(blocking=False)
+    return graph.vertices.sparkSession.createDataFrame(
+        [(int(start_id), ecc_start, int(far_id), int(lb))],
+        "start_id long, ecc_start long, far_id long, diameter_lb long",
+    )

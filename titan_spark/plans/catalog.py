@@ -4870,6 +4870,84 @@ def _jl_project_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
 ORACLE_SQL["jl_project"] = _jl_project_oracle()
 
 
+def q_graph_diameter(spark, sf_dir):
+    """Double-sweep BFS diameter estimate on the undirected geography
+    graph: BFS from the max-degree vertex (a nation), re-BFS from the
+    farthest vertex found — one row (start_id, ecc_start, far_id,
+    diameter_lb). The geography graph's true diameter is 4
+    (customer–nation–region–nation–customer), which the double sweep
+    attains; the oracle replays both deterministic sweeps as fixed-
+    round min-plus BFS."""
+    from titan_spark.compute import approximate_diameter
+
+    return approximate_diameter(_geo_subgraph(spark, sf_dir))
+
+
+QUERIES["graph_diameter"] = q_graph_diameter
+
+
+def _graph_diameter_oracle(rounds: int = 6) -> str:
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    def bfs(tag: str, seed_expr: str) -> str:
+        prev = f"{tag}0"
+        # MATERIALIZED: DuckDB inlines plain CTEs, and each BFS round
+        # references the previous one twice — unhinted, the two chained
+        # sweeps expand the scan tree exponentially (observed as
+        # thousands of parquet file-opens before the first row)
+        steps = [
+            f"""{tag}0 AS MATERIALIZED (
+        SELECT CAST(({seed_expr}) AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+    )"""
+        ]
+        for r in range(1, rounds + 1):
+            steps.append(
+                f"""{tag}{r} AS MATERIALIZED (
+        SELECT id, MIN(d) AS d FROM (
+            SELECT id, d FROM {prev}
+            UNION ALL
+            SELECT ue.v AS id, p.d + 1 AS d FROM {prev} p JOIN ue ON p.id = ue.u
+        ) GROUP BY 1
+    )"""
+            )
+            prev = f"{tag}{r}"
+        return ",\n    ".join(steps), prev
+
+    sweep1, last1 = bfs("x", "SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 1")
+    sweep2, last2 = bfs(
+        "y", f"SELECT id FROM {last1} ORDER BY d DESC, id ASC LIMIT 1"
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+               CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+    ),
+    ue AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM e
+        UNION
+        SELECT dst AS u, src AS v FROM e
+    ),
+    deg AS MATERIALIZED (
+        SELECT u AS id, COUNT(*) AS d FROM ue GROUP BY 1
+    ),
+    {sweep1},
+    {sweep2}
+    SELECT (SELECT id FROM x0) AS start_id,
+           (SELECT MAX(d) FROM {last1}) AS ecc_start,
+           (SELECT id FROM y0) AS far_id,
+           (SELECT MAX(d) FROM {last2}) AS diameter_lb
+"""
+
+
+ORACLE_SQL["graph_diameter"] = _graph_diameter_oracle()
+
+
 def q_dedup_weights(spark, sf_dir):
     """Soft dedup: every document weighted cluster_size^-1 over the
     jaccard≥0.5 near-dup clusters — each cluster contributes one
