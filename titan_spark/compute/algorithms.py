@@ -1984,3 +1984,267 @@ def approximate_diameter(
         [(int(start_id), ecc_start, int(far_id), int(lb))],
         "start_id long, ecc_start long, far_id long, diameter_lb long",
     )
+
+
+def modularity(
+    graph: PropertyGraph,
+    assignment: DataFrame,
+    weight_col: str | None = None,
+    edge_labels: tuple[str, ...] = (),
+) -> DataFrame:
+    """Newman modularity Q of a community assignment → one row
+    (n_communities, m_edges, modularity).
+
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] over communities c, where e_c is the
+    weight of intra-community edges, d_c the total weighted degree of
+    the community's members, and m the total edge weight — computed on
+    the deduplicated undirected edge set (self-loops dropped). The
+    quality functional Louvain maximizes, exposed separately so ANY
+    partition (Louvain, LPA, an external labeling) can be scored, and
+    because Q of a deterministic partition is plain SQL — the oracle
+    replays it value-exactly even when the partitioner itself isn't
+    SQL-expressible.
+
+    Scale shape: one join of the edge list against the assignment on
+    each endpoint, one community aggregate, one 1-row reduce — no
+    iteration, nothing driver-sized beyond the final row.
+    """
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            w.alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+    )
+    asg = assignment.select(F.col("id"), F.col("community"))
+    labeled = (
+        und.join(asg.select(F.col("id").alias("a"), F.col("community").alias("ca")), "a")
+        .join(asg.select(F.col("id").alias("b"), F.col("community").alias("cb")), "b")
+    )
+    # per-community intra weight and total degree (each edge adds its
+    # weight to both endpoints' communities)
+    intra = (
+        labeled.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.sum("w").alias("e_c"))
+    )
+    deg_c = (
+        labeled.select(F.col("ca").alias("community"), "w")
+        .unionAll(labeled.select(F.col("cb").alias("community"), "w"))
+        .groupBy("community")
+        .agg(F.sum("w").alias("d_c"))
+    )
+    m = und.agg(F.sum("w").alias("m"))
+    per_c = deg_c.join(intra, "community", "left").select(
+        "community", F.coalesce("e_c", F.lit(0.0)).alias("e_c"), "d_c"
+    )
+    return (
+        per_c.crossJoin(F.broadcast(m))
+        .select(
+            (F.col("e_c") / F.col("m")
+             - F.pow(F.col("d_c") / (2.0 * F.col("m")), 2)).alias("q"),
+            "m",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.round(F.first("m"), 6).alias("m_edges"),
+            F.round(F.sum("q"), 6).alias("modularity"),
+        )
+    )
+
+
+def louvain(
+    graph: PropertyGraph,
+    weight_col: str | None = None,
+    edge_labels: tuple[str, ...] = (),
+    levels: int = 2,
+    rounds_per_level: int = 4,
+) -> DataFrame:
+    """Louvain community detection (Blondel et al. 2008), synchronous
+    distributed variant → DataFrame(id, community) with community =
+    min member id of the final cluster.
+
+    Per level: every vertex simultaneously evaluates moving to each
+    neighboring community, taking the modularity gain
+    ΔQ ∝ k_in(v,c) − k(v)·Σ_tot(c)/(2m) and moving to the best
+    strictly-positive gain (ties → smaller community id); after
+    ``rounds_per_level`` synchronous rounds the graph is contracted
+    (communities become supervertices, parallel edge weights sum,
+    intra-community weight folds into self-loops) and the next level
+    repeats on the coarsened graph. Deterministic: no random vertex
+    order — simultaneous moves with a total tie order, the
+    batch-friendly formulation used by distributed Louvain
+    implementations (vs the inherently sequential original).
+
+    Scale shape: each round is one join of the edge triplets against
+    the current assignment, one (vertex, neighbor-community) aggregate,
+    and one argmax window per vertex — all keyed shuffles on frontier-
+    independent, linear-in-|E| relations; contraction shrinks |V| and
+    |E| geometrically across levels. One scalar collect per level (the
+    total weight m).
+    """
+    from pyspark.sql import Window
+
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    # undirected weighted edge list, deduped; self-loops carry intra
+    # weight at coarser levels (loop weight counts ONCE in k(v))
+    cur = (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            w.alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+    )
+    # mapping from original vertex id to current-level supervertex
+    mapping = graph.vertices.select(F.col("id"), F.col("id").alias("node"))
+
+    for _level in range(levels):
+        cur = cut_lineage(cur, eager=True)
+        m_row = cur.agg(F.sum("w")).first()[0]
+        if not m_row:
+            break
+        m2 = 2.0 * float(m_row)
+
+        nodes = (
+            cur.select(F.col("a").alias("node"))
+            .unionByName(cur.select(F.col("b").alias("node")))
+            .dropDuplicates(["node"])
+        )
+        # weighted degree: proper edges count at both ends; a self-loop
+        # (the contracted intra-community weight) counts TWICE, so a
+        # supervertex's k equals the d_c of the community it replaced
+        # and Q is preserved across levels
+        proper = cur.filter(F.col("a") != F.col("b"))
+        loops = cur.filter(F.col("a") == F.col("b"))
+        k = (
+            proper.select(F.col("a").alias("node"), "w")
+            .unionAll(proper.select(F.col("b").alias("node"), "w"))
+            .unionAll(loops.select(F.col("a").alias("node"), (2.0 * F.col("w")).alias("w")))
+            .groupBy("node")
+            .agg(F.sum("w").alias("k"))
+        )
+        comm = nodes.select("node", F.col("node").alias("community"))
+
+        for _round in range(rounds_per_level):
+            comm = cut_lineage(comm, eager=True)
+            sig_tot = (
+                k.join(comm, "node")
+                .groupBy("community")
+                .agg(F.sum("k").alias("sig"))
+            )
+            # k_in(v, c): weight from v to neighbors currently in c
+            half = proper.select("a", "b", "w").unionAll(
+                proper.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+            )
+            kin = (
+                half.join(
+                    comm.select(F.col("node").alias("b"), F.col("community").alias("c")),
+                    "b",
+                )
+                .groupBy(F.col("a").alias("node"), "c")
+                .agg(F.sum("w").alias("kin"))
+            )
+            # every vertex must have its OWN community as a candidate
+            # even when it has no intra-community edges (kin 0) —
+            # without the explicit stay row a vertex with only
+            # cross-community neighbors is forced into its best
+            # neighbor at NEGATIVE gain (observed: contracted
+            # supervertices pairwise-merging across bridges)
+            stay = comm.select(
+                "node", F.col("community").alias("c"), F.lit(0.0).alias("kin")
+            )
+            kin = (
+                kin.unionByName(stay)
+                .groupBy("node", "c")
+                .agg(F.max("kin").alias("kin"))
+            )
+            csize = comm.groupBy("community").agg(
+                F.count(F.lit(1)).alias("csize")
+            )
+            cand = (
+                kin.join(comm, "node")
+                .join(k, "node")
+                .join(sig_tot.select(F.col("community").alias("c"), "sig"), "c")
+                .join(csize.select(F.col("community").alias("c"), F.col("csize").alias("size_c")), "c")
+                .join(csize.withColumnRenamed("csize", "size_own"), "community")
+                .select(
+                    "node",
+                    "community",
+                    "c",
+                    # gain of v sitting in c, with v's own mass removed
+                    (
+                        F.col("kin")
+                        - F.col("k")
+                        * (F.col("sig") - F.when(F.col("c") == F.col("community"), F.col("k")).otherwise(F.lit(0.0)))
+                        / F.lit(m2)
+                    ).alias("gain"),
+                    "size_c",
+                    "size_own",
+                )
+                # Grappolo's singleton minimum-label heuristic: two
+                # singleton vertices whose best moves target each other
+                # would swap communities every synchronous round forever;
+                # allowing only the smaller-id direction breaks the
+                # symmetry (the larger id joins, the smaller stays)
+                .filter(
+                    (F.col("c") == F.col("community"))
+                    | ~(
+                        (F.col("size_own") == 1)
+                        & (F.col("size_c") == 1)
+                        & (F.col("c") > F.col("community"))
+                    )
+                )
+            )
+            # ties: prefer staying put (damps synchronous churn), then
+            # the smaller community id for determinism
+            wnd = Window.partitionBy("node").orderBy(
+                F.col("gain").desc(),
+                (F.col("c") != F.col("community")).asc(),
+                F.col("c").asc(),
+            )
+            best = (
+                cand.withColumn("rn", F.row_number().over(wnd))
+                .filter(F.col("rn") == 1)
+                .select("node", F.col("c").alias("new_community"))
+            )
+            comm = (
+                comm.join(best, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("new_community", "community").alias("community"),
+                )
+            )
+
+        # canonical community id = min member node id at this level
+        canon = comm.groupBy("community").agg(F.min("node").alias("canon"))
+        comm = comm.join(canon, "community").select("node", F.col("canon").alias("community"))
+        mapping = (
+            mapping.join(comm.withColumnRenamed("node", "_n"), mapping.node == F.col("_n"))
+            .select("id", F.col("community").alias("node"))
+        )
+        # contract: communities become vertices, edge weights sum
+        cur = (
+            cur.join(comm.select(F.col("node").alias("a"), F.col("community").alias("ca")), "a")
+            .join(comm.select(F.col("node").alias("b"), F.col("community").alias("cb")), "b")
+            .select(
+                F.least("ca", "cb").alias("a"),
+                F.greatest("ca", "cb").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+        )
+
+    return mapping.select("id", F.col("node").alias("community"))

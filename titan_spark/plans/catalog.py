@@ -4870,6 +4870,138 @@ def _jl_project_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
 ORACLE_SQL["jl_project"] = _jl_project_oracle()
 
 
+def q_geo_modularity(spark, sf_dir):
+    """Newman modularity Q of the by-nation partition of the geography
+    graph (customers/suppliers labeled with their nation, nations with
+    themselves, regions with themselves) — one row (n_communities,
+    m_edges, modularity). The metric Louvain maximizes, scored on a
+    deterministic partition so the oracle replays Q value-exactly."""
+    from titan_spark.compute import modularity
+
+    sub = _geo_subgraph(spark, sf_dir)
+    n_off, r_off = OFF["nation"], OFF["region"]
+    t = tables(spark, sf_dir)
+    asg = (
+        t["customer"].select(
+            (F.lit(OFF["customer"]) + F.col("c_custkey")).cast("long").alias("id"),
+            (F.lit(n_off) + F.col("c_nationkey")).cast("long").alias("community"),
+        )
+        .unionByName(
+            t["supplier"].select(
+                (F.lit(OFF["supplier"]) + F.col("s_suppkey")).cast("long").alias("id"),
+                (F.lit(n_off) + F.col("s_nationkey")).cast("long").alias("community"),
+            )
+        )
+        .unionByName(
+            t["nation"].select(
+                (F.lit(n_off) + F.col("n_nationkey")).cast("long").alias("id"),
+                (F.lit(n_off) + F.col("n_nationkey")).cast("long").alias("community"),
+            )
+        )
+        .unionByName(
+            t["region"].select(
+                (F.lit(r_off) + F.col("r_regionkey")).cast("long").alias("id"),
+                (F.lit(r_off) + F.col("r_regionkey")).cast("long").alias("community"),
+            )
+        )
+    )
+    return modularity(sub, asg)
+
+
+QUERIES["geo_modularity"] = q_geo_modularity
+
+ORACLE_SQL["geo_modularity"] = f"""
+    WITH e AS MATERIALIZED (
+        SELECT CAST({OFF['customer']} + c_custkey AS BIGINT) AS a,
+               CAST({OFF['nation']} + c_nationkey AS BIGINT) AS b,
+               CAST({OFF['nation']} + c_nationkey AS BIGINT) AS ca,
+               CAST({OFF['nation']} + c_nationkey AS BIGINT) AS cb
+        FROM customer
+        UNION ALL
+        SELECT CAST({OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({OFF['nation']} + s_nationkey AS BIGINT),
+               CAST({OFF['nation']} + s_nationkey AS BIGINT),
+               CAST({OFF['nation']} + s_nationkey AS BIGINT)
+        FROM supplier
+        UNION ALL
+        SELECT CAST({OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({OFF['region']} + n_regionkey AS BIGINT),
+               CAST({OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({OFF['region']} + n_regionkey AS BIGINT)
+        FROM nation
+    ),
+    m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM e),
+    intra AS (
+        SELECT ca AS community, CAST(COUNT(*) AS DOUBLE) AS e_c
+        FROM e WHERE ca = cb GROUP BY 1
+    ),
+    deg AS (
+        SELECT community, CAST(COUNT(*) AS DOUBLE) AS d_c FROM (
+            SELECT ca AS community FROM e
+            UNION ALL
+            SELECT cb FROM e
+        ) GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           ROUND(MIN(m.m), 6) AS m_edges,
+           ROUND(SUM(COALESCE(i.e_c, 0) / m.m - POW(d.d_c / (2 * m.m), 2)), 6)
+               AS modularity
+    FROM deg d LEFT JOIN intra i USING (community), m
+"""
+
+
+def q_louvain_cliques(spark, sf_dir):
+    """Louvain community detection on a deterministic caveman graph:
+    the 6 lowest-custkey customers of each nation form a clique, and
+    consecutive nations' minimum members are bridged — Louvain must
+    recover exactly the per-nation cliques (community = min member
+    id), which the oracle states in closed form from the same
+    construction."""
+    from pyspark.sql import Window
+
+    from titan_spark.compute import louvain
+
+    c = tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    members = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 6)
+        .select(
+            (F.lit(OFF["customer"]) + F.col("c_custkey")).cast("long").alias("id"),
+            F.col("c_nationkey").alias("nk"),
+        )
+    )
+    cl = members.alias("x").join(members.alias("y"), "nk").filter(
+        F.col("x.id") < F.col("y.id")
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    reps = members.groupBy("nk").agg(F.min("id").alias("rep"))
+    bridges = (
+        reps.alias("p")
+        .join(reps.alias("q"), F.col("p.nk") + 1 == F.col("q.nk"))
+        .select(F.col("p.rep").alias("src"), F.col("q.rep").alias("dst"))
+    )
+    edges = cl.unionByName(bridges).select(
+        F.lit(0).cast("long").alias("edge_id"), "src", "dst", F.lit("x").alias("label")
+    )
+    verts = members.select("id", F.lit("c").alias("label"))
+    return louvain(PropertyGraph(verts, edges)).orderBy("id")
+
+
+QUERIES["louvain_cliques"] = q_louvain_cliques
+
+ORACLE_SQL["louvain_cliques"] = f"""
+    WITH members AS (
+        SELECT CAST({OFF['customer']} + c_custkey AS BIGINT) AS id,
+               c_nationkey AS nk,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+        FROM customer
+    )
+    SELECT id, MIN(id) OVER (PARTITION BY nk) AS community
+    FROM members WHERE rn <= 6
+    ORDER BY id
+"""
+
+
 def q_graph_diameter(spark, sf_dir):
     """Double-sweep BFS diameter estimate on the undirected geography
     graph: BFS from the max-degree vertex (a nation), re-BFS from the
