@@ -127,6 +127,15 @@ HEADLINE = [
     "k_hop_ego",
     "prop_meta_filter",
     "pca_project",
+    # round 7 (cont.): HLL distinct registers, JL random projection,
+    # soft-dedup weighting (pair pipeline + CC + corpus join), double-
+    # sweep BFS diameter, Louvain + modularity scoring
+    "hll_users",
+    "jl_project",
+    "dedup_weights",
+    "graph_diameter",
+    "geo_modularity",
+    "louvain_cliques",
 ]
 
 

@@ -4984,7 +4984,9 @@ def q_louvain_cliques(spark, sf_dir):
         F.lit(0).cast("long").alias("edge_id"), "src", "dst", F.lit("x").alias("label")
     )
     verts = members.select("id", F.lit("c").alias("label"))
-    return louvain(PropertyGraph(verts, edges)).orderBy("id")
+    # level-1 move rounds converge by round 2 on this fixture (pytest
+    # traces it); 3 leaves margin while trimming two checkpoint rounds
+    return louvain(PropertyGraph(verts, edges), rounds_per_level=3).orderBy("id")
 
 
 QUERIES["louvain_cliques"] = q_louvain_cliques
