@@ -172,11 +172,70 @@ def test_multimodal_real_codec_path(spark):
     audio = make_media_table(src, "id", F.col("payload"), "audio")
     with pytest.raises(Exception, match="PCM WAV"):
         extract_features(audio, dim=4, decode_stub=False).collect()
-    # video still takes the stub under the real path
+    # video under the real path decodes uncompressed AVI (r7); a
+    # non-AVI payload raises instead of silently falling back
     video = make_media_table(src, "id", F.col("payload"), "video")
-    vrow = extract_features(video, dim=4, decode_stub=False).collect()[0]
-    srow = extract_features(video, dim=4, decode_stub=True).collect()[0]
-    assert vrow["feature"] == srow["feature"]
+    with pytest.raises(Exception, match="AVI"):
+        extract_features(video, dim=4, decode_stub=False).collect()
+
+
+def _golden_avi(
+    width: int = 5, height: int = 3, lums: tuple[int, ...] = (0, 64, 128, 255)
+) -> bytes:
+    """Deterministic uncompressed 24-bpp AVI built with struct: one
+    '00db' DIB frame per requested gray level (B=G=R=lum, so BT.601
+    luma equals lum exactly). Width 5 forces a padded row stride."""
+    import struct
+
+    step, stride = 3, (width * 3 + 3) // 4 * 4
+    frames = []
+    for lum in lums:
+        row = bytes([lum] * (width * step)) + b"\x00" * (stride - width * step)
+        frames.append(row * height)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    bih = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(frames[0]), 0, 0, 0, 0
+    )
+    strh = chunk(b"strh", b"vids" + b"\x00" * 52)
+    hdrl = lst(b"hdrl", chunk(b"avih", b"\x00" * 56) + lst(b"strl", strh + chunk(b"strf", bih)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_multimodal_avi_real_decode(spark):
+    """Golden-bytes check of the stdlib RIFF video path: four flat-gray
+    frames produce the exact per-frame luminance series resampled to
+    dim windows; compressed streams raise."""
+    from titan_spark.pipeline.multimodal import (
+        _avi_features,
+        extract_features,
+        make_media_table,
+    )
+
+    lums = (0, 64, 128, 255)
+    avi = _golden_avi(lums=lums)
+    src = spark.createDataFrame([(1, avi)], "id long, payload binary")
+    media = make_media_table(src, "id", F.col("payload"), "video")
+    row = extract_features(media, dim=4, decode_stub=False).collect()[0]
+    # FEATURE_SCHEMA stores float32 — compare at that precision
+    for got, lum in zip(row["feature"], lums):
+        assert abs(got - lum / 255.0) < 1e-6
+    # dim=2 averages frame pairs
+    two = _avi_features(avi, 2)
+    assert abs(two[0] - (0 + 64) / 2 / 255.0) < 1e-9
+    assert abs(two[1] - (128 + 255) / 2 / 255.0) < 1e-9
+    # a compressed ('00dc') variant raises explicitly
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="dc"):
+        _avi_features(_golden_avi().replace(b"00db", b"00dc"), 4)
 
 
 def _golden_wav(nch: int = 1, rate: int = 8000, seconds: float = 1.0) -> tuple[bytes, list[int]]:

@@ -21,9 +21,13 @@ REAL codec path:
   energy over ``dim`` equal windows normalized by full scale.
   Compressed audio (mp3/ogg/non-RIFF) raises NotImplementedError —
   those codecs (ffmpeg/librosa) have no in-container fallback;
-- video: keeps the stub under the real path (same
-  external-codec-boundary reasoning; frame timestamps come from
-  :func:`frame_sample_plan`, each frame then being an image decode).
+- video: uncompressed RGB AVI (RIFF '00db' DIB frames, BI_RGB) decodes
+  with a stdlib ``struct`` RIFF walker (zero extra dependencies — r7):
+  per-frame mean luminance resampled to ``dim`` temporal windows.
+  Compressed video ('00dc' codecs, mp4/webm containers) raises
+  NotImplementedError — those codecs (ffmpeg) have no in-container
+  fallback; frame timestamps come from :func:`frame_sample_plan`, each
+  sampled frame then being an image decode downstream.
 """
 
 from __future__ import annotations
@@ -128,6 +132,97 @@ def _wav_features(payload: bytes, dim: int) -> list[float]:
     return out
 
 
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Walk RIFF sub-chunks in data[pos:end] → (fourcc, body_off, size).
+    Chunks are word-aligned (odd sizes pad one byte)."""
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _avi_features(payload: bytes, dim: int) -> list[float]:
+    """Real video decode for uncompressed RGB AVI via a stdlib RIFF
+    walker: parse the 'hdrl' stream format (BITMAPINFOHEADER must say
+    BI_RGB), collect the 'movi' list's '00db' DIB frames, take each
+    frame's mean luminance (ITU BT.601 weights over the padded
+    bottom-up 24/32-bpp rows), and resample the per-frame luminance
+    series to ``dim`` temporal windows in [0, 1] — the same windowing
+    contract as the WAV path. Anything non-AVI or compressed ('00dc')
+    raises NotImplementedError (ffmpeg-class codecs have no
+    in-container fallback).
+
+    Reference parity: external codec/provider work sits behind a
+    process boundary in the reference (diskstorage/indexing
+    IndexProvider.java); here the boundary is this kernel function.
+    """
+    import struct
+
+    data = payload or b""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "real video decode supports uncompressed RGB AVI only "
+            "(RIFF walker, stdlib); compressed/other containers need "
+            "an external codec"
+        )
+    bpp = None
+    width = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal bpp, width
+        for cid, off, size in _riff_chunks(data, pos, end):
+            if cid == b"LIST":
+                walk(off + 4, off + size)  # skip the list-type fourcc
+            elif cid == b"strf" and bpp is None and size >= 20:
+                # BITMAPINFOHEADER: biWidth @4 (i32), biBitCount @14
+                # (u16), biCompression @16 (u32)
+                (w_,) = struct.unpack_from("<i", data, off + 4)
+                bits, comp = struct.unpack_from("<HI", data, off + 14)
+                if comp != 0:  # BI_RGB
+                    raise NotImplementedError(
+                        f"AVI video stream is compressed (biCompression="
+                        f"{comp}); only BI_RGB '00db' frames decode here"
+                    )
+                bpp = bits
+                width = abs(w_)
+            elif cid.endswith(b"dc") and cid[:2].isdigit():
+                raise NotImplementedError(
+                    "AVI contains compressed '..dc' frames; only "
+                    "uncompressed BI_RGB '00db' frames decode here"
+                )
+            elif cid.endswith(b"db") and cid[:2].isdigit():
+                frames.append(data[off : off + size])
+
+    walk(12, len(data))
+    if bpp not in (24, 32) or not frames or not width:
+        raise NotImplementedError(
+            f"AVI without decodable BI_RGB frames (bpp={bpp}, "
+            f"frames={len(frames)}); only 24/32-bpp '00db' decode here"
+        )
+    step = bpp // 8
+    stride = (width * step + 3) // 4 * 4  # DIB rows pad to 4 bytes
+    lums = []
+    for fr in frames:
+        tot = 0.0
+        n_px = 0
+        for row_off in range(0, len(fr) - stride + 1, stride):
+            for i in range(row_off, row_off + width * step, step):
+                # BGR(A) byte order; BT.601 luma
+                tot += 0.114 * fr[i] + 0.587 * fr[i + 1] + 0.299 * fr[i + 2]
+            n_px += width
+        lums.append(tot / n_px / 255.0 if n_px else 0.0)
+    n = len(lums)
+    out = []
+    for k in range(dim):
+        lo = k * n // dim
+        hi = max((k + 1) * n // dim, lo + 1)
+        win = lums[lo : min(hi, n)] or [0.0]
+        out.append(float(sum(win) / len(win)))
+    return out
+
+
 def _stub_feature(payload: bytes, dim: int) -> list[float]:
     """Deterministic fake embedding: sha256-seeded values in [-1, 1)."""
     out = []
@@ -159,15 +254,17 @@ def extract_features(
         for pdf in batches:
             feats = []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                if decode_stub or kind not in ("image", "audio"):
-                    # stub path: also taken for video under the real
-                    # path (no in-container codec fallback; frames
-                    # route through frame_sample_plan + image decode)
+                if decode_stub or kind not in ("image", "audio", "video"):
                     feats.append(_stub_feature(payload, dim))
                     continue
                 if kind == "audio":
                     # real path: stdlib-wave PCM decode, no extra deps
                     feats.append(_wav_features(payload, dim))
+                    continue
+                if kind == "video":
+                    # real path: stdlib RIFF walker over uncompressed
+                    # RGB AVI; compressed containers raise
+                    feats.append(_avi_features(payload, dim))
                     continue
                 if image_mod is None:
                     raise NotImplementedError(
