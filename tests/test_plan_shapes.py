@@ -199,3 +199,20 @@ def test_random_walk_step_joins_one_row_per_walk(spark, tpch):
                       edge_labels=("in_nation", "in_region"), cut_every=99)
     p = plan_of(df)
     assert "CartesianProduct" not in p and "Generate" not in p
+
+
+def test_jl_projection_zero_shuffle_plan(spark):
+    """JL random projection must compile to scan -> project with the
+    sign matrix as plan literals: no Exchange (zero shuffle), no
+    Python/Arrow eval node, no broadcast — the shape that makes the
+    64->16 reduction a free pre-pass at any corpus size."""
+    from titan_spark.pipeline.similarity import random_project
+
+    df = spark.createDataFrame(
+        [(i, [float(j) for j in range(8)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    p = plan_of(random_project(df, out_dim=4, in_dim=8))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Broadcast" not in p
