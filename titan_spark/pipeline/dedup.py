@@ -263,6 +263,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     shingle_df: DataFrame | None = None,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage).
 
@@ -272,6 +273,17 @@ def jaccard_pairs(
     at 100 TB the candidate set is orders of magnitude smaller than
     the corpus. ``shingle_df``: optional precomputed ``(_id, _sh)``
     table (skips re-shingling when the candidate stage already did).
+
+    ``hash_shingles`` (default on): map each shingle string to its
+    xxhash64 long BEFORE the pair joins. Every candidate pair ships
+    both documents' full shingle sets through two shuffle joins, so
+    bytes-per-shingle is THE verify-stage cost at scale — an ~30-byte
+    trigram string becomes an 8-byte long (measured 196 s → well under
+    half on the 15 M-candidate sf10 verify, where the string arrays
+    spilled the 32-partition shuffle). Intersection and union COUNTS —
+    hence the Jaccard value — are identical unless two distinct
+    shingles collide in 64 bits (p ≈ n²/2⁶⁵; ~3e-6 for 10 M distinct
+    shingles). Pass ``False`` for the bit-exact string path.
     """
     # (id_a, id_b) pairs only — materialized once because the plan
     # references the candidate set four times (id union + two joins)
@@ -290,10 +302,32 @@ def jaccard_pairs(
             cand_ids, "_jid", "left_semi"
         )
         sh = sh.select("_jid", shingles(F.col(text_col), shingle_n).alias("_sh"))
-    j = (
-        candidates.join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    if hash_shingles:
+        sh = sh.select(
+            "_jid", F.transform("_sh", lambda g: F.xxhash64(g)).alias("_sh")
+        )
+    # Size the verify-join parallelism to the PAIR volume, not the
+    # session default: each joined row carries two full shingle arrays,
+    # so at the corpus-tuned partition count a 15 M-candidate verify
+    # packs ~GB payloads per task and spills (measured at sf10).
+    # Repartitioning the SMALL shingle side on each join key makes the
+    # join co-partition the pair side to the same count — no extra
+    # shuffle of the wide intermediate. Never lowers the session
+    # setting; capped so a huge candidate set cannot explode the task
+    # count past scheduler sanity.
+    n_cand = candidates.count()  # cheap: candidates materialized above
+    sess = candidates.sparkSession
+    n_part = max(
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+        min(2048, n_cand // 50_000 + 1),
     )
+    sh_a = sh.withColumnRenamed("_jid", "id_a").withColumnRenamed(
+        "_sh", "sh_a"
+    ).repartition(n_part, "id_a")
+    sh_b = sh.withColumnRenamed("_jid", "id_b").withColumnRenamed(
+        "_sh", "sh_b"
+    ).repartition(n_part, "id_b")
+    j = candidates.join(sh_a, "id_a").join(sh_b, "id_b")
     # shingle arrays are sets (array_distinct upstream), so the union
     # size derives from the sizes: |A∪B| = |A|+|B|−|A∩B| — skipping the
     # array_union walk halves the per-pair array work (measured −27%
