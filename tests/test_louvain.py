@@ -98,3 +98,43 @@ def test_modularity_weighted(spark):
     )
     row = modularity(g, asg, weight_col="w").collect()[0]
     assert abs(row["modularity"] - (2 * (10 / 22 - (22 / 44) ** 2))) < 1e-5
+
+
+def test_modularity_multigraph_sums_parallel_weights(spark):
+    """Parallel edges (including both orientations of a directed pair)
+    SUM their weights before Q — hand-computed: edges (0,1,w=3),
+    (1,0,w=2), (2,3,w=1) collapse to und {(0,1):5, (2,3):1}, m=6;
+    partition {0,1},{2,3}: Q = (5/6 - (10/12)^2) + (1/6 - (2/12)^2)
+    = 0.277778. With the old max-collapse (w=3) the answer differs."""
+    g = _graph(spark, [0, 1, 2, 3], [(0, 1), (1, 0), (2, 3)], weights=[3.0, 2.0, 1.0])
+    asg = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "id long, community long"
+    )
+    row = modularity(g, asg, weight_col="w").collect()[0]
+    assert row["m_edges"] == 6.0
+    assert abs(row["modularity"] - (5 / 6 - (10 / 12) ** 2 + 1 / 6 - (2 / 12) ** 2)) < 1e-6
+
+
+def test_louvain_multigraph_parallel_weights(spark):
+    """Parallel/bidirectional edge weights sum in louvain's input
+    collapse too (consistent with the contraction step): heavy summed
+    pairs {0,1} and {2,3} on a 4-cycle with unit cut edges."""
+    g = _graph(
+        spark,
+        [0, 1, 2, 3],
+        [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (0, 3)],
+        weights=[5.0, 5.0, 1.0, 5.0, 5.0, 1.0],
+    )
+    out = {r["id"]: r["community"] for r in louvain(g, weight_col="w").collect()}
+    assert out[0] == out[1] and out[2] == out[3] and out[0] != out[2]
+
+
+def test_louvain_isolated_vertex_is_singleton(spark):
+    """A vertex with no edges must still appear in the output as its
+    own singleton community (regression: inner mapping join dropped
+    isolated vertices)."""
+    g = _graph(spark, [0, 1, 2, 99], _cliques([0, 1, 2]))
+    out = {r["id"]: r["community"] for r in louvain(g).collect()}
+    assert set(out) == {0, 1, 2, 99}
+    assert out[99] == 99
+    assert {out[i] for i in (0, 1, 2)} == {0}

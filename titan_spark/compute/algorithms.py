@@ -2021,7 +2021,11 @@ def modularity(
         )
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
-        .agg(F.max("w").alias("w"))
+        # parallel edges (multigraph, or both orientations of a directed
+        # pair carrying different weights) SUM — the standard weighted-Q
+        # treatment, and consistent with the contraction step in louvain
+        # which sums supervertex edge weights
+        .agg(F.sum("w").alias("w"))
     )
     asg = assignment.select(F.col("id"), F.col("community"))
     labeled = (
@@ -2105,7 +2109,9 @@ def louvain(
             w.alias("w"),
         )
         .groupBy("a", "b")
-        .agg(F.max("w").alias("w"))
+        # parallel edge weights SUM (multigraph semantics) — matching
+        # the contraction step below, which also sums
+        .agg(F.sum("w").alias("w"))
     )
     # mapping from original vertex id to current-level supervertex
     mapping = graph.vertices.select(F.col("id"), F.col("id").alias("node"))
@@ -2230,9 +2236,17 @@ def louvain(
         # canonical community id = min member node id at this level
         canon = comm.groupBy("community").agg(F.min("node").alias("canon"))
         comm = comm.join(canon, "community").select("node", F.col("canon").alias("community"))
+        # LEFT join: comm only covers edge endpoints, so a vertex with
+        # no (label-filtered) edges would vanish under an inner join —
+        # isolated vertices stay as their own singleton community,
+        # matching standard community-detection output contracts
         mapping = (
-            mapping.join(comm.withColumnRenamed("node", "_n"), mapping.node == F.col("_n"))
-            .select("id", F.col("community").alias("node"))
+            mapping.join(
+                comm.withColumnRenamed("node", "_n"),
+                mapping.node == F.col("_n"),
+                "left",
+            )
+            .select("id", F.coalesce("community", "node").alias("node"))
         )
         # contract: communities become vertices, edge weights sum
         cur = (

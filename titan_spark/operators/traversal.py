@@ -228,7 +228,9 @@ class GraphTraversal:
         import time
 
         t0 = time.perf_counter()
-        n = self._df.count()
+        # profile() is a documented terminal action of the time_limit
+        # watchdog — the executing count runs under the guard
+        n = self._guarded(self._df.count)
         elapsed = time.perf_counter() - t0
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):

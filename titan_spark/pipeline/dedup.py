@@ -317,10 +317,14 @@ def jaccard_pairs(
     # count past scheduler sanity.
     n_cand = candidates.count()  # cheap: candidates materialized above
     sess = candidates.sparkSession
-    n_part = max(
-        int(sess.conf.get("spark.sql.shuffle.partitions")),
-        min(2048, n_cand // 50_000 + 1),
-    )
+    try:
+        # the conf may be non-numeric on some platforms (e.g. "auto"
+        # under AQE-managed shuffles) — fall back to the cluster's
+        # default parallelism rather than crashing the verify stage
+        base_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base_part = sess.sparkContext.defaultParallelism or 200
+    n_part = max(base_part, min(2048, n_cand // 50_000 + 1))
     sh_a = sh.withColumnRenamed("_jid", "id_a").withColumnRenamed(
         "_sh", "sh_a"
     ).repartition(n_part, "id_a")

@@ -158,7 +158,11 @@ def hll_build(items: DataFrame, item_col: str = "item", p: int = 8) -> DataFrame
     m = 1 << p
     w = _HLL_BITS - p
     h = portable_hash64(F.col(item_col))
-    rest = F.floor(h / F.lit(m)).cast("long")
+    # exact integer h // m: Spark's `/` casts the 60-bit h to double,
+    # which is inexact above 2^53 and would drift rest (and hence rho
+    # at power-of-two boundaries) vs DuckDB's exact `//`. m = 2^p and
+    # h >= 0, so an unsigned right shift IS the exact quotient.
+    rest = F.shiftrightunsigned(h, p).cast("long")
     rho = (
         F.when(rest == 0, F.lit(w + 1))
         .otherwise(F.lit(w) - F.length(F.bin(rest)) + 1)
