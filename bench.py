@@ -246,7 +246,7 @@ def _scaling_block(base_queries: dict[str, float]) -> dict | None:
     tools/make_scaled_sf.py), reported as per-query sf1/sf0.1 ratios.
     Linear scaling on a shuffle/scan-bound query is ratio ~10; constant-
     overhead queries (point lookups, fixed-size fixtures) sit near 1.
-    Ratios > 15 are flagged as super-linear. Disable with
+    Ratios > 11 are flagged as super-linear. Disable with
     SPARK_GRAFT_SCALE_CHECK=0.
     """
     if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") == "0":
@@ -272,7 +272,7 @@ def _scaling_block(base_queries: dict[str, float]) -> dict | None:
         return None
     queries = dict(res["queries"])
     queries, confirm_note = _confirm_flags(
-        queries, base_queries, scale_dir, threshold=15.0
+        queries, base_queries, scale_dir, threshold=11.0
     )
     ratios = {
         q: round(t / base_queries[q], 1)
@@ -287,7 +287,7 @@ def _scaling_block(base_queries: dict[str, float]) -> dict | None:
         "n_vertices": res.get("n_vertices"),
         "n_edges": res.get("n_edges"),
         "ratio_vs_sf0.1": ratios,
-        "flagged_superlinear": sorted(q for q, r in ratios.items() if r > 15),
+        "flagged_superlinear": sorted(q for q, r in ratios.items() if r > 11),
         "flag_confirmation": confirm_note,
         "note": "one fresh JVM; adaptive reps (min-of-2 below 5s, single "
         "rep above); sf1 derived from sf0.1 via tools/make_scaled_sf.py "
@@ -332,6 +332,90 @@ def _confirm_flags(
     return out, f"first-pass flags re-run in a fresh JVM: {flagged}"
 
 
+def _vs_prev_block(queries: dict[str, float]) -> tuple[dict | None, dict[str, float]]:
+    """Round-over-round drift protocol (VERDICT r6 #9 / r7 #2): compare
+    this run's per-query sf0.1 times against the latest committed
+    BENCH_r{N}.json, flag every query whose ratio exceeds 1.3x, and
+    re-run the flagged ones once more in a fresh JVM as a
+    host-contention control (min taken) — so a transiently loaded host
+    cannot fake (or hide) a plan regression. Returns (block, queries
+    with the control mins folded in)."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # the driver's BENCH_r{N}.json may hold only a truncated `tail`
+    # (parsed=None), so also accept this repo's committed full-result
+    # bench_r{N}_{preview,final}.json twins; highest round wins
+    candidates = []
+    for p in (
+        glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        + glob.glob(os.path.join(repo, "bench_r*_preview.json"))
+        + glob.glob(os.path.join(repo, "bench_r*_final.json"))
+    ):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        q = d.get("queries") or (d.get("parsed") or {}).get("queries")
+        if isinstance(q, dict) and q:
+            candidates.append((int(m.group(1)), os.path.basename(p), q))
+    if not candidates:
+        return None, queries
+    _, prev_name, prev_queries = sorted(candidates)[-1]
+    common = sorted(set(queries) & set(prev_queries))
+    ratios = {
+        q: round(queries[q] / prev_queries[q], 2)
+        for q in common
+        if prev_queries[q]
+    }
+    flagged = sorted(q for q, r in ratios.items() if r > 1.3)
+    control_note = None
+    out = dict(queries)
+    if flagged:
+        res2 = _run_single(
+            {"SPARK_GRAFT_BENCH_REPS": "1", "SPARK_GRAFT_BENCH_ONLY": ",".join(flagged)}
+        )
+        if res2 is None:
+            control_note = f"contention-control pass failed for {flagged}"
+        else:
+            for q in flagged:
+                if q in res2["queries"]:
+                    out[q] = min(out[q], res2["queries"][q])
+            control_note = (
+                f"first-pass >1.3x drifts re-run in a third fresh JVM "
+                f"(min taken): {flagged}"
+            )
+            ratios = {
+                q: round(out[q] / prev_queries[q], 2)
+                for q in common
+                if prev_queries[q]
+            }
+    final_flags = sorted(q for q, r in ratios.items() if r > 1.3)
+    block = {
+        "prev_file": prev_name,
+        "common_queries": len(common),
+        "total_prev": round(sum(prev_queries[q] for q in common), 3),
+        "total_now": round(sum(out[q] for q in common), 3),
+        "ratio_total": round(
+            sum(out[q] for q in common) / sum(prev_queries[q] for q in common), 3
+        )
+        if common
+        else None,
+        "flagged_over_1.3x": {q: ratios[q] for q in final_flags},
+        "contention_control": control_note,
+        "note": "per-query ratio vs the previous round's committed bench "
+        "(same sf0.1 suite, both sides min-of-fresh-JVMs); drifts past "
+        "1.3x are re-measured in a separate fresh JVM before being "
+        "reported so host contention is separated from plan regressions",
+    }
+    return block, out
+
+
 SF10_FLAGSHIPS = [
     # the iterative/pipeline flagships (VERDICT r6 #2) — the queries
     # whose asymptotics matter; graph_build_count + pagerank_full_graph
@@ -357,7 +441,7 @@ def _sf10_block(sf1_queries: dict[str, float] | None) -> dict | None:
     ~137 M edges, derived from sf1 by another 10x replication),
     reported as per-query sf10/sf1 ratios. One decade of sublinearity
     separates nothing; two decades separates constant factors from
-    asymptotics. Ratios > 15 are flagged. Disable with
+    asymptotics. Ratios > 11 are flagged. Disable with
     SPARK_GRAFT_SF10_CHECK=0.
     """
     if os.environ.get("SPARK_GRAFT_SF10_CHECK", "1") == "0" or not sf1_queries:
@@ -390,7 +474,7 @@ def _sf10_block(sf1_queries: dict[str, float] | None) -> dict | None:
         return None
     queries = dict(res["queries"])
     queries, confirm_note = _confirm_flags(
-        queries, sf1_queries, sf10_dir, threshold=15.0
+        queries, sf1_queries, sf10_dir, threshold=11.0
     )
     ratios = {
         q: round(t / sf1_queries[q], 1)
@@ -406,7 +490,7 @@ def _sf10_block(sf1_queries: dict[str, float] | None) -> dict | None:
         "n_vertices": res.get("n_vertices"),
         "n_edges": res.get("n_edges"),
         "ratio_vs_sf1": ratios,
-        "flagged_superlinear": sorted(q for q, r in ratios.items() if r > 15),
+        "flagged_superlinear": sorted(q for q, r in ratios.items() if r > 11),
         "note": "flagship subset, one fresh JVM, single rep; sf10 derived "
         "from sf1 via tools/make_scaled_sf.py (10x replication, key "
         "offsets, per-replica text/embedding decorrelation); ratios are "
@@ -611,6 +695,11 @@ def main() -> None:
         "production kernel=arrow (numpy matmul); the correctness row "
         "pins the oracle-bit-identical JVM fold."
     )
+    vs_prev, queries = _vs_prev_block(queries)
+    if vs_prev is not None:
+        merged["queries"] = queries
+        merged["value"] = round(sum(queries.values()), 3)
+        merged["vs_prev_round"] = vs_prev
     scaling = _scaling_block(queries)
     if scaling is not None:
         merged["scaling"] = scaling

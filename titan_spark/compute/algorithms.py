@@ -141,7 +141,9 @@ def connected_components(
     propagation distance per round, so convergence is O(log diameter)
     rounds instead of O(diameter) — the difference between 40 and 7
     rounds on a 100-length chain, and the reason this survives
-    real-world graph diameters at scale.
+    real-world graph diameters at scale. Settled edges (endpoints
+    already sharing a label) are pruned each round, so per-round cost
+    shrinks geometrically instead of staying |E| (see _cc_loop).
     """
     e = graph.edges
     if edge_labels:
@@ -170,21 +172,49 @@ def connected_components(
 
 
 def _cc_loop(state, und, max_iterations):
+    """One round = (1) SETTLED-EDGE PRUNING: an edge whose endpoints
+    already share a label is redundant for connectivity — a min label
+    only ever travels along real paths, so equal labels witness a real
+    u→label←v connection — and is dropped, shrinking the edge relation
+    joined per round geometrically as components coalesce (the old
+    loop re-shuffled the FULL edge set every round, which is what made
+    dedup_clusters superlinear at sf10: round count grows with the
+    pair-graph diameter AND each extra round cost full |E|);
+    (2) neighbor-min over the surviving labeled edges (no extra join —
+    the pruning pass already carries the neighbor label); (3) pointer
+    jump — single for the cheap early rounds, CHAINED (label of label
+    of label) from round 3 on, so deep label chains compress ~4× per
+    round once the bulk merging is done and the tail is pointer-depth
+    bound."""
+    live = und.select("u", "v")
     for i in range(max_iterations):
-        # neighbor min
-        nbr = (
-            und.join(state, und["v"] == state["id"])
-            .groupBy(F.col("u").alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
+        lab_u = state.select(F.col("id").alias("u"), F.col("component").alias("cu"))
+        lab_v = state.select(F.col("id").alias("v"), F.col("component").alias("cv"))
+        live = (
+            live.select("u", "v")
+            .join(lab_u, "u")
+            .join(lab_v, "v")
+            .filter(F.col("cu") != F.col("cv"))
         )
-        # pointer jump: component of my component. (A second chained
-        # jump was measured on a sparse 47k-edge near-dup pair graph:
-        # identical round count — convergence there is edge-propagation
-        # bound, not pointer-depth bound — so the extra join is pure
-        # per-round overhead and is deliberately absent.)
+        live = cut_lineage(live, eager=True, round_idx=i)
+        # neighbor min straight off the pruned labeled edges (und is
+        # symmetric, so grouping on u covers both directions)
+        nbr = live.groupBy(F.col("u").alias("id")).agg(
+            F.min("cv").alias("nbr_min")
+        )
+        # pointer jump: component of my component
         ptr = state.select(
             F.col("id").alias("component"), F.col("component").alias("jump")
         )
+        if i >= 2:
+            # chain a second jump (labels are always live vertex ids,
+            # so the hop join is total; left+coalesce is belt-and-braces)
+            hop = ptr.select(
+                F.col("component").alias("jump"), F.col("jump").alias("jump2")
+            )
+            ptr = ptr.join(hop, "jump", "left").select(
+                "component", F.coalesce("jump2", "jump").alias("jump")
+            )
         new_state = (
             state.join(nbr, "id", "left")
             .join(ptr, "component", "left")

@@ -5234,6 +5234,33 @@ _SLOT_SWAPS = [
     ("link_prediction", "event_funnel"),
     ("gopher_rules", "cube_order_stats"),
     ("lang_length_quantiles", "user_activity_stats"),
+    # tenth wave (r8, VERDICT r7 #3): the nine r7 overflow flagships
+    # into the driver prefix. Each demotion keeps a family sibling in
+    # slots 1-50: sketch family by hll_users itself (cms out — both
+    # are mergeable-register sketches, hll is the newer surface);
+    # quantize/code family by ivfpq_ann (whose ADC path IS pq codes)
+    # + embed_covariance when pq_codes rotates out; centrality by
+    # pagerank + betweenness (hits out — three centrality driver rows
+    # was over-covered) while louvain_cliques adds community; scalar
+    # graph statistics by geo_modularity itself (assortativity out);
+    # BFS/distance by graph_diameter's double-sweep (point_distance
+    # out); dedup by dedup_clusters + dedup_weights (semantic_dedup
+    # out); SCC machinery by condensation_dag itself, strictly richer
+    # than scc_blocks (out); hop/ego by two_hop_revenue + k_hop_ego
+    # (link_prediction out, its neighborhood-overlap machinery kept by
+    # transitivity + feature_smooth); Gremlin collection surface by
+    # path_strings + motif_unification + local_top3_sum +
+    # map_nation_counts when tail_skip_math rotates out for the
+    # meta-property filter row.
+    ("hll_users", "cms_heavy_hitters"),
+    ("jl_project", "pq_codes"),
+    ("louvain_cliques", "hits_scores"),
+    ("geo_modularity", "assortativity"),
+    ("graph_diameter", "point_distance"),
+    ("dedup_weights", "semantic_dedup"),
+    ("condensation_dag", "scc_blocks"),
+    ("k_hop_ego", "link_prediction"),
+    ("prop_meta_filter", "tail_skip_math"),
 ]
 _order = list(QUERIES)
 for _new, _old in _SLOT_SWAPS:
