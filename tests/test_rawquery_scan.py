@@ -216,3 +216,33 @@ def test_bm25_gods_fixture_agreement(gods):
     assert set(frac) == set(bm25) == {2, 5}
     assert frac[2] == frac[5]  # fraction ties the two 2-of-3 matches
     assert bm25[5] > bm25[2]  # 'loves waves' (2 tokens) > 3-token doc
+
+
+def test_raw_query_element_wildcard(gods):
+    """`v.*` / `e.*` match the query against ANY of the element's
+    string property fields (docs/directindex.txt:44 — the ES wildcard
+    form of graph.indexQuery)."""
+    import pytest
+
+    df = raw_index_query(gods, "v.*:(hercules jupiter saturn)")
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert set(rows) == {1, 4, 6}
+    # scores agree with the field-named form here (name is the only
+    # string property, so the union-of-fields document is identical)
+    named = {
+        r["id"]: r["score"]
+        for r in raw_index_query(gods, "v.name:(hercules jupiter saturn)").collect()
+    }
+    assert rows == named
+    # e.* finds terms in reason without naming the field
+    assert raw_index_query(gods, "e.*:(loves)").count() == 2
+    # wildcard phrase matches within ONE field (no cross-field
+    # adjacency), and composes with named clauses
+    assert raw_index_query(gods, 'e.*:"loves waves"').count() == 1
+    assert raw_index_query(gods, 'e.*:"waves loves"').count() == 0
+    # bm25 scoring works over the wildcard document
+    bm = raw_index_query(gods, "v.*:(hercules)", scoring="bm25")
+    assert [r["id"] for r in bm.collect()] == [6]
+    # numeric ranges require a named field
+    with pytest.raises(ValueError, match="named field"):
+        raw_index_query(gods, "v.*:[30 TO 5000]")

@@ -16,6 +16,14 @@ phrases the ES examples use):
     field:term               single term
     field:"a phrase"         consecutive-token phrase match
     field:[lo TO hi]         inclusive numeric range
+    *:(terms) / *:"phrase"   ELEMENT WILDCARD — match against ANY of
+                             the element's string property fields
+                             ("v.*" / "e.*", docs/directindex.txt:44);
+                             terms score over the union of all fields'
+                             tokens (the element as one document),
+                             phrases match per-field (no false
+                             adjacency across field boundaries);
+                             numeric ranges require a named field
     clause AND clause        conjunction (also the bare default)
     NOT clause / -clause     negation (row must NOT match the clause)
     +clause                  required (the conjunctive default)
@@ -54,7 +62,7 @@ from titan_spark.functions.text import tokenize
 
 _TOKEN = re.compile(
     r"(?P<connector>\bAND\b|\bNOT\b)"
-    r"|(?P<req>[+-])?(?P<field>[A-Za-z_][A-Za-z0-9_]*):"
+    r"|(?P<req>[+-])?(?P<field>\*|[A-Za-z_][A-Za-z0-9_]*):"
     r"(?:\((?P<terms>[^)]*)\)"
     r"|\[(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\]"
     r'|"(?P<phrase>[^"]*)"'
@@ -103,11 +111,42 @@ def parse_raw_query(query: str) -> list[dict]:
     return [{"prefix": prefix}] + clauses
 
 
-def _bm25_stats(df: DataFrame, field: str, terms: list[str]) -> tuple[float, float, dict]:
+def _string_prop_cols(df: DataFrame, id_col: str) -> list[str]:
+    """The element's string-typed property columns — the wildcard
+    (``v.*`` / ``e.*``) target set ("query if any of the properties on
+    the element match", docs/directindex.txt:44). The id and label
+    columns are element identity, not indexed properties."""
+    return [
+        name
+        for name, dtype in df.dtypes
+        if dtype == "string" and name not in (id_col, "label", "src", "dst")
+    ]
+
+
+def _tokens_for(df: DataFrame, field: str, id_col: str):
+    """Token array for a clause: a named field's tokens, or for the
+    ``*`` wildcard the concatenation of every string property field's
+    tokens (the element scored as one document)."""
+    if field == "*":
+        cols = _string_prop_cols(df, id_col)
+        if not cols:
+            raise ValueError("wildcard raw query: element has no string property fields")
+        arrs = [
+            F.coalesce(tokenize(F.col(c).cast("string")), F.array())
+            for c in cols
+        ]
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = F.concat(out, a)
+        return out
+    fld = F.col(field) if field in df.columns else F.lit(None)
+    return tokenize(fld.cast("string"))
+
+
+def _bm25_stats(df: DataFrame, toks, terms: list[str]) -> tuple[float, float, dict]:
     """One aggregate over the tokenized field → (N, avgdl, df per
     term). Driver-sized result (2 + len(terms) scalars) that rides the
     scoring expression as literals."""
-    toks = tokenize(F.col(field).cast("string"))
     row = df.select(toks.alias("_toks")).agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.size("_toks")).alias("avgdl"),
@@ -157,7 +196,7 @@ def raw_index_query(
         fld = F.col(c["field"]) if c["field"] in df.columns else F.lit(None)
         neg = c.get("negated", False)
         if c["kind"] == "terms":
-            toks = tokenize(fld.cast("string"))
+            toks = _tokens_for(df, c["field"], id_col)
             qterms = sorted(set(c["terms"]))
             qarr = F.array(*[F.lit(t) for t in qterms])
             matched = F.size(F.array_intersect(toks, qarr))
@@ -166,11 +205,11 @@ def raw_index_query(
             hit = F.coalesce(matched > 0, F.lit(False))
             if neg:
                 cond = cond & ~hit
-            elif scoring == "bm25" and c["field"] in df.columns:
+            elif scoring == "bm25" and (c["field"] == "*" or c["field"] in df.columns):
                 import math
 
                 cond = cond & hit
-                n_docs, avgdl, dfs = _bm25_stats(df, c["field"], qterms)
+                n_docs, avgdl, dfs = _bm25_stats(df, toks, qterms)
                 dl = F.size(toks).cast("double")
                 norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
                 def _tf(term, _toks=toks):
@@ -186,16 +225,32 @@ def raw_index_query(
                 cond = cond & hit
                 score = score + matched.cast("double") / max(len(qterms), 1)
         elif c["kind"] == "phrase":
-            toks = tokenize(fld.cast("string"))
-            padded = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
             needle = " " + " ".join(c["phrase"]) + " "
-            hit = F.coalesce(padded.contains(needle), F.lit(False))
+            if c["field"] == "*":
+                # per-field OR: a phrase must sit inside ONE field —
+                # concatenating fields would fabricate adjacency
+                # between the last token of one and the first of the
+                # next
+                hit = F.lit(False)
+                for fc in _string_prop_cols(df, id_col):
+                    ftoks = tokenize(F.col(fc).cast("string"))
+                    fpad = F.concat(F.lit(" "), F.array_join(ftoks, " "), F.lit(" "))
+                    hit = hit | F.coalesce(fpad.contains(needle), F.lit(False))
+            else:
+                toks = tokenize(fld.cast("string"))
+                padded = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+                hit = F.coalesce(padded.contains(needle), F.lit(False))
             if neg:
                 cond = cond & ~hit
             else:
                 cond = cond & hit
                 score = score + F.when(hit, 1.0).otherwise(0.0)
         else:
+            if c["field"] == "*":
+                raise ValueError(
+                    "numeric range clauses require a named field (the "
+                    "*-wildcard targets string property fields)"
+                )
             in_range = F.coalesce((fld >= c["lo"]) & (fld <= c["hi"]), F.lit(False))
             if neg:
                 cond = cond & ~in_range
