@@ -31,6 +31,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from titan_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
 
 _STORE_SCHEMA = "band int, band_hash long, doc_id long, batch_id long"
+# the persistent store is hive-partitioned on pmod(band_hash, N): a
+# micro-batch's probe reads ONLY the bucket directories its own band
+# hashes land in (partition-pruned scan), so probe IO is bounded by
+# the matching buckets instead of the whole store — the ReadMarker
+# bounded-read-interval analog (diskstorage/log/ReadMarker.java)
+_N_BUCKETS = 64
+
+
+def _bucket_of(band_hash):
+    return F.pmod(band_hash, F.lit(_N_BUCKETS)).cast("int")
 
 
 class IncrementalDedup:
@@ -56,14 +66,29 @@ class IncrementalDedup:
         self.hash_fn = hash_fn
 
     # -- store --------------------------------------------------------
-    def _store(self) -> DataFrame:
+    def _store(self, buckets: list[int] | None = None) -> DataFrame:
+        """Read the signature store; ``buckets`` restricts the scan to
+        the named band-hash buckets (partition-pruned — only those
+        bucket directories are read). Legacy non-partitioned stores are
+        read whole with the bucket derived on the fly."""
         if not os.path.exists(self.store_dir):
-            return self.spark.createDataFrame([], _STORE_SCHEMA)
-        return (
-            self.spark.read.schema(_STORE_SCHEMA)
-            .parquet(self.store_dir)
-            .dropDuplicates(["band", "band_hash", "doc_id"])
+            return self.spark.createDataFrame([], _STORE_SCHEMA + ", bucket int")
+        bucketed = any(
+            e.startswith("bucket=") for e in os.listdir(self.store_dir)
         )
+        if bucketed:
+            df = self.spark.read.schema(_STORE_SCHEMA + ", bucket int").parquet(
+                self.store_dir
+            )
+            if buckets is not None:
+                df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
+        else:
+            df = (
+                self.spark.read.schema(_STORE_SCHEMA)
+                .parquet(self.store_dir)
+                .withColumn("bucket", _bucket_of(F.col("band_hash")))
+            )
+        return df.dropDuplicates(["band", "band_hash", "doc_id"])
 
     def _band_rows(self, df: DataFrame) -> DataFrame:
         """(band, band_hash, doc_id) rows — one per band per doc, the
@@ -109,8 +134,18 @@ class IncrementalDedup:
         output was lost with the crash. Filtering by batch id makes the
         retry reproduce the first attempt's survivors exactly
         (idempotent sink output, not just an idempotent store)."""
-        incoming = self._band_rows(batch_df)
-        store = self._store().filter(F.col("batch_id") < F.lit(int(batch_id)))
+        incoming = self._band_rows(batch_df).withColumn(
+            "bucket", _bucket_of(F.col("band_hash"))
+        )
+        # the batch's band rows feed the bucket probe AND the history
+        # join — cache so minhashing runs once
+        incoming = incoming.cache()
+        probe_buckets = [
+            r["bucket"] for r in incoming.select("bucket").distinct().collect()
+        ]
+        store = self._store(probe_buckets).filter(
+            F.col("batch_id") < F.lit(int(batch_id))
+        )
         # history collisions: any shared band drops the incoming doc
         hist_dupes = (
             incoming.join(
@@ -136,10 +171,18 @@ class IncrementalDedup:
         )
         losers = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
         survivors = fresh.join(losers, self.id_col, "left_anti")
-        out_rows = self._band_rows(survivors).withColumn(
-            "batch_id", F.lit(int(batch_id)).cast("long")
+        out_rows = (
+            self._band_rows(survivors)
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .withColumn("bucket", _bucket_of(F.col("band_hash")))
         )
-        out_rows.write.mode("append").parquet(self.store_dir)
+        # one file per touched bucket per batch (repartition on the
+        # partition key), keeping the per-bucket file count — and hence
+        # probe IO — proportional to batches, not shuffle partitions
+        out_rows.repartition(_N_BUCKETS, "bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(self.store_dir)
+        incoming.unpersist(blocking=False)
         return survivors
 
     def run_stream(self, stream_df: DataFrame, checkpoint_dir: str, sink_fn=None):
