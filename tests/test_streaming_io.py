@@ -396,3 +396,71 @@ def test_incremental_dedup_legacy_store_compat(spark, tmp_path):
     )
     kept = dd.process_batch(b2, 1)
     assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+
+
+def test_codec_capability_matrix():
+    """codec_capabilities() reports the stdlib paths as always-real and
+    the optional-dependency paths (PIL / soundfile / PyAV) exactly as
+    importable on this Python — the route-by-decodability surface."""
+    from titan_spark.pipeline.multimodal import (
+        _pil_image,
+        _pyav_mod,
+        _soundfile_mod,
+        codec_capabilities,
+    )
+
+    caps = codec_capabilities()
+    assert set(caps) == {"image", "audio", "video"}
+    # stdlib paths are unconditionally real; the stub always works
+    assert caps["audio"]["pcm_wav_stdlib"] is True
+    assert caps["video"]["uncompressed_rgb_avi_stdlib"] is True
+    assert all(k["stub"] for k in caps.values())
+    # optional gates mirror importability
+    assert caps["image"]["png_jpeg_bmp_pil"] == (_pil_image() is not None)
+    assert caps["audio"]["mp3_soundfile"] == (_soundfile_mod() is not None)
+    assert caps["video"]["mp4_compressed_pyav"] == (_pyav_mod() is not None)
+
+
+def test_audio_video_dispatch_gates(spark):
+    """The dispatchers keep the stdlib results bit-for-bit (PCM WAV /
+    RGB AVI route to the stdlib kernels) and, when the optional codec
+    modules are absent, re-raise the documented NotImplementedError
+    for compressed payloads."""
+    import pytest
+
+    from titan_spark.pipeline.multimodal import (
+        _audio_features,
+        _avi_features,
+        _pyav_mod,
+        _soundfile_mod,
+        _video_features,
+        _wav_features,
+    )
+
+    # a minimal valid 16-bit mono PCM WAV
+    import io as _io
+    import struct
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<8h", *[0, 8192, 16384, 8192, 0, -8192, -16384, -8192]))
+    wav = buf.getvalue()
+    assert _audio_features(wav, 4) == _wav_features(wav, 4)
+
+    if _soundfile_mod() is None:
+        with pytest.raises(NotImplementedError):
+            _audio_features(b"\xff\xfbnot-a-wav-mp3-ish", 4)
+    if _pyav_mod() is None:
+        with pytest.raises(NotImplementedError):
+            _video_features(b"\x00\x00\x00\x18ftypmp42", 4)
+
+    # uncompressed AVI still routes through the stdlib walker
+    # identically (reuse: dispatch must not change the value)
+    # (golden AVI bytes are exercised in the dedicated AVI test; here
+    # the contract is dispatch-transparency for the non-AVI error)
+    with pytest.raises(NotImplementedError):
+        _avi_features(b"not an avi", 4)
