@@ -1338,6 +1338,53 @@ class GraphTraversal:
         )
         return self._with(ranked.filter(cond).drop("_rn"))
 
+    def page_rank(
+        self,
+        alpha: float = 0.85,
+        iterations: int = 10,
+        out_col: str = "pagerank",
+        edge_labels: tuple[str, ...] = (),
+    ) -> "GraphTraversal":
+        """TinkerPop computer-traversal sugar ``g.V().pageRank()``
+        (PageRankVertexProgram via ``g.traversal(computer())``,
+        FulgoraGraphComputer.java:21,53-54): run PageRank over the
+        WHOLE graph — VertexProgram semantics, independent of the
+        current frontier — and annotate each frontier vertex with its
+        score as a property column, so subsequent ``order_by``/
+        ``values_``/``has`` steps treat it like any vertex property
+        (the reference stores it as the element's
+        'gremlin.pageRankVertexProgram.pageRank' property)."""
+        from titan_spark.compute.algorithms import pagerank as _pagerank
+
+        if self.kind != "V":
+            raise ValueError("pageRank() is a vertex step — call on a V frontier")
+        self._ensure_cols()
+        ranks = _pagerank(
+            self.graph, alpha=alpha, iterations=iterations, edge_labels=edge_labels
+        ).withColumnRenamed("pagerank", out_col)
+        return self._with(self._df.join(ranks, "id", "left"))
+
+    def peer_pressure(
+        self,
+        iterations: int = 3,
+        out_col: str = "cluster",
+        edge_labels: tuple[str, ...] = (),
+    ) -> "GraphTraversal":
+        """TinkerPop ``g.V().peerPressure()`` (PeerPressureVertexProgram
+        — synchronous label-propagation clustering): annotate each
+        frontier vertex with its full-graph community id (the
+        reference's 'gremlin.peerPressureVertexProgram.cluster'
+        property)."""
+        from titan_spark.compute.algorithms import label_propagation
+
+        if self.kind != "V":
+            raise ValueError("peerPressure() is a vertex step — call on a V frontier")
+        self._ensure_cols()
+        comm = label_propagation(
+            self.graph, iterations=iterations, edge_labels=edge_labels
+        ).withColumnRenamed("community", out_col)
+        return self._with(self._df.join(comm, "id", "left"))
+
     def sample_(self, n: int, seed: int = 0) -> "GraphTraversal":
         """Gremlin ``sample(n)``, deterministically: keep the n
         traversers whose element id hashes lowest (portable h60 of
@@ -1669,7 +1716,7 @@ _CHAINING_METHODS = (
     "union_", "choose", "branch_", "coalesce_", "where_", "not_", "aggregate_",
     "where_within", "where_without", "as_", "order_by", "limit", "range_",
     "local_top_k", "local_", "map_", "flat_map_", "side_effect_",
-    "dedup", "with_sack", "sack_", "sample_",
+    "dedup", "with_sack", "sack_", "sample_", "page_rank", "peer_pressure",
 )
 
 _REC_DEPTH = 0

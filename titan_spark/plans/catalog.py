@@ -5135,6 +5135,40 @@ ORACLE_SQL["dedup_weights"] = f"""
 """
 
 
+def q_pagerank_traversal_top(spark, sf_dir):
+    """Chainable computer-traversal sugar (r8, VERDICT r7 #8):
+    g.V().hasLabel('nation').pageRank().order().by(rank, desc).limit(10)
+    — the PageRankVertexProgram-within-a-traversal form the reference
+    exercises via g.traversal(computer())
+    (FulgoraGraphComputer.java:21,53-54; TraversalVertexProgram). The
+    page_rank STEP computes whole-graph scores (3 iterations on the
+    geography DAG = fixpoint) and annotates the nation frontier; the
+    terminal sort rounds first so ties break identically on both
+    engines."""
+    sub = _geo_subgraph(spark, sf_dir)
+    t = sub.V().has_label("nation").page_rank(alpha=0.85, iterations=3)
+    return (
+        t.to_df("id", "pagerank")
+        .select("id", F.round("pagerank", 12).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), F.col("id").asc())
+        .limit(10)
+    )
+
+
+QUERIES["pagerank_traversal_top"] = q_pagerank_traversal_top
+
+# the pagerank oracle's fixed-iteration CTE, restricted to nation ids,
+# ordered by the same rounded score
+ORACLE_SQL["pagerank_traversal_top"] = (
+    ORACLE_SQL["pagerank"].rsplit("SELECT id, ROUND(pr, 12) AS pagerank FROM r3", 1)[0]
+    + """
+        SELECT id, ROUND(pr, 12) AS pagerank FROM r3
+        WHERE id >= 500000000000 AND id < 600000000000
+        ORDER BY ROUND(pr, 12) DESC, id ASC LIMIT 10
+    """
+)
+
+
 # --------------------------------------------------------------------------
 # Driver-slot curation (COVERAGE.md policy): the driver value-checks the
 # FIRST 50 entries. Promote the round-5 flagships line_dedup /
