@@ -164,6 +164,50 @@ def run_suite() -> dict:
         # production Arrow encode kernel (oracle row pins the JVM fold)
         "pq_codes": lambda sp, d: q_pq_codes(sp, d, kernel="arrow"),
     }
+    # bench the directed-graph family on an sf-SCALED fixture (VERDICT
+    # r7 #9): the oracle rows pin 96 blocks (768 vertices — closed-form
+    # ground truth), while the bench scales block count with sf so the
+    # sf1/sf10 ratio rows measure the FW-BW peeling's data behavior
+    # (round count is block-size-bound by construction, so the ratios
+    # isolate per-round data volume, the quantity that matters at
+    # 100 TB). sf0.1 → 960 blocks, sf1 → 9.6k, sf10 → 96k.
+    if sf_num:
+        n_blocks = max(96, int(round(9600 * sf_num)))
+
+        def _scaled_scc(sp, d, _n=n_blocks):
+            from titan_spark.compute import strongly_connected_components
+            from titan_spark.sources.fixtures import block_cycle_digraph
+
+            g = block_cycle_digraph(sp, n_blocks=_n, block=8)
+            return strongly_connected_components(g).select("id", "component")
+
+        def _scaled_condensation(sp, d, _n=n_blocks):
+            from pyspark.sql import functions as F
+
+            from titan_spark.compute import condensation
+            from titan_spark.sources.fixtures import block_cycle_digraph
+
+            g = block_cycle_digraph(sp, n_blocks=_n, block=8)
+            c = condensation(g)
+            out_deg = c.edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("o")
+            )
+            in_deg = c.edges.groupBy(F.col("dst").alias("id")).agg(
+                F.count(F.lit(1)).alias("i")
+            )
+            return (
+                c.vertices.join(out_deg, "id", "left")
+                .join(in_deg, "id", "left")
+                .select(
+                    "id",
+                    "n_members",
+                    F.coalesce("o", F.lit(0)).cast("long").alias("out_deg"),
+                    F.coalesce("i", F.lit(0)).cast("long").alias("in_deg"),
+                )
+            )
+
+        overrides["scc_blocks"] = _scaled_scc
+        overrides["condensation_dag"] = _scaled_condensation
 
     timings: dict[str, float] = {}
     # "adaptive": one rep, plus a second (min taken) when the first is
@@ -367,7 +411,13 @@ def _vs_prev_block(queries: dict[str, float]) -> tuple[dict | None, dict[str, fl
     if not candidates:
         return None, queries
     _, prev_name, prev_queries = sorted(candidates)[-1]
-    common = sorted(set(queries) & set(prev_queries))
+    # deliberate workload changes are not drift: r8 moved scc_blocks /
+    # condensation_dag from the fixed 96-block oracle fixture to an
+    # sf-scaled bench fixture (10x the vertices at sf0.1), so their
+    # times are not comparable against r7 — reported separately, never
+    # flagged
+    fixture_changed = {"scc_blocks", "condensation_dag"}
+    common = sorted((set(queries) & set(prev_queries)) - fixture_changed)
     ratios = {
         q: round(queries[q] / prev_queries[q], 2)
         for q in common
@@ -407,6 +457,9 @@ def _vs_prev_block(queries: dict[str, float]) -> tuple[dict | None, dict[str, fl
         if common
         else None,
         "flagged_over_1.3x": {q: ratios[q] for q in final_flags},
+        "fixture_changed_excluded": sorted(
+            q for q in fixture_changed if q in queries and q in prev_queries
+        ),
         "contention_control": control_note,
         "note": "per-query ratio vs the previous round's committed bench "
         "(same sf0.1 suite, both sides min-of-fresh-JVMs); drifts past "
@@ -419,9 +472,12 @@ def _vs_prev_block(queries: dict[str, float]) -> tuple[dict | None, dict[str, fl
 SF10_FLAGSHIPS = [
     # the iterative/pipeline flagships (VERDICT r6 #2) — the queries
     # whose asymptotics matter; graph_build_count + pagerank_full_graph
-    # ride along from the suite pass itself. scc_blocks/condensation_dag
-    # are excluded: they run on a fixed-size fixture (constant time by
-    # construction, a ratio would measure nothing).
+    # ride along from the suite pass itself. scc_blocks/
+    # condensation_dag run on the sf-SCALED block-cycle fixture
+    # (r8, VERDICT r7 #9) so the FW-BW peeling's scaling is measured,
+    # not assumed.
+    "scc_blocks",
+    "condensation_dag",
     "k_core",
     "dedup_clusters",
     "semantic_dedup",
