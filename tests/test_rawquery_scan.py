@@ -246,3 +246,24 @@ def test_raw_query_element_wildcard(gods):
     # numeric ranges require a named field
     with pytest.raises(ValueError, match="named field"):
         raw_index_query(gods, "v.*:[30 TO 5000]")
+
+
+def test_raw_query_quoted_field_names(spark):
+    """Quoted field names carry non-alphanumeric property keys
+    (docs/directindex.txt "Property Key Names":
+    graph.indexQuery(idx, 'v."first_name":john'))."""
+    from titan_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [(1, "person", "john"), (2, "person", "jane")],
+        "id long, label string, first_name string",
+    )
+    e = spark.createDataFrame(
+        [], "edge_id long, src long, dst long, label string"
+    )
+    g = PropertyGraph(v, e)
+    out = raw_index_query(g, 'v."first_name":john')
+    assert [r["id"] for r in out.collect()] == [1]
+    # quoted field + quoted phrase coexist in one query string
+    out2 = raw_index_query(g, 'v."first_name":"john" -"first_name":jane')
+    assert [r["id"] for r in out2.collect()] == [1]

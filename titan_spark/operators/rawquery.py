@@ -24,6 +24,9 @@ phrases the ES examples use):
                              phrases match per-field (no false
                              adjacency across field boundaries);
                              numeric ranges require a named field
+    "field name":term        quoted field names (non-alphanumeric
+                             property keys — the docs' "Property Key
+                             Names" gotcha, v."first_name":john)
     clause AND clause        conjunction (also the bare default)
     NOT clause / -clause     negation (row must NOT match the clause)
     +clause                  required (the conjunctive default)
@@ -62,7 +65,7 @@ from titan_spark.functions.text import tokenize
 
 _TOKEN = re.compile(
     r"(?P<connector>\bAND\b|\bNOT\b)"
-    r"|(?P<req>[+-])?(?P<field>\*|[A-Za-z_][A-Za-z0-9_]*):"
+    r"|(?P<req>[+-])?(?:(?P<field>\*|[A-Za-z_][A-Za-z0-9_]*)|\"(?P<qfield>[^\"]+)\"):"
     r"(?:\((?P<terms>[^)]*)\)"
     r"|\[(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\]"
     r'|"(?P<phrase>[^"]*)"'
@@ -90,7 +93,13 @@ def parse_raw_query(query: str) -> list[dict]:
             continue  # AND is the default conjunction — a no-op token
         negated = negate_next or cm.group("req") == "-"
         negate_next = False
-        c = {"field": cm.group("field"), "negated": negated}
+        # quoted field names carry non-alphanumeric characters
+        # (docs/directindex.txt "Property Key Names" gotcha:
+        # v."first_name":john)
+        c = {
+            "field": cm.group("field") or cm.group("qfield"),
+            "negated": negated,
+        }
         if cm.group("terms") is not None:
             clauses.append({**c, "kind": "terms", "terms": _toks(cm.group("terms"))})
         elif cm.group("lo") is not None:
