@@ -4844,11 +4844,24 @@ def q_jl_project(spark, sf_dir):
     compiled into the plan as literals, one strict-float64 fold per
     output coordinate — one scan, zero shuffle, no Python per row. The
     oracle regenerates the identical matrix from the same md5-derived
-    sign bits and replays every projected value via list_dot_product."""
+    sign bits and replays every projected value via list_dot_product.
+    Driver-slot shape: the 16 rounded coordinates join into one
+    '%.6f'-formatted string (the canonicalizer hashes scalars only —
+    same convention as pq_codes' codes_str); +0.0 folds -0.000000 to
+    0.000000 on both engines."""
     from titan_spark.pipeline.similarity import random_project
 
     emb = tables(spark, sf_dir)["embeddings"]
-    return random_project(emb, out_dim=16, in_dim=64)
+    proj = random_project(emb, out_dim=16, in_dim=64)
+    return proj.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                "proj", lambda x: F.format_string("%.6f", x + F.lit(0.0))
+            ),
+            ",",
+        ).alias("proj_str"),
+    )
 
 
 QUERIES["jl_project"] = q_jl_project
@@ -4859,12 +4872,14 @@ def _jl_project_oracle(in_dim: int = 64, out_dim: int = 16) -> str:
 
     mat = jl_sign_matrix(in_dim, out_dim)
     dots = ", ".join(
-        "ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(["
+        "printf('%.6f', ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(["
         + ", ".join(repr(mat[i][j]) for i in range(in_dim))
-        + "] AS DOUBLE[])), 6)"
+        + "] AS DOUBLE[])), 6) + 0.0)"
         for j in range(out_dim)
     )
-    return f"SELECT vec_id, [{dots}] AS proj FROM embeddings"
+    return (
+        f"SELECT vec_id, concat_ws(',', {dots}) AS proj_str FROM embeddings"
+    )
 
 
 ORACLE_SQL["jl_project"] = _jl_project_oracle()
