@@ -626,3 +626,27 @@ def test_approximate_diameter_closed_forms(spark):
 
     empty = g([1, 2], [])
     assert approximate_diameter(empty).count() == 0
+
+
+def test_cc_pruned_bridge_regression(spark):
+    """Regression for the r8 settled-edge-drop bug: triangle {1,2,3}
+    plus chain 2-9-0. Round 1 labels 2 and 3 with 1 (pruning the
+    triangle edges as 'settled'); round 2 teaches 2 the true min 0 via
+    9 — with a plain DROP, vertices 1 and 3 are cut off and stick at
+    component 1. Edge CONTRACTION keeps the (1,0) quotient edge alive
+    and merges everything to 0."""
+    from titan_spark.compute.algorithms import connected_components
+    from titan_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [(i, "n") for i in (0, 1, 2, 3, 9)], "id long, label string"
+    )
+    e = spark.createDataFrame(
+        [(0, 1, 2, "x"), (1, 1, 3, "x"), (2, 2, 3, "x"), (3, 2, 9, "x"), (4, 9, 0, "x")],
+        "edge_id long, src long, dst long, label string",
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(PropertyGraph(v, e)).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 9: 0}

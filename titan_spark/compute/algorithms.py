@@ -141,9 +141,11 @@ def connected_components(
     propagation distance per round, so convergence is O(log diameter)
     rounds instead of O(diameter) — the difference between 40 and 7
     rounds on a 100-length chain, and the reason this survives
-    real-world graph diameters at scale. Settled edges (endpoints
-    already sharing a label) are pruned each round, so per-round cost
-    shrinks geometrically instead of staying |E| (see _cc_loop).
+    real-world graph diameters at scale. The live edge set contracts
+    into label space each round (quotient-graph edges, same-label
+    pairs dropped, deduped), so per-round cost shrinks geometrically
+    instead of staying |E| while preserving connectivity exactly (see
+    _cc_loop).
     """
     e = graph.edges
     if edge_labels:
@@ -172,20 +174,26 @@ def connected_components(
 
 
 def _cc_loop(state, und, max_iterations):
-    """One round = (1) SETTLED-EDGE PRUNING: an edge whose endpoints
-    already share a label is redundant for connectivity — a min label
-    only ever travels along real paths, so equal labels witness a real
-    u→label←v connection — and is dropped, shrinking the edge relation
-    joined per round geometrically as components coalesce (the old
-    loop re-shuffled the FULL edge set every round, which is what made
-    dedup_clusters superlinear at sf10: round count grows with the
-    pair-graph diameter AND each extra round cost full |E|);
-    (2) neighbor-min over the surviving labeled edges (no extra join —
-    the pruning pass already carries the neighbor label); (3) pointer
-    jump — single for the cheap early rounds, CHAINED (label of label
-    of label) from round 3 on, so deep label chains compress ~4× per
-    round once the bulk merging is done and the tail is pointer-depth
-    bound."""
+    """One round = (1) EDGE CONTRACTION into label space: every live
+    edge relabels to (label(u), label(v)), same-label pairs drop, and
+    the result dedups — the quotient-graph edge set of the current
+    label partition. This preserves connectivity exactly (an edge
+    between two label regions survives AS the contracted pair, the
+    large-star/small-star idea) while shrinking the per-round relation
+    geometrically as components coalesce — the old loop re-shuffled
+    the FULL edge set every round, which is what made dedup_clusters
+    superlinear at sf10: round count grows with the pair-graph
+    diameter AND each extra round cost full |E|. NOTE a plain DROP of
+    same-label edges (without contraction) is INCORRECT: if x's edges
+    to a d-labeled region prune while x later learns a smaller label
+    e elsewhere, the d—e connection is lost and the d region never
+    merges (counterexample in test_cc_pruned_bridge_regression);
+    (2) neighbor-min over the CONTRACTED edges, keyed by label — every
+    vertex of a label class inherits its class's min in the same round
+    via the component-keyed join; (3) pointer jump — single for the
+    cheap early rounds, CHAINED (label of label of label) from round 3
+    on, so deep label chains compress ~4× per round once the tail is
+    pointer-depth bound."""
     live = und.select("u", "v")
     for i in range(max_iterations):
         lab_u = state.select(F.col("id").alias("u"), F.col("component").alias("cu"))
@@ -195,12 +203,15 @@ def _cc_loop(state, und, max_iterations):
             .join(lab_u, "u")
             .join(lab_v, "v")
             .filter(F.col("cu") != F.col("cv"))
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .dropDuplicates(["u", "v"])
         )
         live = cut_lineage(live, eager=True, round_idx=i)
-        # neighbor min straight off the pruned labeled edges (und is
-        # symmetric, so grouping on u covers both directions)
-        nbr = live.groupBy(F.col("u").alias("id")).agg(
-            F.min("cv").alias("nbr_min")
+        # neighbor min on the quotient graph, keyed by LABEL (und is
+        # symmetric, so contracted orientations are symmetric too and
+        # grouping on u covers both directions)
+        nbr = live.groupBy(F.col("u").alias("component")).agg(
+            F.min("v").alias("nbr_min")
         )
         # pointer jump: component of my component
         ptr = state.select(
@@ -216,7 +227,7 @@ def _cc_loop(state, und, max_iterations):
                 "component", F.coalesce("jump2", "jump").alias("jump")
             )
         new_state = (
-            state.join(nbr, "id", "left")
+            state.join(nbr, "component", "left")
             .join(ptr, "component", "left")
             .select(
                 "id",
