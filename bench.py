@@ -708,6 +708,22 @@ def _streaming_block() -> dict | None:
                 "p95": round(_pctile(dedup_lat, 95), 1) if dedup_lat else None,
                 "max": round(max(dedup_lat), 1) if dedup_lat else None,
             },
+            # batch 0 pays one-time plan codegen + Arrow warmup for the
+            # minhash expression chain (profiled: ~10s cold vs 3.3-4.4s
+            # for every later batch, compaction batch included) — the
+            # steady-state row is the per-trigger latency a long-running
+            # stream actually sees
+            "dedup_steady_state_ms": {
+                "p50": round(_pctile(dedup_lat[1:], 50), 1)
+                if len(dedup_lat) > 1
+                else None,
+                "p95": round(_pctile(dedup_lat[1:], 95), 1)
+                if len(dedup_lat) > 1
+                else None,
+                "max": round(max(dedup_lat[1:]), 1)
+                if len(dedup_lat) > 1
+                else None,
+            },
             "dedup_kept_rows": dedup_kept,
             "changelog_rows": sum(seen),
             "changelog_drain_seconds": round(log_wall, 3),

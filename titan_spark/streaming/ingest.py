@@ -28,7 +28,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from titan_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+from titan_spark.pipeline.dedup import minhash_signatures
 
 _STORE_SCHEMA = "band int, band_hash long, doc_id long, batch_id long"
 # the persistent store is hive-partitioned on pmod(band_hash, N): a
@@ -56,6 +56,7 @@ class IncrementalDedup:
         bands: int = 8,
         num_hashes: int = 32,
         hash_fn: str = "xxhash64",
+        compact_every: int = 8,
     ):
         self.spark = spark
         self.store_dir = store_dir
@@ -64,13 +65,20 @@ class IncrementalDedup:
         self.bands = bands
         self.num_hashes = num_hashes
         self.hash_fn = hash_fn
+        # small-file compaction cadence (0 disables): every Nth batch
+        # rewrites the store to one file per bucket after its append
+        self.compact_every = compact_every
 
     # -- store --------------------------------------------------------
-    def _store(self, buckets: list[int] | None = None) -> DataFrame:
+    def _store(
+        self, buckets: list[int] | None = None, dedup: bool = True
+    ) -> DataFrame:
         """Read the signature store; ``buckets`` restricts the scan to
         the named band-hash buckets (partition-pruned — only those
         bucket directories are read). Legacy non-partitioned stores are
-        read whole with the bucket derived on the fly."""
+        read whole with the bucket derived on the fly. ``dedup=False``
+        skips the 3-column retry-dedup shuffle for probe paths that
+        apply their own coarser distinct."""
         if not os.path.exists(self.store_dir):
             return self.spark.createDataFrame([], _STORE_SCHEMA + ", bucket int")
         bucketed = any(
@@ -88,7 +96,41 @@ class IncrementalDedup:
                 .parquet(self.store_dir)
                 .withColumn("bucket", _bucket_of(F.col("band_hash")))
             )
-        return df.dropDuplicates(["band", "band_hash", "doc_id"])
+        if dedup:
+            df = df.dropDuplicates(["band", "band_hash", "doc_id"])
+        return df
+
+    def compact(self) -> None:
+        """Rewrite the store to one file per bucket. Micro-batch appends
+        accumulate one file per touched bucket per batch, so probe
+        latency at high batch counts becomes footer/listing-bound —
+        the classic small-file problem; LSM stores solve it with
+        compaction and so does this (single-writer context: call
+        between batches, e.g. via ``compact_every``). Duplicate
+        (band, band_hash, doc_id) rows keep their MIN batch_id so the
+        strictly-earlier retry semantics are preserved."""
+        if not os.path.exists(self.store_dir):
+            return
+        if not any(e.startswith("bucket=") for e in os.listdir(self.store_dir)):
+            return
+        import shutil
+
+        compacted = (
+            self.spark.read.schema(_STORE_SCHEMA + ", bucket int")
+            .parquet(self.store_dir)
+            .groupBy("band", "band_hash", "doc_id", "bucket")
+            .agg(F.min("batch_id").alias("batch_id"))
+            .select("band", "band_hash", "doc_id", "batch_id", "bucket")
+        )
+        tmp = self.store_dir.rstrip("/") + ".compacting"
+        compacted.repartition(_N_BUCKETS, "bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(tmp)
+        shutil.rmtree(self.store_dir)
+        os.rename(tmp, self.store_dir)
+        # drop Spark's cached file listing for the path — the next
+        # probe must see the compacted files, not the deleted originals
+        self.spark.catalog.refreshByPath(self.store_dir)
 
     def _band_rows(self, df: DataFrame) -> DataFrame:
         """(band, band_hash, doc_id) rows — one per band per doc, the
@@ -143,7 +185,9 @@ class IncrementalDedup:
         probe_buckets = [
             r["bucket"] for r in incoming.select("bucket").distinct().collect()
         ]
-        store = self._store(probe_buckets).filter(
+        # probe path: only distinct (band, band_hash) matters, so skip
+        # the 3-column retry-dedup shuffle (dedup=False)
+        store = self._store(probe_buckets, dedup=False).filter(
             F.col("batch_id") < F.lit(int(batch_id))
         )
         # history collisions: any shared band drops the incoming doc
@@ -156,23 +200,33 @@ class IncrementalDedup:
             .select("doc_id")
             .distinct()
         )
-        fresh = batch_df.join(
-            hist_dupes.withColumnRenamed("doc_id", self.id_col), self.id_col, "left_anti"
+        # within-batch collisions: greedy keep-lowest-id per pair,
+        # derived straight off the CACHED band rows — the old path
+        # called lsh_candidate_pairs on the fresh docs and then
+        # _band_rows on the survivors, re-minhashing the batch twice;
+        # the banding join below is the same (band, band_hash)
+        # collision test without a second (or third) shingle+hash pass
+        fresh_bands = incoming.join(hist_dupes, "doc_id", "left_anti")
+        a = fresh_bands.select("band", "band_hash", F.col("doc_id").alias("id_a"))
+        b = fresh_bands.select("band", "band_hash", F.col("doc_id").alias("id_b"))
+        losers = (
+            a.join(b, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
         )
-        # within-batch collisions: greedy keep-lowest-id per pair
-        pairs = lsh_candidate_pairs(
-            minhash_signatures(
-                fresh, self.text_col, self.id_col, self.num_hashes, hash_fn=self.hash_fn
-            ),
-            id_col=self.id_col,
-            bands=self.bands,
-            num_hashes=self.num_hashes,
-            hash_fn=self.hash_fn,
+        survivors = batch_df.join(
+            hist_dupes.withColumnRenamed("doc_id", self.id_col),
+            self.id_col,
+            "left_anti",
+        ).join(
+            losers.withColumnRenamed("doc_id", self.id_col),
+            self.id_col,
+            "left_anti",
         )
-        losers = pairs.select(F.col("id_b").alias(self.id_col)).distinct()
-        survivors = fresh.join(losers, self.id_col, "left_anti")
         out_rows = (
-            self._band_rows(survivors)
+            fresh_bands.join(losers, "doc_id", "left_anti")
+            .select("band", "band_hash", "doc_id")
             .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
             .withColumn("bucket", _bucket_of(F.col("band_hash")))
         )
@@ -183,6 +237,12 @@ class IncrementalDedup:
             "bucket"
         ).parquet(self.store_dir)
         incoming.unpersist(blocking=False)
+        if self.compact_every and (int(batch_id) + 1) % self.compact_every == 0:
+            # survivors' lazy plan reads the PRE-compaction store files
+            # (via the history probe) — materialize before the rewrite
+            # deletes them
+            survivors = survivors.localCheckpoint(eager=True)
+            self.compact()
         return survivors
 
     def run_stream(self, stream_df: DataFrame, checkpoint_dir: str, sink_fn=None):
