@@ -196,17 +196,27 @@ def _cc_loop(state, und, max_iterations):
     pointer-depth bound."""
     live = und.select("u", "v")
     for i in range(max_iterations):
-        lab_u = state.select(F.col("id").alias("u"), F.col("component").alias("cu"))
-        lab_v = state.select(F.col("id").alias("v"), F.col("component").alias("cv"))
-        live = (
-            live.select("u", "v")
-            .join(lab_u, "u")
-            .join(lab_v, "v")
-            .filter(F.col("cu") != F.col("cv"))
-            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
-            .dropDuplicates(["u", "v"])
-        )
-        live = cut_lineage(live, eager=True, round_idx=i)
+        if i == 0:
+            # round 0: every label IS its vertex id, so the contraction
+            # relabel is the identity and the dedup finds nothing — skip
+            # two joins and a shuffle of the FULL (largest) edge set
+            pass
+        else:
+            lab_u = state.select(
+                F.col("id").alias("u"), F.col("component").alias("cu")
+            )
+            lab_v = state.select(
+                F.col("id").alias("v"), F.col("component").alias("cv")
+            )
+            live = (
+                live.select("u", "v")
+                .join(lab_u, "u")
+                .join(lab_v, "v")
+                .filter(F.col("cu") != F.col("cv"))
+                .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+                .dropDuplicates(["u", "v"])
+            )
+            live = cut_lineage(live, eager=True, round_idx=i)
         # neighbor min on the quotient graph, keyed by LABEL (und is
         # symmetric, so contracted orientations are symmetric too and
         # grouping on u covers both directions)
