@@ -132,3 +132,32 @@ def test_line_dedup_token_mode_windows(spark):
     assert set(out) == {1, 2}
     assert out[1]["text"] == "a b c d e f"
     assert out[2]["text"] == "x" and out[2]["kept_lines"] == 1
+
+
+def test_repeated_passage_stats(spark):
+    """Windowed exact-substring dedup: a passage repeated verbatim in
+    two docs marks both docs' overlapping windows; a unique doc scores
+    0; short docs clamp to one whole-doc window."""
+    from titan_spark.pipeline.dedup import repeated_passage_stats
+
+    boiler = "this license text is repeated verbatim across many documents word for word"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, boiler + " one two three four five six seven eight nine"),
+            (3, "a completely unique document about distributed query engines and parquet"),
+            (4, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repeated_passage_stats(docs, window=5, min_docs=2).collect()
+    }
+    assert out[1]["n_repeated"] > 0 and out[2]["n_repeated"] > 0
+    assert out[3]["n_repeated"] == 0
+    # the shared 12-token prefix yields 8 shared 5-windows in each doc
+    assert out[1]["n_repeated"] == out[2]["n_repeated"] == 8
+    # short doc: one whole-doc window, unique
+    assert out[4]["n_windows"] == 1 and out[4]["n_repeated"] == 0
+    assert abs(out[3]["repeat_frac"]) < 1e-9

@@ -115,3 +115,40 @@ def test_hll_registers_match_duckdb(spark, tmp_path):
     con.execute(f"CREATE VIEW items AS SELECT * FROM '{pq}/*.parquet'")
     want = dict(con.execute(hll_register_sql("item", "items", p=8)).fetchall())
     assert got == want
+
+
+def test_hll_grouped_merges_to_global(spark):
+    """Per-group register tables merge (elementwise max) into exactly
+    the whole-corpus sketch — the windowed-composition property that
+    motivates exposing registers as rows."""
+    from pyspark.sql import functions as F
+
+    from titan_spark.pipeline.sketches import (
+        hll_build,
+        hll_build_grouped,
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_merge,
+    )
+
+    items = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.concat(F.lit("u"), (F.col("id") % 1700).cast("string")).alias("item"),
+    )
+    grouped = hll_build_grouped(items, ["grp"], "item", p=8).cache()
+    merged = hll_merge(grouped.select("bucket", F.col("max_rho"))).collect()
+    direct = hll_build(items, "item", p=8).collect()
+    assert sorted((r["bucket"], r["max_rho"]) for r in merged) == sorted(
+        (r["bucket"], r["max_rho"]) for r in direct
+    )
+    # per-group estimates track the exact distinct counts (p=8 -> ~6.5%
+    # standard error; allow 3 sigma)
+    exact = {
+        r["grp"]: r["n"]
+        for r in items.groupBy("grp").agg(F.countDistinct("item").alias("n")).collect()
+    }
+    for r in hll_estimate_grouped(grouped, ["grp"], p=8).collect():
+        assert abs(r["estimate"] - exact[r["grp"]]) / exact[r["grp"]] < 0.2
+    # merged estimate tracks the global distinct count
+    [gl] = hll_estimate(hll_merge(grouped.select("bucket", "max_rho")), p=8).collect()
+    assert abs(gl["estimate"] - 1700) / 1700 < 0.2

@@ -614,3 +614,65 @@ def line_dedup(
         )
         .select(F.col("id").alias(id_col), "kept_lines", "text")
     )
+
+
+def repeated_passage_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact repeated-passage statistics — the windowed form of exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): every distinct ``window``-token
+    rolling window of every document is hashed; a window appearing in
+    ≥ ``min_docs`` distinct documents is REPEATED, and each document
+    reports how much of itself is repeated elsewhere →
+    (id_col, n_windows, n_repeated, repeat_frac). Consumers cut or
+    down-weight high-repeat_frac documents (verbatim boilerplate,
+    license blocks, templated pages) — the passage-level signal that
+    whole-document MinHash similarity cannot see. Documents shorter
+    than ``window`` tokens contribute one whole-doc window (the same
+    clamp as :func:`shingles`, replayed by the SQL oracle).
+
+    Scale shape: windows explode to one row per (doc, distinct
+    window), but each row carries an 8-byte hash — never text — and
+    both aggregates are map-side combinable; the repeated-set join
+    keys on the hash. The window stream is deliberately recomputed for
+    the two passes instead of cached: at corpus scale the exploded
+    relation dwarfs memory, and two scans of columnar text beat
+    spilling a 100×-inflated cache.
+    """
+    h64 = resolve_hash_fn(hash_fn)
+    wins = shingles(F.col(text_col), window)
+    rows = df.select(F.col(id_col), F.explode(wins).alias("_w")).select(
+        id_col, h64(F.col("_w")).alias("_h")
+    )
+    # windows are distinct per doc, so the count per hash IS the
+    # distinct-document count
+    rep = (
+        rows.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h", F.lit(1).alias("_rep"))
+    )
+    return (
+        rows.join(rep, "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_rep").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeated"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_repeated",
+            F.round(
+                F.col("n_repeated").cast("double") / F.col("n_windows"), 6
+            ).alias("repeat_frac"),
+        )
+    )

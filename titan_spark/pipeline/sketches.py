@@ -177,6 +177,60 @@ def hll_build(items: DataFrame, item_col: str = "item", p: int = 8) -> DataFrame
     )
 
 
+def hll_build_grouped(
+    items: DataFrame, group_cols: list[str], item_col: str = "item", p: int = 8
+) -> DataFrame:
+    """Register tables PER GROUP → (group_cols…, bucket, max_rho) —
+    one sketch per key (per hour, per shard, per source). Each group's
+    registers later merge losslessly with :func:`hll_merge`'s
+    elementwise max (drop the group columns first), which is the
+    composition pattern ``approx_count_distinct`` cannot express: its
+    sketch state is opaque, these registers are rows."""
+    m = 1 << p
+    w = _HLL_BITS - p
+    h = portable_hash64(F.col(item_col))
+    rest = F.shiftrightunsigned(h, p).cast("long")
+    rho = (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.lit(w) - F.length(F.bin(rest)) + 1)
+        .cast("int")
+    )
+    return (
+        items.select(
+            *group_cols,
+            F.pmod(h, F.lit(m)).cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_grouped(
+    sketch: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Per-group (group_cols…, estimate) from a grouped register table
+    — the same raw/linear-counting estimator as :func:`hll_estimate`,
+    in pure column algebra per group."""
+    m = 1 << p
+    alpha = (
+        0.7213 / (1.0 + 1.079 / m)
+        if m >= 128
+        else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    )
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("s"),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    zeros = F.lit(m) - F.col("nz")
+    raw = F.lit(alpha * m * m) / (F.coalesce(F.col("s"), F.lit(0.0)) + zeros)
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), lc).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est).cast("long").alias("estimate")
+    )
+
+
 def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Union register tables from independent passes (shards, days,
     engines) into one sketch: elementwise max — the lossless HLL merge."""
@@ -209,19 +263,29 @@ def hll_distinct(items: DataFrame, item_col: str = "item", p: int = 8) -> DataFr
     return hll_estimate(hll_build(items, item_col, p), p)
 
 
-def hll_register_sql(expr: str, from_clause: str, p: int = 8) -> str:
-    """DuckDB twin of :func:`hll_build` (oracle builder): the exact
-    same registers from the same h60 bit budget."""
+def hll_register_sql(
+    expr: str,
+    from_clause: str,
+    p: int = 8,
+    group_expr: str | None = None,
+    group_alias: str = "grp",
+) -> str:
+    """DuckDB twin of :func:`hll_build` / :func:`hll_build_grouped`
+    (oracle builder): the exact same registers from the same h60 bit
+    budget, optionally per ``group_expr``."""
     m = 1 << p
     w = _HLL_BITS - p
     h = portable_hash64_sql(expr)
+    gsel = f"{group_expr} AS {group_alias}, " if group_expr else ""
+    gout = f"{group_alias}, " if group_expr else ""
+    gby = "GROUP BY 1, 2" if group_expr else "GROUP BY 1"
     return f"""
-    WITH hh AS (SELECT {h} AS h FROM {from_clause}),
+    WITH hh AS (SELECT {gsel}{h} AS h FROM {from_clause}),
     reg AS (
-        SELECT CAST(h % {m} AS INT) AS bucket,
+        SELECT {gout}CAST(h % {m} AS INT) AS bucket,
                CAST(max(CASE WHEN h // {m} = 0 THEN {w + 1}
                     ELSE {w} - length(bin(h // {m})) + 1 END) AS INT) AS max_rho
-        FROM hh GROUP BY 1
+        FROM hh {gby}
     )
-    SELECT bucket, max_rho FROM reg
+    SELECT {gout}bucket, max_rho FROM reg
 """

@@ -4838,6 +4838,44 @@ def _hll_users_oracle() -> str:
 ORACLE_SQL["hll_users"] = _hll_users_oracle()
 
 
+def q_hll_hourly(spark, sf_dir):
+    """Grouped HLL (r8): one distinct-user register table PER HOUR of
+    the events stream → (hour, bucket, max_rho). The windowed-sketch
+    composition pattern — per-window registers persist, then any range
+    of windows merges losslessly by elementwise max (pytest pins
+    merge(hours) == whole-stream sketch) — which
+    approx_count_distinct's opaque state cannot express. Oracle
+    replays every register bit-identically per hour."""
+    from titan_spark.pipeline.sketches import hll_build_grouped
+
+    ev = tables(spark, sf_dir)["events"]
+    items = ev.select(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+            "hour"
+        ),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    return hll_build_grouped(items, ["hour"], "item", p=8)
+
+
+QUERIES["hll_hourly"] = q_hll_hourly
+
+
+def _hll_hourly_oracle() -> str:
+    from titan_spark.pipeline.sketches import hll_register_sql
+
+    return hll_register_sql(
+        "CAST(user_id AS VARCHAR)",
+        "events",
+        p=8,
+        group_expr="strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')",
+        group_alias="hour",
+    )
+
+
+ORACLE_SQL["hll_hourly"] = _hll_hourly_oracle()
+
+
 def q_jl_project(spark, sf_dir):
     """Johnson–Lindenstrauss random projection 64-d → 16-d over the
     embeddings table: hash-derived Achlioptas ±1/√k sign matrix
@@ -5147,6 +5185,53 @@ ORACLE_SQL["dedup_weights"] = f"""
     FROM documents d
     LEFT JOIN comp c ON c.doc_id = d.doc_id
     LEFT JOIN sizes z ON z.cluster_rep = c.cluster_rep
+"""
+
+
+def q_repeated_passages(spark, sf_dir):
+    """Exact repeated-passage statistics (r8 — the windowed form of
+    Lee et al. 2022's exact substring dedup): every distinct 8-token
+    rolling window hashed (portable h60), windows in >= 2 docs are
+    repeated, per-doc (n_windows, n_repeated, repeat_frac). The
+    passage-level boilerplate signal whole-document MinHash cannot
+    see; the oracle replays the identical windows, clamp, and hash."""
+    from titan_spark.pipeline.dedup import repeated_passage_stats
+
+    docs = tables(spark, sf_dir)["documents"]
+    return repeated_passage_stats(docs, window=8, min_docs=2, hash_fn="portable")
+
+
+QUERIES["repeated_passages"] = q_repeated_passages
+
+from titan_spark.functions.hashing import portable_hash64_sql  # noqa: E402
+
+ORACLE_SQL["repeated_passages"] = f"""
+    WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(CAST(len(toks) AS INT) - 7, 1)),
+                   i -> array_to_string(toks[i:i+7], ' ')
+               )) AS wins
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id, {portable_hash64_sql('win')} AS h
+        FROM (SELECT doc_id, unnest(wins) AS win FROM s)
+    ),
+    rep AS (SELECT h FROM r GROUP BY h HAVING COUNT(*) >= 2),
+    per AS (
+        SELECT r.doc_id,
+               COUNT(*) AS n_windows,
+               SUM(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END) AS n_repeated
+        FROM r LEFT JOIN rep ON rep.h = r.h
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(n_repeated AS BIGINT) AS n_repeated,
+           ROUND(CAST(n_repeated AS DOUBLE) / n_windows, 6) AS repeat_frac
+    FROM per
 """
 
 
