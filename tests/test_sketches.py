@@ -152,3 +152,47 @@ def test_hll_grouped_merges_to_global(spark):
     # merged estimate tracks the global distinct count
     [gl] = hll_estimate(hll_merge(grouped.select("bucket", "max_rho")), p=8).collect()
     assert abs(gl["estimate"] - 1700) / 1700 < 0.2
+
+
+def test_ddsketch_accuracy_and_merge(spark):
+    """DDSketch: (1) every quantile estimate is within the relative
+    error alpha of the exact quantile; (2) per-shard sketches merge
+    losslessly into the whole-corpus sketch; (3) zeros and negatives
+    land in their dedicated sign buckets and order correctly."""
+    from pyspark.sql import functions as F
+
+    from titan_spark.pipeline.sketches import dd_build, dd_merge, dd_quantiles
+
+    vals = spark.range(10000).select(
+        (F.col("id") % 4).alias("shard"),
+        (F.pow(F.lit(1.001), F.col("id") % 997) * 3.7).alias("v"),
+    )
+    alpha = 0.01
+    whole = dd_build(vals, "v", alpha=alpha)
+    # merged shards == whole-corpus sketch, bucket for bucket
+    shards = [
+        dd_build(vals.filter(F.col("shard") == s), "v", alpha=alpha)
+        for s in range(4)
+    ]
+    merged = dd_merge(*shards).collect()
+    direct = whole.collect()
+    assert sorted(tuple(r) for r in merged) == sorted(tuple(r) for r in direct)
+    # relative-error bound vs exact percentiles
+    exact = vals.agg(
+        F.expr("percentile(v, array(0.5, 0.9, 0.99))").alias("p")
+    ).first()["p"]
+    est = {
+        r["q"]: r["estimate"]
+        for r in dd_quantiles(whole, (0.5, 0.9, 0.99), alpha=alpha).collect()
+    }
+    for q, ex in zip((0.5, 0.9, 0.99), exact):
+        assert abs(est[q] - ex) / ex <= alpha + 1e-9, (q, est[q], ex)
+    # signs: negatives mirror, zeros dedicated bucket, ordering holds
+    mixed = spark.createDataFrame(
+        [(-100.0,), (-1.0,), (0.0,), (1.0,), (100.0,)], ["v"]
+    )
+    sk = dd_build(mixed, "v", alpha=alpha)
+    q = {r["q"]: r["estimate"] for r in dd_quantiles(sk, (0.0, 0.5, 1.0), alpha=alpha).collect()}
+    assert q[0.0] < 0 and abs(q[0.5]) < 1e-9 and q[1.0] > 0
+    assert abs(q[0.0] + 100) / 100 <= alpha + 1e-9
+    assert abs(q[1.0] - 100) / 100 <= alpha + 1e-9

@@ -289,3 +289,103 @@ def hll_register_sql(
     )
     SELECT {gout}bucket, max_rho FROM reg
 """
+
+
+# ---------------------------------------------------------------------------
+# DDSketch — mergeable quantiles with a relative-error guarantee
+
+
+def dd_build(
+    df: DataFrame,
+    value_col: str = "value",
+    alpha: float = 0.01,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """DDSketch (Masson/Rim/Lee, VLDB 2019) bucket table →
+    (group_cols…, sign, bucket, n) — the quantile member of the
+    mergeable-sketch family (HLL registers, CMS counters): bucket =
+    ceil(log_γ |v|) with γ = (1+α)/(1-α), so every value in a bucket
+    is within relative error α of the bucket midpoint, merging is
+    summing counts per bucket (across shards/windows/days), and the
+    sketch is O(log(max/min)/α) rows regardless of data volume —
+    exact-percentile economics (a full sort, or Spark's
+    approx_percentile whose GK state is opaque) replaced by a
+    persistable row table. Zeros land in a dedicated (sign=0) bucket;
+    negative values mirror into sign=-1 buckets of |v|. The log ratio
+    is rounded to 9 decimals before ceil so Spark and the SQL oracle
+    land every boundary value in the same bucket (ulp-stable replay).
+    """
+    import math
+
+    gamma = (1 + alpha) / (1 - alpha)
+    lg = math.log(gamma)
+    v = F.col(value_col).cast("double")
+    sign = F.when(v > 0, 1).when(v < 0, -1).otherwise(0).cast("int")
+    b = F.ceil(F.round(F.log(F.abs(v)) / F.lit(lg), 9)).cast("long")
+    bucket = F.when(sign == 0, F.lit(0).cast("long")).otherwise(b)
+    return (
+        df.select(*group_cols, sign.alias("sign"), bucket.alias("bucket"))
+        .groupBy(*group_cols, "sign", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dd_merge(*sketches: DataFrame) -> DataFrame:
+    """Union bucket tables from independent passes and sum counts —
+    the lossless DDSketch merge (bucket boundaries are data-independent
+    so merged error stays ≤ α)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "n"]
+    return out.groupBy(*keys).agg(F.sum("n").alias("n"))
+
+
+def dd_quantiles(
+    sketch: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(group_cols…, q, estimate) per requested quantile: walk buckets
+    in value order (sign asc, then signed bucket), take the first
+    bucket whose cumulative count exceeds floor(q·(n−1)), and report
+    the bucket midpoint 2γ^b/(γ+1) with the sign applied — the
+    paper's estimator, within relative error α of the true quantile.
+    All window/aggregate algebra over the sketch-sized table."""
+    import math
+
+    from pyspark.sql import Window
+
+    gamma = (1 + alpha) / (1 - alpha)
+    key = F.when(F.col("sign") == -1, -F.col("bucket")).otherwise(F.col("bucket"))
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("sign").asc(), key.asc()
+    )
+    rows = sketch.select(
+        *group_cols,
+        "sign",
+        "bucket",
+        "n",
+        F.sum("n").over(w).alias("_cum"),
+    )
+    tot = sketch.groupBy(*group_cols).agg(F.sum("n").alias("_tot"))
+    rows = rows.join(tot, list(group_cols)) if group_cols else rows.crossJoin(
+        F.broadcast(tot)
+    )
+    est = F.when(F.col("sign") == 0, F.lit(0.0)).otherwise(
+        F.col("sign")
+        * 2.0
+        * F.pow(F.lit(gamma), F.col("bucket"))
+        / F.lit(gamma + 1.0)
+    )
+    cand = rows.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    ).filter(F.col("_cum") > F.floor(F.col("q") * (F.col("_tot") - 1)))
+    skey = F.when(F.col("sign") == -1, -F.col("bucket")).otherwise(F.col("bucket"))
+    sortable = F.col("sign").cast("long") * F.lit(10**15) + skey
+    return (
+        cand.groupBy(*group_cols, "q")
+        .agg(F.min_by(F.round(est, 6), sortable).alias("estimate"))
+        .select(*group_cols, "q", "estimate")
+    )

@@ -4876,6 +4876,59 @@ def _hll_hourly_oracle() -> str:
 ORACLE_SQL["hll_hourly"] = _hll_hourly_oracle()
 
 
+def q_value_quantiles_sketch(spark, sf_dir):
+    """DDSketch mergeable quantiles (r8 — Masson et al., VLDB 2019):
+    per-event-type p50/p90/p99 of events.value via relative-error
+    (α=1%) log-γ buckets → (event_type, q, estimate). The quantile
+    member of the mergeable-sketch family: bucket boundaries are
+    data-independent, so per-shard/per-window sketches merge by
+    summing counts; the oracle replays bucket assignment (log ratio
+    rounded to 9 dp before ceil — ulp-stable), the cumulative walk,
+    and the midpoint estimator exactly."""
+    from titan_spark.pipeline.sketches import dd_build, dd_quantiles
+
+    ev = tables(spark, sf_dir)["events"]
+    sk = dd_build(ev, "value", alpha=0.01, group_cols=("event_type",))
+    return dd_quantiles(sk, (0.5, 0.9, 0.99), alpha=0.01, group_cols=("event_type",))
+
+
+QUERIES["value_quantiles_sketch"] = q_value_quantiles_sketch
+
+
+def _value_quantiles_oracle(alpha: float = 0.01) -> str:
+    import math
+
+    gamma = (1 + alpha) / (1 - alpha)
+    lg = math.log(gamma)
+    return f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(CEIL(ROUND(LN(value) / {lg!r}, 9)) AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, SUM(n) AS tot FROM b GROUP BY 1),
+    c AS (
+        SELECT event_type, bucket, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+        FROM b
+    ),
+    qq AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+    sel AS (
+        SELECT c.event_type, qq.q, MIN(c.bucket) AS bucket
+        FROM c JOIN tot USING (event_type), qq
+        WHERE c.cum > FLOOR(qq.q * (tot.tot - 1))
+        GROUP BY 1, 2
+    )
+    SELECT event_type, q,
+           ROUND(2 * POW({gamma!r}, bucket) / ({gamma!r} + 1), 6) AS estimate
+    FROM sel
+"""
+
+
+ORACLE_SQL["value_quantiles_sketch"] = _value_quantiles_oracle()
+
+
 def q_jl_project(spark, sf_dir):
     """Johnson–Lindenstrauss random projection 64-d → 16-d over the
     embeddings table: hash-derived Achlioptas ±1/√k sign matrix
