@@ -136,6 +136,12 @@ HEADLINE = [
     "graph_diameter",
     "geo_modularity",
     "louvain_cliques",
+    # round 8: windowed exact-substring dedup, per-hour grouped HLL
+    # registers, DDSketch mergeable quantiles, computer-step traversal
+    "repeated_passages",
+    "hll_hourly",
+    "value_quantiles_sketch",
+    "pagerank_traversal_top",
 ]
 
 
