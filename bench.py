@@ -394,9 +394,20 @@ def _vs_prev_block(queries: dict[str, float]) -> tuple[dict | None, dict[str, fl
     import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    # the current round is 1 + the highest driver-written BENCH_r{N}.json
+    # (the driver records round N's bench after round N ends); comparing
+    # against files from the CURRENT round (e.g. an already-committed
+    # bench_r{cur}_preview.json) would make the protocol compare this run
+    # against itself instead of the previous round, so those are excluded
+    driver_rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"r(\d+)", os.path.basename(p)))
+    ]
+    cur_round = (max(driver_rounds) + 1) if driver_rounds else None
     # the driver's BENCH_r{N}.json may hold only a truncated `tail`
     # (parsed=None), so also accept this repo's committed full-result
-    # bench_r{N}_{preview,final}.json twins; highest round wins
+    # bench_r{N}_{preview,final}.json twins; highest PREVIOUS round wins
     candidates = []
     for p in (
         glob.glob(os.path.join(repo, "BENCH_r*.json"))
@@ -406,6 +417,9 @@ def _vs_prev_block(queries: dict[str, float]) -> tuple[dict | None, dict[str, fl
         m = re.search(r"r(\d+)", os.path.basename(p))
         if not m:
             continue
+        rnd = int(m.group(1))
+        if cur_round is not None and rnd >= cur_round:
+            continue
         try:
             with open(p) as f:
                 d = json.load(f)
@@ -413,7 +427,7 @@ def _vs_prev_block(queries: dict[str, float]) -> tuple[dict | None, dict[str, fl
             continue
         q = d.get("queries") or (d.get("parsed") or {}).get("queries")
         if isinstance(q, dict) and q:
-            candidates.append((int(m.group(1)), os.path.basename(p), q))
+            candidates.append((rnd, os.path.basename(p), q))
     if not candidates:
         return None, queries
     _, prev_name, prev_queries = sorted(candidates)[-1]
