@@ -137,11 +137,13 @@ HEADLINE = [
     "geo_modularity",
     "louvain_cliques",
     # round 8: windowed exact-substring dedup, per-hour grouped HLL
-    # registers, DDSketch mergeable quantiles, computer-step traversal
+    # registers, DDSketch mergeable quantiles, computer-step traversal,
+    # Bloom-filter decontamination (fixed-size probe side)
     "repeated_passages",
     "hll_hourly",
     "value_quantiles_sketch",
     "pagerank_traversal_top",
+    "bloom_decontaminate",
 ]
 
 

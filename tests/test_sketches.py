@@ -196,3 +196,79 @@ def test_ddsketch_accuracy_and_merge(spark):
     assert q[0.0] < 0 and abs(q[0.5]) < 1e-9 and q[1.0] > 0
     assert abs(q[0.0] + 100) / 100 <= alpha + 1e-9
     assert abs(q[1.0] - 100) / 100 <= alpha + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+
+
+def test_bloom_no_false_negatives_and_absent_rejects(spark):
+    from titan_spark.pipeline.sketches import bloom_build, bloom_probe
+
+    present = [f"in-{i}" for i in range(50)]
+    absent = [f"out-{i}" for i in range(50)]
+    items = spark.createDataFrame([(x,) for x in present], ["item"])
+    bloom = bloom_build(items, "item", m_bits=1 << 16, k=3)
+    probes = spark.createDataFrame([(x,) for x in present + absent], ["item"])
+    got = {
+        r["item"]: r["maybe_present"]
+        for r in bloom_probe(probes, "item", bloom, m_bits=1 << 16, k=3).collect()
+    }
+    for x in present:
+        assert got[x] is True  # Bloom NEVER false-negatives
+    # 50 items in 65536 bits: FP rate ~= 1e-8 -- all absents reject
+    for x in absent:
+        assert got[x] is False
+
+
+def test_bloom_merge_equals_union_build(spark):
+    from titan_spark.pipeline.sketches import bloom_build, bloom_merge
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(20)], ["item"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(20)], ["item"])
+    merged = sorted(
+        r["pos"]
+        for r in bloom_merge(
+            bloom_build(a, "item", m_bits=4096, k=3),
+            bloom_build(b, "item", m_bits=4096, k=3),
+        ).collect()
+    )
+    whole = sorted(
+        r["pos"]
+        for r in bloom_build(a.unionByName(b), "item", m_bits=4096, k=3).collect()
+    )
+    assert merged == whole  # lossless merge == bitwise OR
+
+
+def test_bloom_decontaminate_matches_exact_at_large_m(spark):
+    """With m >> k*n the FP rate vanishes and the sketch path must
+    reproduce the exact ngram_decontaminate table value-for-value; at
+    a deliberately tiny m the sketch may only ever OVERcount (Bloom
+    has no false negatives), never drop a contaminated doc."""
+    from titan_spark.pipeline.decontam import (
+        bloom_decontaminate,
+        hash_eval_split,
+        ngram_decontaminate,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma delta shared{i % 7} tail{i} epsilon zeta eta")
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    train, ev = hash_eval_split(docs, mod=10)
+    exact = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in ngram_decontaminate(train, ev, n=4).collect()
+    }
+    big = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in bloom_decontaminate(train, ev, n=4, m_bits=1 << 20, k=3).collect()
+    }
+    assert big == exact
+    tiny = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in bloom_decontaminate(train, ev, n=4, m_bits=256, k=2).collect()
+    }
+    for doc, n in exact.items():
+        assert tiny.get(doc, 0) >= n  # overcount only, never undercount

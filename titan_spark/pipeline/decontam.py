@@ -71,3 +71,57 @@ def hash_eval_split(
 
     is_eval = F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
     return df.filter(~is_eval), df.filter(is_eval)
+
+
+def bloom_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    hash_fn="portable",
+) -> DataFrame:
+    """(id, n_hit_grams) like :func:`ngram_decontaminate`, probing a
+    Bloom filter of the eval n-grams instead of the gram set itself.
+
+    Why the sketch variant exists: the exact path broadcasts the eval
+    DISTINCT-GRAM strings — fine for benchmark-sized holdouts, but a
+    large blocklist (every eval suite + licensed-content fingerprints)
+    can reach billions of grams, and above the broadcast guard the
+    exact join degrades to shuffling every document's grams by string
+    key. The Bloom side is bounded by ``m_bits`` rows of longs no
+    matter how many grams went in, always broadcasts, and the train
+    side ships (gram-hash positions, doc id) — never gram text. The
+    price is a documented false-positive rate ≈ (1 − e^(−k·n/m))^k:
+    hits overcount slightly, never undercount (no false negatives), so
+    a Bloom pre-screen keeps every truly contaminated doc and an exact
+    pass over the (small) flagged survivors removes the FPs when
+    exactness matters.
+
+    With ``hash_fn='portable'`` both engines compute the identical
+    filter — including its false positives — so the whole sketch path
+    is value-checkable against the SQL oracle, not just row-counted.
+    """
+    from titan_spark.pipeline.sketches import _bloom_positions, bloom_build
+
+    eval_grams = eval_df.select(
+        F.explode(shingles(F.col(text_col), n)).alias("_g")
+    )
+    bloom = cut_lineage(
+        bloom_build(eval_grams, "_g", m_bits=m_bits, k=k, hash_fn=hash_fn),
+        eager=True,
+    )
+    pos = _bloom_positions(F.col("_g"), m_bits, k, hash_fn)
+    train_pos = train_df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_g")
+    ).select(id_col, "_g", F.explode(pos).alias("pos"))
+    return (
+        train_pos.join(F.broadcast(bloom), "pos")
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == k)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_grams"))
+    )

@@ -23,7 +23,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from titan_spark.functions.hashing import portable_hash64, portable_hash64_sql
+from titan_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+    resolve_hash_fn,
+)
 from titan_spark.functions.text import tokenize
 
 
@@ -389,3 +393,113 @@ def dd_quantiles(
         .agg(F.min_by(F.round(est, 6), sortable).alias("estimate"))
         .select(*group_cols, "q", "estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership sketch
+
+
+def _bloom_positions(col, m_bits: int, k: int, hash_fn="portable"):
+    """Array of the k bit positions an item sets/probes: position_i =
+    h(salt_i ‖ item) mod m with the per-function salt ``bf{i}:`` (the
+    same salted-h60 construction as the CMS row hashes, so the whole
+    filter replays in ANSI SQL when ``hash_fn='portable'``)."""
+    h = resolve_hash_fn(hash_fn)
+    return F.array(
+        *[
+            F.pmod(h(F.concat(F.lit(f"bf{i}:"), col)), F.lit(m_bits)).cast("long")
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str = "item",
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    hash_fn="portable",
+) -> DataFrame:
+    """One pass → the filter as its SET-BIT table: DataFrame(pos) of
+    distinct bit positions, ≤ min(k·|distinct items|, m_bits) rows.
+
+    The membership member of the mergeable-sketch family (CMS counters,
+    HLL registers, DDSketch buckets): Bloom (CACM 1970) answers
+    "definitely absent / maybe present" with false-positive rate
+    ≈ (1 − e^(−k·n/m))^k and NO false negatives. Row-set representation
+    instead of packed words because rows are what Spark merges, joins,
+    and persists natively: union+distinct is the lossless filter merge
+    (= bitwise OR), a broadcast semi-join is the probe, and the table
+    is bounded by m_bits regardless of corpus size — so a benchmark
+    eval set, a blocklist, or a seen-URL set summarizes to a fixed-size
+    structure that ships to every probe site instead of the raw keys.
+
+    Reference parity: Titan answers "definitely no such index entry"
+    with bounded state via its index-store metadata; the engine-level
+    analog of a membership screen in front of an expensive lookup.
+    """
+    return (
+        items.select(
+            F.explode(
+                _bloom_positions(F.col(item_col), m_bits, k, hash_fn)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Union set-bit tables from independent passes/shards — the
+    lossless Bloom merge (bitwise OR) as long as every side used the
+    same (m_bits, k, hash_fn)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    probe_col,
+    bloom: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    hash_fn="portable",
+    out_col: str = "maybe_present",
+) -> DataFrame:
+    """df + boolean ``out_col``: true iff ALL k positions of
+    ``probe_col`` are set in the filter (maybe present — FP rate per
+    the build's n/m/k), false = definitely absent.
+
+    Plan shape: explode the k positions (k-fold fanout of the probe
+    side only), one join against the ≤ m_bits-row set-bit table
+    (broadcast-sized by construction), then an all-k count per input
+    row — the probe side never shuffles its payload columns; only
+    (row id, pos) pairs move.
+    """
+    c = probe_col if not isinstance(probe_col, str) else F.col(probe_col)
+    keyed = df.withColumn("_bf_rid", F.monotonically_increasing_id())
+    pos = keyed.select(
+        "_bf_rid",
+        F.explode(_bloom_positions(c, m_bits, k, hash_fn)).alias("pos"),
+    )
+    hits = (
+        pos.join(F.broadcast(bloom.select("pos")), "pos")
+        .groupBy("_bf_rid")
+        .agg(F.count(F.lit(1)).alias("_bf_hits"))
+    )
+    return (
+        keyed.join(hits, "_bf_rid", "left")
+        .withColumn(out_col, F.coalesce(F.col("_bf_hits"), F.lit(0)) == k)
+        .drop("_bf_rid", "_bf_hits")
+    )
+
+
+def bloom_positions_sql(expr: str, m_bits: int, k: int) -> list[str]:
+    """DuckDB twins of :func:`_bloom_positions` (oracle builder): the
+    k salted-h60 position expressions over an arbitrary SQL expr."""
+    out = []
+    for i in range(k):
+        salted = f"'bf{i}:' || {expr}"
+        out.append(f"({portable_hash64_sql(salted)} % {m_bits})")
+    return out

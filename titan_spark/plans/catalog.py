@@ -5455,3 +5455,50 @@ for _new, _old in _SLOT_SWAPS:
     _order[_order.index(_old)] = _new
     _order.append(_old)
 QUERIES = {k: QUERIES[k] for k in _order}
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (r8): the sketch variant of
+    ngram_decontaminate — build a Bloom (m=2^16, k=3, salted-h60
+    hashes) over the eval split's word 4-grams, probe every training
+    doc's grams against the set-bit table, count maybe-contaminated
+    distinct grams per doc. Both engines compute the identical filter
+    INCLUDING its false positives, so the sketch path is value-checked
+    end to end, not just row-counted."""
+    from titan_spark.pipeline.decontam import bloom_decontaminate, hash_eval_split
+
+    docs = tables(spark, sf_dir)["documents"]
+    train, eval_df = hash_eval_split(docs, mod=20)
+    return bloom_decontaminate(train, eval_df, n=4, m_bits=1 << 16, k=3)
+
+
+QUERIES["bloom_decontaminate"] = q_bloom_decontaminate
+
+
+def _bloom_decontam_oracle(m_bits: int = 1 << 16, k: int = 3) -> str:
+    from titan_spark.pipeline.sketches import bloom_positions_sql
+
+    pos_g = bloom_positions_sql("g", m_bits, k)
+    all_set = " AND ".join(f"{p} IN (SELECT pos FROM bloom)" for p in pos_g)
+    pos_union = " UNION ".join(f"SELECT {p} AS pos FROM ev" for p in pos_g)
+    return f"""
+    WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               {_h60_sql("CAST(doc_id AS VARCHAR)")} % 20 = 0 AS is_eval,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(CAST(len(toks) AS INT) - 3, 1)),
+                   i -> array_to_string(toks[i:i+3], ' ')
+               )) AS sh
+        FROM t
+    ),
+    ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE is_eval),
+    bloom AS (SELECT DISTINCT pos FROM ({pos_union})),
+    tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE NOT is_eval)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+    FROM tr WHERE {all_set}
+    GROUP BY doc_id
+"""
+
+
+ORACLE_SQL["bloom_decontaminate"] = _bloom_decontam_oracle()
