@@ -82,6 +82,7 @@ def bloom_decontaminate(
     m_bits: int = 1 << 20,
     k: int = 3,
     hash_fn="portable",
+    max_broadcast_bits: int = 64_000_000,
 ) -> DataFrame:
     """(id, n_hit_grams) like :func:`ngram_decontaminate`, probing a
     Bloom filter of the eval n-grams instead of the gram set itself.
@@ -113,12 +114,18 @@ def bloom_decontaminate(
         bloom_build(eval_grams, "_g", m_bits=m_bits, k=k, hash_fn=hash_fn),
         eager=True,
     )
+    # the set-bit table is bounded by m_bits, but force-broadcasting a
+    # filter built with a very large m would OOM the driver the same
+    # way a huge gram set would in the exact path — above the guard the
+    # hint drops and the position join shuffles (AQE may still choose
+    # broadcast from the measured size)
+    right = F.broadcast(bloom) if m_bits <= max_broadcast_bits else bloom
     pos = _bloom_positions(F.col("_g"), m_bits, k, hash_fn)
     train_pos = train_df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_g")
     ).select(id_col, "_g", F.explode(pos).alias("pos"))
     return (
-        train_pos.join(F.broadcast(bloom), "pos")
+        train_pos.join(right, "pos")
         .groupBy(id_col, "_g")
         .agg(F.count(F.lit(1)).alias("_hits"))
         .filter(F.col("_hits") == k)

@@ -466,16 +466,19 @@ def bloom_probe(
     k: int = 3,
     hash_fn="portable",
     out_col: str = "maybe_present",
+    broadcast: bool = True,
 ) -> DataFrame:
     """df + boolean ``out_col``: true iff ALL k positions of
     ``probe_col`` are set in the filter (maybe present — FP rate per
     the build's n/m/k), false = definitely absent.
 
     Plan shape: explode the k positions (k-fold fanout of the probe
-    side only), one join against the ≤ m_bits-row set-bit table
-    (broadcast-sized by construction), then an all-k count per input
-    row — the probe side never shuffles its payload columns; only
-    (row id, pos) pairs move.
+    side only), one join against the ≤ m_bits-row set-bit table, then
+    an all-k count per input row — the probe side never shuffles its
+    payload columns; only (row id, pos) pairs move. ``broadcast``
+    force-hints the filter side; pass False for filters sized near a
+    large m_bits (≥ ~2^26 set rows) and let AQE pick the strategy —
+    the same driver-OOM guard as ngram_decontaminate's gram set.
     """
     c = probe_col if not isinstance(probe_col, str) else F.col(probe_col)
     keyed = df.withColumn("_bf_rid", F.monotonically_increasing_id())
@@ -483,8 +486,9 @@ def bloom_probe(
         "_bf_rid",
         F.explode(_bloom_positions(c, m_bits, k, hash_fn)).alias("pos"),
     )
+    right = F.broadcast(bloom.select("pos")) if broadcast else bloom.select("pos")
     hits = (
-        pos.join(F.broadcast(bloom.select("pos")), "pos")
+        pos.join(right, "pos")
         .groupBy("_bf_rid")
         .agg(F.count(F.lit(1)).alias("_bf_hits"))
     )
