@@ -121,12 +121,16 @@ def bloom_decontaminate(
     # broadcast from the measured size)
     right = F.broadcast(bloom) if m_bits <= max_broadcast_bits else bloom
     pos = _bloom_positions(F.col("_g"), m_bits, k, hash_fn)
+    # grams are identified by their slot in the per-doc distinct shingle
+    # array (posexplode index), so the all-k count groups on two integer
+    # keys — gram TEXT never leaves the scan stage; only (doc id, slot,
+    # bit position) triples reach the join and aggregates
     train_pos = train_df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_g")
-    ).select(id_col, "_g", F.explode(pos).alias("pos"))
+        F.col(id_col), F.posexplode(shingles(F.col(text_col), n)).alias("_gi", "_g")
+    ).select(id_col, "_gi", F.explode(pos).alias("pos"))
     return (
         train_pos.join(right, "pos")
-        .groupBy(id_col, "_g")
+        .groupBy(id_col, "_gi")
         .agg(F.count(F.lit(1)).alias("_hits"))
         .filter(F.col("_hits") == k)
         .groupBy(id_col)

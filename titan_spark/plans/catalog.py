@@ -5459,7 +5459,7 @@ QUERIES = {k: QUERIES[k] for k in _order}
 
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination (r8): the sketch variant of
-    ngram_decontaminate — build a Bloom (m=2^16, k=3, salted-h60
+    ngram_decontaminate — build a Bloom (m=2^18, k=3, salted-h60
     hashes) over the eval split's word 4-grams, probe every training
     doc's grams against the set-bit table, count maybe-contaminated
     distinct grams per doc. Both engines compute the identical filter
@@ -5469,13 +5469,13 @@ def q_bloom_decontaminate(spark, sf_dir):
 
     docs = tables(spark, sf_dir)["documents"]
     train, eval_df = hash_eval_split(docs, mod=20)
-    return bloom_decontaminate(train, eval_df, n=4, m_bits=1 << 16, k=3)
+    return bloom_decontaminate(train, eval_df, n=4, m_bits=1 << 18, k=3)
 
 
 QUERIES["bloom_decontaminate"] = q_bloom_decontaminate
 
 
-def _bloom_decontam_oracle(m_bits: int = 1 << 16, k: int = 3) -> str:
+def _bloom_decontam_oracle(m_bits: int = 1 << 18, k: int = 3) -> str:
     from titan_spark.pipeline.sketches import bloom_positions_sql
 
     pos_g = bloom_positions_sql("g", m_bits, k)
