@@ -464,3 +464,43 @@ def test_audio_video_dispatch_gates(spark):
     # the contract is dispatch-transparency for the non-AVI error)
     with pytest.raises(NotImplementedError):
         _avi_features(b"not an avi", 4)
+
+
+def test_incremental_dedup_compaction_crash_recovery(spark, tmp_path):
+    """compact() swaps via rename-then-delete; if a crash lands between
+    the two renames (store renamed away, compacted copy still at the
+    .compacting path), the next _store() read must finish the swap
+    instead of treating the store as empty (which would silently drop
+    the whole dedup history)."""
+    import os
+    import shutil
+
+    from titan_spark.streaming.ingest import IncrementalDedup
+
+    store = str(tmp_path / "sigstore")
+    dd = IncrementalDedup(spark, store, compact_every=0)
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again today")],
+        ["doc_id", "text"],
+    )
+    dd.process_batch(b1, 0)
+    rows_before = dd._store().count()
+    assert rows_before > 0
+
+    # simulate the crash window: store_dir renamed away, fully-written
+    # compacted copy still at the tmp path
+    tmp = store.rstrip("/") + ".compacting"
+    shutil.copytree(store, tmp)
+    shutil.rmtree(store)
+
+    recovered = dd._store()
+    assert recovered.count() == rows_before
+    assert os.path.exists(store) and not os.path.exists(tmp)
+
+    # and the recovered store still deduplicates history
+    near = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog again and again today ok")],
+        ["doc_id", "text"],
+    )
+    kept = dd.process_batch(near, 1)
+    assert kept.count() == 0

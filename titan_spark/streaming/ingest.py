@@ -80,7 +80,18 @@ class IncrementalDedup:
         skips the 3-column retry-dedup shuffle for probe paths that
         apply their own coarser distinct."""
         if not os.path.exists(self.store_dir):
-            return self.spark.createDataFrame([], _STORE_SCHEMA + ", bucket int")
+            # crash-recovery for compact()'s swap window: if the store
+            # was renamed away but the fully-written compacted copy
+            # never took its place, finish the swap (the tmp dir is
+            # only ever complete at that point — the write finishes
+            # before any rename starts)
+            tmp = self.store_dir.rstrip("/") + ".compacting"
+            if os.path.exists(tmp):
+                os.rename(tmp, self.store_dir)
+            else:
+                return self.spark.createDataFrame(
+                    [], _STORE_SCHEMA + ", bucket int"
+                )
         bucketed = any(
             e.startswith("bucket=") for e in os.listdir(self.store_dir)
         )
@@ -123,11 +134,18 @@ class IncrementalDedup:
             .select("band", "band_hash", "doc_id", "batch_id", "bucket")
         )
         tmp = self.store_dir.rstrip("/") + ".compacting"
+        old = self.store_dir.rstrip("/") + ".retired"
         compacted.repartition(_N_BUCKETS, "bucket").write.mode(
             "overwrite"
         ).partitionBy("bucket").parquet(tmp)
-        shutil.rmtree(self.store_dir)
+        # swap via rename-then-delete: a crash at any point leaves
+        # either the original store or the fully-written compacted one
+        # on disk — never a deleted store with the replacement still
+        # at the tmp path (rmtree-then-rename had exactly that window)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.store_dir, old)
         os.rename(tmp, self.store_dir)
+        shutil.rmtree(old, ignore_errors=True)
         # drop Spark's cached file listing for the path — the next
         # probe must see the compacted files, not the deleted originals
         self.spark.catalog.refreshByPath(self.store_dir)
