@@ -789,9 +789,9 @@ def main() -> None:
         "production kernel=arrow (numpy matmul); the correctness row "
         "pins the oracle-bit-identical JVM fold. r8: the CC loop inside "
         "dedup_clusters contracts edges into label space per round "
-        "(correctness fix + scale fix: sf10 232s -> ~61s, sf10/sf1 "
-        "ratio 11.2x -> ~3x); the contraction dedup adds a small "
-        "constant cost at sf0.1."
+        "(correctness fix + scale fix: sf10 232.4s -> 67.4s, sf10/sf1 "
+        "ratio 11.2x -> 4.6x in the committed runs); the contraction "
+        "dedup adds a small constant cost at sf0.1."
     )
     vs_prev, queries = _vs_prev_block(queries)
     if vs_prev is not None:
