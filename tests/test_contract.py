@@ -14,8 +14,8 @@ def test_registry_shape():
     # SQL-expressible but its defining properties are)
     assert set(QUERIES) - set(ORACLE_SQL) == set()
     # the driver checks only the first 50 entries: current-round
-    # flagships must sit inside the checked region (r8 tenth wave:
-    # the nine r7-overflow flagships rotated in — each demoted query
+    # flagships must sit inside the checked region (r9 eleventh wave:
+    # the five r8-overflow flagships rotated in — each demoted query
     # keeps a family sibling in slots 1-50 per COVERAGE.md)
     first50 = list(QUERIES)[:50]
     for k in (
@@ -29,22 +29,24 @@ def test_registry_shape():
         "betweenness",
         "local_top3_sum",
         "map_nation_counts",
-        "quota_by_source",
         "random_walk_corpus",
         "gopher_rules",
         "feature_smooth",
         "transitivity",
-        "lang_length_quantiles",
         # tenth wave (r8)
-        "hll_users",
         "jl_project",
         "louvain_cliques",
-        "geo_modularity",
         "graph_diameter",
         "dedup_weights",
         "condensation_dag",
         "k_hop_ego",
         "prop_meta_filter",
+        # eleventh wave (r9)
+        "repeated_passages",
+        "hll_hourly",
+        "pagerank_traversal_top",
+        "value_quantiles_sketch",
+        "bloom_decontaminate",
     ):
         assert k in first50
 

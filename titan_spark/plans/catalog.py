@@ -5502,3 +5502,33 @@ def _bloom_decontam_oracle(m_bits: int = 1 << 18, k: int = 3) -> str:
 
 
 ORACLE_SQL["bloom_decontaminate"] = _bloom_decontam_oracle()
+
+
+# Driver-slot curation, eleventh wave (r9, VERDICT r8 #1): the five r8
+# overflow flagships into the driver prefix. Each demotion keeps a
+# family sibling in slots 1-50: HLL cardinality by hll_hourly itself,
+# strictly richer than hll_users (grouped per-hour registers whose
+# elementwise-max merge is pytest-pinned equal to the global sketch);
+# PageRank machinery by pagerank_traversal_top itself, which runs the
+# full C4 computation through the chainable C7 traversal step, with
+# betweenness keeping a second centrality row; text-quality grouped
+# quantiles by lm_perplexity + gopher_rules while the quantile
+# machinery itself gains the strictly-richer mergeable DDSketch row;
+# modularity/community by louvain_cliques (which maximizes the same Q
+# objective geo_modularity scores) with geo predicates kept by
+# geo_within; sampling by mix_corpus (mixture sampling, the family's
+# flagship) when the quota cap rotates out. All demoted queries stay
+# green under the local gate (same three checks, slots 51+).
+_SLOT_SWAPS_R9 = [
+    ("repeated_passages", "lang_length_quantiles"),
+    ("hll_hourly", "hll_users"),
+    ("pagerank_traversal_top", "pagerank"),
+    ("value_quantiles_sketch", "geo_modularity"),
+    ("bloom_decontaminate", "quota_by_source"),
+]
+_order_r9 = list(QUERIES)
+for _new, _old in _SLOT_SWAPS_R9:
+    _order_r9.remove(_new)
+    _order_r9[_order_r9.index(_old)] = _new
+    _order_r9.append(_old)
+QUERIES = {k: QUERIES[k] for k in _order_r9}
