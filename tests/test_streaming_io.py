@@ -504,3 +504,29 @@ def test_incremental_dedup_compaction_crash_recovery(spark, tmp_path):
     )
     kept = dd.process_batch(near, 1)
     assert kept.count() == 0
+
+
+def test_incremental_dedup_warm_up(spark, tmp_path):
+    """warm_up() bootstraps codegen in a throwaway directory: the real
+    store is untouched, no warm-up artifacts leak onto disk, and the
+    first real micro-batch behaves exactly as without warm-up
+    (including the synthetic warm-up doc ids NOT colliding with real
+    docs — the throwaway store never feeds the probe)."""
+    import os
+
+    from titan_spark.streaming.ingest import IncrementalDedup
+
+    store = str(tmp_path / "sigstore")
+    dd = IncrementalDedup(spark, store)
+    dd.warm_up()
+    assert not os.path.exists(store)  # real store untouched
+    # doc 0 shares its id with the warm-up seed; it must survive
+    b1 = spark.createDataFrame(
+        [(0, "warm up shingle one"), (7, "some other fresh document text here")],
+        ["doc_id", "text"],
+    )
+    kept = dd.process_batch(b1, 0)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 7]
+    # the store now exists, bucketed, holding exactly this batch's rows
+    assert any(e.startswith("bucket=") for e in os.listdir(store))
+    assert dd._store().select("doc_id").distinct().count() == 2

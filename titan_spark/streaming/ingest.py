@@ -68,6 +68,47 @@ class IncrementalDedup:
         # small-file compaction cadence (0 disables): every Nth batch
         # rewrites the store to one file per bucket after its append
         self.compact_every = compact_every
+        # once bucket= dirs have been seen the layout never reverts
+        # (appends and compaction both write bucketed) — cache the
+        # positive answer so steady-state probes skip the listdir
+        self._known_bucketed = False
+
+    def warm_up(self) -> None:
+        """One-time bootstrap (call at construction/stream start, off
+        the per-batch latency path): run the full ``process_batch``
+        plan twice — once against a missing store and once against the
+        bucketed store the first pass created — on a two-doc synthetic
+        batch in a throwaway directory. This compiles both plan shapes'
+        whole-stage codegen (minhash + banding, empty-store probe,
+        partition-pruned bucket probe, bucketed parquet append) before
+        the first real micro-batch, which otherwise pays the JIT +
+        codegen cost on the latency path (measured ~2-3x the
+        steady-state batch wall)."""
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="dedup_warmup_")
+        try:
+            probe = IncrementalDedup(
+                self.spark,
+                os.path.join(tmp, "store"),
+                text_col=self.text_col,
+                id_col=self.id_col,
+                bands=self.bands,
+                num_hashes=self.num_hashes,
+                hash_fn=self.hash_fn,
+                compact_every=0,
+            )
+            seed = self.spark.createDataFrame(
+                [(0, "warm up shingle one"), (1, "warm up shingle two")],
+                f"{self.id_col} long, {self.text_col} string",
+            )
+            probe.process_batch(seed, 0).count()
+            probe.process_batch(
+                seed.filter(F.col(self.id_col) == 1), 1
+            ).count()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # -- store --------------------------------------------------------
     def _store(
@@ -92,9 +133,10 @@ class IncrementalDedup:
                 return self.spark.createDataFrame(
                     [], _STORE_SCHEMA + ", bucket int"
                 )
-        bucketed = any(
+        bucketed = self._known_bucketed or any(
             e.startswith("bucket=") for e in os.listdir(self.store_dir)
         )
+        self._known_bucketed = bucketed
         if bucketed:
             df = self.spark.read.schema(_STORE_SCHEMA + ", bucket int").parquet(
                 self.store_dir
