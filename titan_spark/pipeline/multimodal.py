@@ -102,12 +102,19 @@ def codec_capabilities() -> dict[str, dict[str, bool]]:
         },
         "audio": {
             "pcm_wav_stdlib": True,
+            # real compressed codecs decoded in pure stdlib (r9):
+            # G.711 log-companded 8-bit (2:1) and IMA ADPCM 4-bit (4:1)
+            "mulaw_alaw_wav_stdlib": True,
+            "ima_adpcm_wav_stdlib": True,
             "float_wav_flac_ogg_soundfile": sf is not None,
             "mp3_soundfile": sf is not None,
             "stub": True,
         },
         "video": {
             "uncompressed_rgb_avi_stdlib": True,
+            # real compressed video decoded in pure stdlib (r9):
+            # run-length-encoded 8-bit palettized frames (BI_RLE8)
+            "rle8_avi_stdlib": True,
             "mp4_compressed_pyav": pyav is not None,
             "stub": True,
         },
@@ -195,6 +202,166 @@ def _wav_features(payload: bytes, dim: int) -> list[float]:
     return out
 
 
+def _window_rms(vals: list[float], dim: int, full: float) -> list[float]:
+    """Per-window RMS over ``dim`` equal windows, normalized by the
+    sample full scale — the shared feature contract of every audio
+    decode path (PCM, G.711, ADPCM, soundfile)."""
+    import math
+
+    n = len(vals)
+    if n == 0:
+        return [0.0] * dim
+    out = []
+    for k in range(dim):
+        lo = k * n // dim
+        hi = max((k + 1) * n // dim, lo + 1)
+        win = vals[lo : min(hi, n)] or [0.0]
+        out.append(float(math.sqrt(sum(v * v for v in win) / len(win)) / full))
+    return out
+
+
+def _mono_mix(vals: list[float], nch: int) -> list[float]:
+    if nch <= 1:
+        return vals
+    return [
+        sum(vals[i : i + nch]) / nch for i in range(0, len(vals) - nch + 1, nch)
+    ]
+
+
+# ---- G.711 log-companded 8-bit audio (WAVE_FORMAT_MULAW=7 / ALAW=6) —
+# real 2:1 compressed codecs, decoded in pure stdlib (ITU-T G.711
+# expansion formulas; byte-for-byte the classic Sun/CCITT tables)
+
+def _mulaw_to_linear(b: int) -> int:
+    b = ~b & 0xFF
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    x = (((mant << 3) + 0x84) << exp) - 0x84
+    return -x if b & 0x80 else x
+
+
+def _alaw_to_linear(b: int) -> int:
+    b ^= 0x55
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    if exp == 0:
+        x = (mant << 4) + 8
+    else:
+        x = ((mant << 4) + 0x108) << (exp - 1)
+    # A-law sign convention: bit 7 SET means positive
+    return x if b & 0x80 else -x
+
+
+# ---- IMA/DVI ADPCM (WAVE_FORMAT_IMA_ADPCM=0x11) — real 4:1 compressed
+# audio: 4-bit differential nibbles against an adaptive step-size
+# table (IMA ADPCM reference algorithm; the step/index tables are the
+# published IMA standard ones)
+
+_IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(nib: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM decoder step: (nibble, state) -> (sample, state)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJUST[nib & 7]))
+    return pred, index
+
+
+def _ima_adpcm_decode(
+    data: bytes, nch: int, block_align: int
+) -> list[float]:
+    """Decode WAV IMA ADPCM blocks to interleaved linear samples.
+    Block layout (Microsoft WAVE IMA convention): per channel a 4-byte
+    header (int16 predictor — which IS output sample 0 — uint8 step
+    index, reserved byte), then 4-byte data words per channel
+    interleaved; each byte holds two nibbles, LOW nibble first."""
+    import struct
+
+    out: list[float] = []
+    for boff in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[boff : boff + block_align]
+        preds, idxs = [], []
+        chans: list[list[int]] = []
+        for c in range(nch):
+            pred, idx = struct.unpack_from("<hB", block, c * 4)[:2]
+            idx = min(88, idx)
+            preds.append(pred)
+            idxs.append(idx)
+            chans.append([pred])
+        pos = 4 * nch
+        while pos + 4 * nch <= len(block):
+            for c in range(nch):
+                word = block[pos + c * 4 : pos + c * 4 + 4]
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(nib, preds[c], idxs[c])
+                        chans[c].append(preds[c])
+            pos += 4 * nch
+        n_samp = len(chans[0])
+        for i in range(n_samp):
+            for c in range(nch):
+                out.append(float(chans[c][i]))
+    return out
+
+
+def _compressed_wav_features(payload: bytes, dim: int) -> list[float]:
+    """Real audio decode for stdlib-decodable COMPRESSED WAV codecs —
+    G.711 mu-law (fmt tag 7) / A-law (6) and IMA ADPCM (0x11) — via a
+    manual RIFF walk (the stdlib ``wave`` module only accepts PCM).
+    Same mono-mix + per-window RMS contract as the PCM path. Other
+    format tags raise NotImplementedError and fall through to the
+    soundfile gate in :func:`_audio_features`."""
+    data = payload or b""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a RIFF/WAVE stream; compressed audio needs an external "
+            "codec (soundfile/libsndfile)"
+        )
+    import struct
+
+    fmt = None
+    body = None
+    for cid, off, size in _riff_chunks(data, 12, len(data)):
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", data, off)
+        elif cid == b"data":
+            body = data[off : off + size]
+    if fmt is None or body is None:
+        raise NotImplementedError("RIFF/WAVE without fmt/data chunks")
+    tag, nch, _rate, _bps, block_align, _bits = fmt
+    if tag == 7:
+        vals = [float(_mulaw_to_linear(b)) for b in body]
+    elif tag == 6:
+        vals = [float(_alaw_to_linear(b)) for b in body]
+    elif tag == 0x11:
+        vals = _ima_adpcm_decode(body, max(nch, 1), max(block_align, 4))
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {tag:#x} has no stdlib decoder (PCM=wave, "
+            f"mu-law/A-law/IMA-ADPCM=built-in); other codecs need "
+            f"soundfile/libsndfile"
+        )
+    return _window_rms(_mono_mix(vals, max(nch, 1)), dim, 32768.0)
+
+
 def _riff_chunks(data: bytes, pos: int, end: int):
     """Walk RIFF sub-chunks in data[pos:end] → (fourcc, body_off, size).
     Chunks are word-aligned (odd sizes pad one byte)."""
@@ -205,77 +372,143 @@ def _riff_chunks(data: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-def _avi_features(payload: bytes, dim: int) -> list[float]:
-    """Real video decode for uncompressed RGB AVI via a stdlib RIFF
-    walker: parse the 'hdrl' stream format (BITMAPINFOHEADER must say
-    BI_RGB), collect the 'movi' list's '00db' DIB frames, take each
-    frame's mean luminance (ITU BT.601 weights over the padded
-    bottom-up 24/32-bpp rows), and resample the per-frame luminance
-    series to ``dim`` temporal windows in [0, 1] — the same windowing
-    contract as the WAV path. Anything non-AVI or compressed ('00dc')
-    raises NotImplementedError (ffmpeg-class codecs have no
-    in-container fallback).
+def _rle8_indices(fr: bytes, width: int, height: int) -> list[list[int]]:
+    """Decode one BI_RLE8 frame to a bottom-up grid of palette indices
+    (Microsoft RLE8: encoded runs ``[count, index]``; escapes
+    ``[0,0]``=end-of-line, ``[0,1]``=end-of-bitmap, ``[0,2,dx,dy]``=
+    position delta, ``[0,n>=3]``=n literal bytes word-padded).
+    Undrawn pixels keep index 0 per the DIB convention."""
+    rows = [[0] * width for _ in range(height)]
+    x = y = i = 0
+    while i + 1 < len(fr) and y < height:
+        n, v = fr[i], fr[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            end = min(x + n, width)
+            while x < end:
+                rows[y][x] = v
+                x += 1
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 1 >= len(fr):
+                break
+            x = min(x + fr[i], width)
+            y += fr[i + 1]
+            i += 2
+        else:  # absolute (literal) mode, word-aligned
+            for k in range(v):
+                if i + k < len(fr) and x < width:
+                    rows[y][x] = fr[i + k]
+                    x += 1
+            i += v + (v & 1)
+    return rows
 
-    Reference parity: external codec/provider work sits behind a
-    process boundary in the reference (diskstorage/indexing
-    IndexProvider.java); here the boundary is this kernel function.
+
+def _avi_features(payload: bytes, dim: int) -> list[float]:
+    """Real video decode for AVI via a stdlib RIFF walker: parse the
+    'hdrl' stream format (BITMAPINFOHEADER), collect the 'movi' list's
+    frames, take each frame's mean luminance (ITU BT.601 weights), and
+    resample the per-frame luminance series to ``dim`` temporal
+    windows in [0, 1] — the same windowing contract as the WAV path.
+    Two in-container codecs decode with zero extra deps:
+
+    - BI_RGB (biCompression=0): uncompressed 24/32-bpp '00db' DIB
+      frames, padded bottom-up rows;
+    - BI_RLE8 (biCompression=1, r9): run-length-encoded 8-bit
+      palettized '00dc' frames — REAL compression, decoded by
+      :func:`_rle8_indices` with luminance via the strf palette.
+
+    Anything else (cinepak/h264/... '..dc' codecs, non-AVI containers)
+    raises NotImplementedError — that boundary is external
+    (PyAV/ffmpeg), mirroring the reference's external index-provider
+    process boundary (diskstorage/indexing/IndexProvider.java).
     """
     import struct
 
     data = payload or b""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise NotImplementedError(
-            "real video decode supports uncompressed RGB AVI only "
+            "real video decode supports RGB/RLE8 AVI only "
             "(RIFF walker, stdlib); compressed/other containers need "
             "an external codec"
         )
     bpp = None
     width = None
-    frames: list[bytes] = []
+    height = None
+    comp = None
+    pal_luma: list[float] | None = None
+    frames: list[tuple[bytes, bytes]] = []  # (kind, frame bytes)
 
     def walk(pos: int, end: int) -> None:
-        nonlocal bpp, width
+        nonlocal bpp, width, height, comp, pal_luma
         for cid, off, size in _riff_chunks(data, pos, end):
             if cid == b"LIST":
                 walk(off + 4, off + size)  # skip the list-type fourcc
             elif cid == b"strf" and bpp is None and size >= 20:
-                # BITMAPINFOHEADER: biWidth @4 (i32), biBitCount @14
-                # (u16), biCompression @16 (u32)
-                (w_,) = struct.unpack_from("<i", data, off + 4)
-                bits, comp = struct.unpack_from("<HI", data, off + 14)
-                if comp != 0:  # BI_RGB
+                # BITMAPINFOHEADER: biWidth @4 (i32), biHeight @8
+                # (i32), biBitCount @14 (u16), biCompression @16 (u32)
+                w_, h_ = struct.unpack_from("<ii", data, off + 4)
+                bits, c_ = struct.unpack_from("<HI", data, off + 14)
+                if c_ not in (0, 1):  # BI_RGB / BI_RLE8
                     raise NotImplementedError(
-                        f"AVI video stream is compressed (biCompression="
-                        f"{comp}); only BI_RGB '00db' frames decode here"
+                        f"AVI video stream codec biCompression={c_} has "
+                        f"no stdlib decoder (BI_RGB and BI_RLE8 decode "
+                        f"here); others need PyAV/ffmpeg"
                     )
-                bpp = bits
-                width = abs(w_)
+                bpp, comp = bits, c_
+                width, height = abs(w_), abs(h_)
+                if c_ == 1:
+                    # RGBQUAD palette follows the 40-byte header:
+                    # biClrUsed @32 (0 means the full 256)
+                    (used,) = struct.unpack_from("<I", data, off + 32)
+                    used = used or 256
+                    pal_luma = []
+                    for p in range(used):
+                        b_, g_, r_ = data[off + 40 + 4 * p : off + 43 + 4 * p]
+                        pal_luma.append(0.114 * b_ + 0.587 * g_ + 0.299 * r_)
             elif cid.endswith(b"dc") and cid[:2].isdigit():
-                raise NotImplementedError(
-                    "AVI contains compressed '..dc' frames; only "
-                    "uncompressed BI_RGB '00db' frames decode here"
-                )
+                if comp != 1:
+                    raise NotImplementedError(
+                        "AVI contains compressed '..dc' frames with no "
+                        "BI_RLE8 stream format; only BI_RGB '00db' and "
+                        "BI_RLE8 '00dc' frames decode here"
+                    )
+                frames.append((b"dc", data[off : off + size]))
             elif cid.endswith(b"db") and cid[:2].isdigit():
-                frames.append(data[off : off + size])
+                frames.append((b"db", data[off : off + size]))
 
     walk(12, len(data))
-    if bpp not in (24, 32) or not frames or not width:
-        raise NotImplementedError(
-            f"AVI without decodable BI_RGB frames (bpp={bpp}, "
-            f"frames={len(frames)}); only 24/32-bpp '00db' decode here"
-        )
-    step = bpp // 8
-    stride = (width * step + 3) // 4 * 4  # DIB rows pad to 4 bytes
     lums = []
-    for fr in frames:
-        tot = 0.0
-        n_px = 0
-        for row_off in range(0, len(fr) - stride + 1, stride):
-            for i in range(row_off, row_off + width * step, step):
-                # BGR(A) byte order; BT.601 luma
-                tot += 0.114 * fr[i] + 0.587 * fr[i + 1] + 0.299 * fr[i + 2]
-            n_px += width
-        lums.append(tot / n_px / 255.0 if n_px else 0.0)
+    if comp == 1:
+        if not frames or not width or not height or not pal_luma:
+            raise NotImplementedError(
+                f"RLE8 AVI without decodable frames/palette "
+                f"(frames={len(frames)})"
+            )
+        for _kind, fr in frames:
+            rows = _rle8_indices(fr, width, height)
+            tot = sum(pal_luma[min(ix, len(pal_luma) - 1)] for row in rows for ix in row)
+            lums.append(tot / (width * height) / 255.0)
+    else:
+        if bpp not in (24, 32) or not frames or not width:
+            raise NotImplementedError(
+                f"AVI without decodable BI_RGB frames (bpp={bpp}, "
+                f"frames={len(frames)}); only 24/32-bpp '00db' decode here"
+            )
+        step = bpp // 8
+        stride = (width * step + 3) // 4 * 4  # DIB rows pad to 4 bytes
+        for _kind, fr in frames:
+            tot = 0.0
+            n_px = 0
+            for row_off in range(0, len(fr) - stride + 1, stride):
+                for i in range(row_off, row_off + width * step, step):
+                    # BGR(A) byte order; BT.601 luma
+                    tot += 0.114 * fr[i] + 0.587 * fr[i + 1] + 0.299 * fr[i + 2]
+                n_px += width
+            lums.append(tot / n_px / 255.0 if n_px else 0.0)
     n = len(lums)
     out = []
     for k in range(dim):
@@ -287,19 +520,31 @@ def _avi_features(payload: bytes, dim: int) -> list[float]:
 
 
 def _audio_features(payload: bytes, dim: int) -> list[float]:
-    """Audio dispatch: the stdlib PCM-WAV path first (zero deps); when
-    that raises NotImplementedError and soundfile imports, libsndfile
+    """Audio dispatch, three tiers: the stdlib PCM-WAV path first
+    (zero deps); then the stdlib COMPRESSED-WAV decoders (G.711
+    mu-law/A-law, IMA ADPCM — r9, zero deps); finally, when those
+    raise NotImplementedError and soundfile imports, libsndfile
     decodes float-WAV / FLAC / OGG / MP3 under the same mono-mix +
     per-window-RMS contract (soundfile returns full-scale floats, so
-    full = 1.0). Without soundfile the original NotImplementedError
-    propagates — the documented codec boundary; probe it up front with
+    full = 1.0). Without soundfile the NotImplementedError propagates
+    — the documented codec boundary; probe it up front with
     :func:`codec_capabilities`."""
     try:
         return _wav_features(payload, dim)
-    except NotImplementedError:
+    except NotImplementedError as exc:
+        pcm_err = exc
+    try:
+        # stdlib-decodable compressed WAV codecs: G.711 mu-law/A-law
+        # and IMA ADPCM (r9) — real compression, zero extra deps
+        return _compressed_wav_features(payload, dim)
+    except NotImplementedError as exc:
         sf = _soundfile_mod()
         if sf is None:
-            raise
+            # prefer the more specific message: the compressed tier
+            # names the format tag for real RIFF/WAVE payloads; for
+            # non-RIFF payloads the PCM tier's message explains the
+            # whole codec ladder
+            raise exc if "format tag" in str(exc) else pcm_err
         import numpy as np  # soundfile itself requires numpy
 
         data, _sr = sf.read(
