@@ -1,0 +1,166 @@
+"""Hashed-n-gram NB classifier (pipeline/classify.py): closed-form
+weight math, featurization, edge cases, held-out generalization on a
+class-distinct vocabulary, and the CCNet quality-distillation shape on
+real documents."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _fake_hash(col):
+    """Deterministic test 'hash': gram length — makes bucket
+    assignment hand-computable (buckets collide exactly when gram
+    lengths match)."""
+    return F.length(col).cast("long")
+
+
+def test_hashed_gram_rows_features(spark):
+    from titan_spark.pipeline.classify import hashed_gram_rows
+
+    docs = spark.createDataFrame([(1, "aa bbb aa")], ["doc_id", "text"])
+    # grams: aa(2), bbb(3), aa(2), 'aa bbb'(6), 'bbb aa'(6)
+    rows = hashed_gram_rows(
+        docs, n_buckets=100, hash_fn=_fake_hash
+    ).collect()
+    buckets = sorted(r["bucket"] for r in rows)
+    assert buckets == [2, 2, 3, 6, 6]
+    # unigrams only
+    rows = hashed_gram_rows(
+        docs, n_buckets=100, use_bigrams=False, hash_fn=_fake_hash
+    ).collect()
+    assert sorted(r["bucket"] for r in rows) == [2, 2, 3]
+    # single-token doc has no bigrams, and bucket wraps modulo n_buckets
+    one = spark.createDataFrame([(1, "abcde")], ["doc_id", "text"])
+    rows = hashed_gram_rows(one, n_buckets=3, hash_fn=_fake_hash).collect()
+    assert [r["bucket"] for r in rows] == [5 % 3]
+
+
+def test_nb_closed_form(spark):
+    """Hand-computed multinomial NB on a 4-doc corpus with the
+    length-hash: weights, prior, default weight and scores all match
+    the closed form exactly."""
+    from titan_spark.pipeline.classify import nb_score, nb_train
+
+    nb, alpha = 10, 0.5
+    # positive docs use 2-char tokens, negative docs 3-char tokens;
+    # unigrams only so bucket = token length
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb", True),
+            (2, "cc dd aa", True),
+            (4, "xxx yyy", False),
+            (6, "zzz xxx qqq", False),
+        ],
+        ["doc_id", "text", "y"],
+    )
+    weights, stats = nb_train(
+        docs,
+        "y",
+        n_buckets=nb,
+        alpha=alpha,
+        use_bigrams=False,
+        hash_fn=_fake_hash,
+        calibrate=False,  # pin the raw 0 boundary for the closed form
+    )
+    # occurrence counts: bucket 2 -> (5 pos, 0 neg); bucket 3 -> (0, 5)
+    tp, tn = 5.0, 5.0
+    w2 = math.log((5 + alpha) / (tp + alpha * nb)) - math.log(
+        (0 + alpha) / (tn + alpha * nb)
+    )
+    w3 = math.log((0 + alpha) / (tp + alpha * nb)) - math.log(
+        (5 + alpha) / (tn + alpha * nb)
+    )
+    got = {r["bucket"]: r["w"] for r in weights.collect()}
+    assert abs(got[2] - w2) < 1e-12 and abs(got[3] - w3) < 1e-12
+    assert abs(stats["b0"] - 0.0) < 1e-12  # balanced classes
+    wd = math.log(alpha / (tp + alpha * nb)) - math.log(alpha / (tn + alpha * nb))
+    assert abs(stats["w_default"] - wd) < 1e-12 and wd == 0.0  # tp == tn
+
+    test = spark.createDataFrame(
+        [
+            (1, "ee ff"),       # two bucket-2 grams -> 2*w2 > 0
+            (3, "www"),         # one bucket-3 gram -> w3 < 0
+            (5, "abcd"),        # bucket 4: unseen -> w_default = 0
+            (7, ""),            # zero grams -> score = b0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in nb_score(test, weights, stats).collect()}
+    assert abs(out[1]["score"] - round(2 * w2, 4)) < 1e-9 and out[1]["pred"] == 1
+    assert abs(out[3]["score"] - round(w3, 4)) < 1e-9 and out[3]["pred"] == 0
+    assert out[5]["score"] == 0.0 and out[5]["n_grams"] == 1
+    assert out[7]["score"] == 0.0 and out[7]["n_grams"] == 0
+
+
+def test_nb_generalizes_synthetic_vocab(spark):
+    """Genuine generalization on a corpus with class-distinct
+    vocabulary plus shared noise words: held-out accuracy must be
+    near-perfect and far above the majority baseline."""
+    from titan_spark.pipeline.classify import nb_score, nb_train
+
+    shared = "alpha beta gamma delta"
+    rows = []
+    for i in range(120):
+        if i % 3 == 0:  # negative class mentions storm/cloud words
+            rows.append((i, f"{shared} storm cloud rain thunder w{i % 7}", False))
+        else:
+            rows.append((i, f"{shared} sunny bright clear sky w{i % 7}", True))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 != 0)
+    weights, stats = nb_train(train, "y", n_buckets=1 << 12)
+    scored = nb_score(test, weights, stats)
+    joined = scored.join(docs.select("doc_id", "y"), "doc_id")
+    agg = joined.agg(
+        F.sum(((F.col("pred") == 1) == F.col("y")).cast("int")).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg["c"] == agg["n"], (agg["c"], agg["n"])
+
+
+def test_nb_mimics_quality_target(spark, sf_dir):
+    """The CCNet distillation shape on real documents: train against
+    the doc_quality composite label on the even half; the held-out
+    half must classify well above the majority baseline (the hashed
+    gram distribution genuinely carries the target's signal, and the
+    calibrated threshold fixes multinomial NB's length bias)."""
+    from titan_spark.pipeline.classify import nb_score, nb_train
+    from titan_spark.pipeline.text_quality import doc_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lab = doc_quality(docs).select(
+        "doc_id", (F.col("quality_score") >= 0.6).alias("y")
+    )
+    labeled = docs.select("doc_id", "text").join(lab, "doc_id")
+    train = labeled.filter(F.col("doc_id") % 2 == 0)
+    test = labeled.filter(F.col("doc_id") % 2 != 0)
+    weights, stats = nb_train(train, "y", n_buckets=1 << 16)
+    assert stats["threshold"] > 0.0  # calibration moved the boundary
+    scored = nb_score(test.drop("y"), weights, stats)
+    joined = scored.join(lab, "doc_id")
+    agg = joined.agg(
+        F.sum(((F.col("pred") == 1) == F.col("y")).cast("int")).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("y").cast("int")).alias("np"),
+    ).collect()[0]
+    acc = agg["c"] / agg["n"]
+    majority = max(agg["np"], agg["n"] - agg["np"]) / agg["n"]
+    assert acc > majority + 0.1, (acc, majority)
+    assert acc > 0.85, acc
+
+
+def test_nb_weight_table_bounded(spark):
+    """The model never exceeds the bucket space — the fastText hashing
+    trick's memory bound, the property that holds at 100 TB."""
+    from titan_spark.pipeline.classify import nb_train
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2}", i % 2 == 0) for i in range(50)],
+        ["doc_id", "text", "y"],
+    )
+    nb = 8
+    weights, stats = nb_train(docs, "y", n_buckets=nb, hash_fn="portable")
+    assert weights.count() <= nb
+    assert weights.agg(F.max("bucket")).collect()[0][0] < nb
+    assert stats["n_buckets"] == nb

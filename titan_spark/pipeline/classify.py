@@ -1,0 +1,226 @@
+"""Hashed-n-gram Naive Bayes text classifier — the fastText-style
+production quality/language filter (Joulin et al. 2017 "Bag of
+Tricks"; CCNet and the GPT-3 curation recipe train exactly this shape
+to keep high-quality documents at corpus scale).
+
+Training is ONE corpus pass in closed form (multinomial Naive Bayes
+with Laplace smoothing), not SGD: per-class hashed-feature occurrence
+counts → per-bucket log-odds. Closed form means (a) the fitted model
+is a DataFrame — mergeable, inspectable, persistable like every other
+sketch in this engine — and (b) the whole train+score pipeline replays
+in ANSI SQL, so the operator is value-checked end to end rather than
+rows-only.
+
+Scale shape (the 100-TB question): features are HASHED into a fixed
+bucket space, so the model is ≤ ``n_buckets`` rows however large the
+corpus vocabulary — the fastText hashing trick. Training is explode →
+groupBy(bucket): one shuffle of integer keys whose cardinality is
+capped by ``n_buckets``. Scoring joins the weight table back
+broadcast (guarded by the same threshold pattern as the Bloom probe),
+so inference is one scan over the corpus with a map-side join — no
+per-row Python, no iteration, nothing all-pairs.
+
+Reference parity: the reference's raw-index scoring surface ranks
+documents by a per-term weight sum over matched terms
+(graphdb/query/graph/GraphCentricQueryBuilder.java + the external
+index provider's scoring); this operator is the same
+explode/weight-join/sum shape with LEARNED per-term weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from titan_spark.functions.hashing import resolve_hash_fn
+from titan_spark.functions.text import tokenize
+
+# broadcast the weight table only while it is plausibly executor-memory
+# sized; above this the join falls back to a shuffle hash join
+_BROADCAST_MAX_BUCKETS = 1 << 22
+
+
+def hashed_gram_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 18,
+    use_bigrams: bool = True,
+    hash_fn="portable",
+) -> DataFrame:
+    """One row per gram OCCURRENCE (multinomial counts): word unigrams
+    + optional word bigrams, hashed into ``n_buckets`` integer buckets.
+    Gram text never leaves the scan stage — only the integer bucket
+    shuffles (the same keep-text-in-the-scan rule as the Bloom
+    decontaminator)."""
+    h = resolve_hash_fn(hash_fn)
+    toks = tokenize(F.col(text_col))
+    if use_bigrams:
+        n = F.size(toks)
+        bigrams = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(toks, bigrams)
+    else:
+        grams = toks
+    return docs.select(
+        F.col(id_col).alias("_id"), F.explode(grams).alias("gram")
+    ).select(
+        "_id", F.pmod(h(F.col("gram")), F.lit(n_buckets)).cast("int").alias("bucket")
+    )
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 18,
+    alpha: float = 0.5,
+    use_bigrams: bool = True,
+    hash_fn="portable",
+    calibrate: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Fit binary multinomial NB in closed form. ``label_col`` is a
+    boolean Column (or name) — True = positive class.
+
+    Returns ``(weights, stats)``: ``weights`` is a ``(bucket, w)``
+    DataFrame with ``w = log P(bucket|pos) − log P(bucket|neg)``
+    (Laplace-``alpha`` smoothed); ``stats`` carries the scalar model
+    parameters — ``b0`` (log class-prior odds), ``w_default`` (the
+    smoothed log-odds of a bucket never seen in training, applied to
+    unseen buckets at inference), and the config needed to featurize
+    identically at score time. The only driver-side data movement is
+    one 4-scalar aggregate collect (the totals), the same 1-row
+    pattern as the TF-IDF/perplexity operators."""
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    labeled = docs.select(
+        F.col(id_col).alias("_id"), lbl.cast("boolean").alias("_pos")
+    )
+    rows = hashed_gram_rows(
+        docs, text_col, id_col, n_buckets, use_bigrams, hash_fn
+    ).join(labeled, "_id")
+    counts = rows.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("n_neg"),
+    )
+    tot = counts.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    ).collect()[0]
+    dtot = labeled.agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("dp"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("dn"),
+    ).collect()[0]
+    import math
+
+    tp = float(tot["tp"] or 0.0)
+    tn = float(tot["tn"] or 0.0)
+    denom_p = tp + alpha * n_buckets
+    denom_n = tn + alpha * n_buckets
+    weights = counts.select(
+        "bucket",
+        (
+            F.log((F.col("n_pos") + F.lit(alpha)) / F.lit(denom_p))
+            - F.log((F.col("n_neg") + F.lit(alpha)) / F.lit(denom_n))
+        ).alias("w"),
+    )
+    stats = {
+        "b0": math.log(float(dtot["dp"]) / float(dtot["dn"]))
+        if dtot["dp"] and dtot["dn"]
+        else 0.0,
+        "w_default": math.log(alpha / denom_p) - math.log(alpha / denom_n),
+        "threshold": 0.0,
+        "n_buckets": n_buckets,
+        "alpha": alpha,
+        "use_bigrams": use_bigrams,
+        "hash_fn": hash_fn,
+        "text_col": text_col,
+        "id_col": id_col,
+    }
+    if calibrate:
+        # decision-threshold calibration (standard NB practice): the
+        # raw 0 boundary is length-biased for multinomial NB — longer
+        # documents accumulate more (mostly same-signed) per-gram
+        # terms. Score the TRAINING set with the fitted weights and
+        # put the boundary at the midpoint of the two class-mean
+        # scores: one more corpus pass + a 2-scalar collect, still
+        # closed form and SQL-replayable.
+        train_scores = nb_score(docs, weights, stats).join(labeled, [
+            F.col(id_col) == F.col("_id")
+        ])
+        means = train_scores.agg(
+            F.avg(F.when(F.col("_pos"), F.col("score"))).alias("mp"),
+            F.avg(F.when(~F.col("_pos"), F.col("score"))).alias("mn"),
+        ).collect()[0]
+        if means["mp"] is not None and means["mn"] is not None:
+            stats["threshold"] = round(
+                (float(means["mp"]) + float(means["mn"])) / 2.0, 4
+            )
+    return weights, stats
+
+
+def nb_score(docs: DataFrame, weights: DataFrame, stats: dict) -> DataFrame:
+    """Score documents with a fitted model: per-doc
+    ``score = b0 + Σ_occurrences w(bucket)`` with ``w_default`` for
+    buckets unseen in training; ``pred = 1`` when the log-odds exceed
+    the calibrated threshold. Zero-gram documents keep ``score = b0`` (restored by a
+    left join — the explode drops them). Output: (id_col, n_grams,
+    score, pred)."""
+    id_col = stats["id_col"]
+    rows = hashed_gram_rows(
+        docs,
+        stats["text_col"],
+        id_col,
+        stats["n_buckets"],
+        stats["use_bigrams"],
+        stats["hash_fn"],
+    )
+    w = (
+        F.broadcast(weights)
+        if stats["n_buckets"] <= _BROADCAST_MAX_BUCKETS
+        else weights
+    )
+    per_doc = (
+        rows.join(w, "bucket", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("w"), F.lit(stats["w_default"]))).alias("_sw"),
+        )
+    )
+    score = F.round(F.lit(stats["b0"]) + F.coalesce(F.col("_sw"), F.lit(0.0)), 4)
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            score.alias("score"),
+            (
+                F.lit(stats["b0"]) + F.coalesce(F.col("_sw"), F.lit(0.0))
+                > F.lit(stats.get("threshold", 0.0))
+            )
+            .cast("int")
+            .alias("pred"),
+        )
+    )
+
+
+def train_score_split(
+    docs: DataFrame,
+    label_col,
+    mod: int = 2,
+    **kwargs,
+) -> DataFrame:
+    """Convenience pipeline: fit on docs with ``id % mod == 0``, score
+    the held-out rest — the honest generalization shape (self-scoring
+    the training set overstates any classifier)."""
+    id_col = kwargs.get("id_col", "doc_id")
+    train = docs.filter(F.col(id_col) % mod == 0)
+    test = docs.filter(F.col(id_col) % mod != 0)
+    weights, stats = nb_train(train, label_col, **kwargs)
+    return nb_score(test, weights, stats)

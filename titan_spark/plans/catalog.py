@@ -5532,3 +5532,118 @@ for _new, _old in _SLOT_SWAPS_R9:
     _order_r9[_order_r9.index(_old)] = _new
     _order_r9.append(_old)
 QUERIES = {k: QUERIES[k] for k in _order_r9}
+
+
+# ---------------------------------------------------------------------------
+# r9 operators (VERDICT r8 #6/#7): hashed-n-gram NB classifier +
+# cross-doc boilerplate passage removal — registered after the
+# eleventh-wave swap block, so they land in the overflow region per
+# the standing new-flagships-rotate-in-next-round policy.
+
+_NB_BUCKETS = 1 << 16
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed-n-gram classifier (Joulin 2017), in the
+    CCNet distillation shape (Wenzek 2020): train the CHEAP hashed
+    classifier to mimic an expensive quality target — here the
+    doc_quality composite (label: quality_score >= 0.6) — on the
+    even-doc_id half, then score the held-out odd half. Closed-form
+    multinomial NB log-odds over hashed uni+bigram buckets; both
+    engines compute the identical hashed features, smoothed weights,
+    priors and per-doc log-odds sums, so train AND inference are
+    value-checked end to end."""
+    from titan_spark.pipeline.classify import train_score_split
+    from titan_spark.pipeline.text_quality import doc_quality
+
+    docs = tables(spark, sf_dir)["documents"]
+    labels = doc_quality(docs).select(
+        "doc_id", (F.col("quality_score") >= 0.6).alias("_hq")
+    )
+    labeled = docs.select("doc_id", "text").join(labels, "doc_id")
+    return train_score_split(labeled, "_hq", mod=2, n_buckets=_NB_BUCKETS)
+
+
+QUERIES["quality_classifier"] = q_quality_classifier
+
+
+def _quality_classifier_oracle(nb: int = _NB_BUCKETS, alpha: float = 0.5) -> str:
+    return f"""
+    WITH raw AS (
+        SELECT doc_id, text, {_toks()} AS toks,
+               length(text) AS n_chars,
+               length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   AS n_alnum
+        FROM documents
+    ),
+    lab AS (
+        SELECT doc_id, toks,
+               ROUND(LEAST(len(toks) / 64.0, 1.0) * 0.4
+                     + CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / GREATEST(len(toks), 1) * 0.3
+                     + (1.0 - CAST(n_chars - n_alnum AS DOUBLE)
+                              / GREATEST(n_chars, 1)) * 0.2
+                     + CAST(len(list_filter(toks, x -> x IN ('the','a','of',
+                           'and','to','in','is','it','for','on'))) AS DOUBLE)
+                       / GREATEST(len(toks), 1) * 0.1, 4) >= 0.6 AS pos
+        FROM raw
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               unnest(list_concat(toks, list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+        FROM lab
+    ),
+    b AS (SELECT doc_id, pos, {_h60_sql("gram")} % {nb} AS bucket FROM g),
+    tr AS (SELECT * FROM b WHERE doc_id % 2 = 0),
+    te AS (SELECT * FROM b WHERE doc_id % 2 <> 0),
+    cnt AS (SELECT bucket,
+                   SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+                   SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg
+            FROM tr GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_pos) AS DOUBLE) AS tp,
+                   CAST(SUM(n_neg) AS DOUBLE) AS tn FROM cnt),
+    dtot AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
+                    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS dn
+             FROM (SELECT DISTINCT doc_id, pos FROM lab WHERE doc_id % 2 = 0)),
+    w AS (SELECT bucket,
+                 ln((n_pos + {alpha}) / (tp + {alpha} * {nb}))
+                 - ln((n_neg + {alpha}) / (tn + {alpha} * {nb})) AS w
+          FROM cnt, tot),
+    wd AS (SELECT ln({alpha} / (tp + {alpha} * {nb}))
+                  - ln({alpha} / (tn + {alpha} * {nb})) AS w_default,
+                  (SELECT ln(CAST(dp AS DOUBLE) / dn) FROM dtot) AS b0
+           FROM tot),
+    tr_doc AS (
+        SELECT tr.doc_id, MAX(CAST(tr.pos AS INT)) AS pos,
+               ROUND((SELECT b0 FROM wd)
+                     + SUM(COALESCE(w.w, wd.w_default)), 4) AS score
+        FROM tr LEFT JOIN w ON tr.bucket = w.bucket, wd
+        GROUP BY tr.doc_id
+    ),
+    -- decision-threshold calibration: midpoint of the train-set
+    -- class-mean scores (the raw 0 boundary is length-biased)
+    thr AS (
+        SELECT ROUND((AVG(CASE WHEN pos = 1 THEN score END)
+                      + AVG(CASE WHEN pos = 0 THEN score END)) / 2, 4) AS t
+        FROM tr_doc
+    ),
+    per_doc AS (
+        SELECT te.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(COALESCE(w.w, wd.w_default)) AS sw
+        FROM te LEFT JOIN w ON te.bucket = w.bucket, wd
+        GROUP BY te.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           ROUND((SELECT b0 FROM wd) + COALESCE(p.sw, 0), 4) AS score,
+           CAST((SELECT b0 FROM wd) + COALESCE(p.sw, 0)
+                > (SELECT t FROM thr) AS INT) AS pred
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 <> 0) d
+    LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+ORACLE_SQL["quality_classifier"] = _quality_classifier_oracle()
