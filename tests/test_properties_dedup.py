@@ -161,3 +161,78 @@ def test_repeated_passage_stats(spark):
     # short doc: one whole-doc window, unique
     assert out[4]["n_windows"] == 1 and out[4]["n_repeated"] == 0
     assert abs(out[3]["repeat_frac"]) < 1e-9
+
+
+def test_boilerplate_passage_removal_boundaries(spark):
+    """The Lee et al. removal transform's edges: passages within the
+    distinct-doc threshold keep ALL occurrences (including within-doc
+    repeats — one doc is one distinct doc however often it repeats
+    itself); boilerplate keeps only the corpus-first (id, pos)
+    occurrence; fully-boilerplate documents disappear; short docs are
+    one whole-doc passage."""
+    from pyspark.sql import functions as F
+
+    from titan_spark.pipeline.dedup import boilerplate_passage_removal
+
+    w = 3  # 3-token passages
+    boiler = "common header block"      # appears in docs 1,2,3 -> boilerplate
+    own = "unique body content"         # per-doc unique middle
+    selfrep = "self repeat line"        # twice in doc 4 ONLY -> kept both
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma"),
+            (2, f"{boiler} delta epsilon zeta"),
+            (3, boiler),                 # fully boilerplate -> vanishes
+            (4, f"{selfrep} {own} {selfrep}"),
+            (5, "tiny"),                 # < window tokens -> one passage
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_passage_removal(
+            docs, window=w, max_docs=1
+        ).collect()
+    }
+    # doc 1 is the corpus-first occurrence of the boilerplate passage
+    assert out[1]["text"] == f"{boiler} alpha beta gamma"
+    assert out[1]["n_passages"] == 2 and out[1]["kept_passages"] == 2
+    # docs 2's copy is cut; its own content survives
+    assert out[2]["text"] == "delta epsilon zeta"
+    assert out[2]["n_passages"] == 2 and out[2]["kept_passages"] == 1
+    # doc 3 was nothing but boilerplate
+    assert 3 not in out
+    # doc 4's self-repeat is NOT cross-doc boilerplate: both copies stay
+    assert out[4]["text"] == f"{selfrep} {own} {selfrep}"
+    assert out[4]["kept_passages"] == 3
+    # doc 5: single whole-doc passage, untouched
+    assert out[5]["text"] == "tiny" and out[5]["n_passages"] == 1
+
+    # raising the threshold above the repetition degree disables removal
+    full = boilerplate_passage_removal(docs, window=w, max_docs=3)
+    assert full.agg(F.sum("kept_passages")).collect()[0][0] == \
+        full.agg(F.sum("n_passages")).collect()[0][0]
+
+
+def test_boilerplate_passage_removal_delimiter_mode(spark):
+    """Delimiter segmentation: line-structured corpora cut on real
+    line boundaries and reassemble with the same separator."""
+    from titan_spark.pipeline.dedup import boilerplate_passage_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "copyright notice\nreal content one"),
+            (2, "copyright notice\nreal content two"),
+            (3, "copyright notice\nreal content three"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in boilerplate_passage_removal(
+            docs, mode="delimiter", delimiter="\n", max_docs=1
+        ).collect()
+    }
+    assert out[1] == "copyright notice\nreal content one"
+    assert out[2] == "real content two"
+    assert out[3] == "real content three"

@@ -676,3 +676,77 @@ def repeated_passage_stats(
             ).alias("repeat_frac"),
         )
     )
+
+
+def boilerplate_passage_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "tokens",
+    delimiter: str = "\n",
+    window: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Cross-document boilerplate passage REMOVAL — the transform form
+    of :func:`repeated_passage_stats` (Lee et al. 2022: repeated spans
+    are cut from the corpus, not just counted). Documents are
+    segmented into consecutive ``window``-token passages (or
+    delimiter-split lines, ``mode='delimiter'``); a passage whose text
+    occurs in MORE than ``max_docs`` distinct documents is boilerplate
+    (license blocks, templated headers, navigation chrome). Every
+    boilerplate occurrence is dropped except the corpus-first one in
+    (doc id, position) order — the same winner-election machinery as
+    :func:`line_dedup` — while passages within the threshold keep all
+    their occurrences. Documents are reassembled from their surviving
+    passages → (id_col, n_passages, kept_passages, text); documents
+    whose every passage was cut disappear from the output (fully
+    boilerplate).
+
+    Shuffle profile at 100 TB: the distinct-doc count and the winner
+    election both group on (md5, id, pos) — never passage text (md5
+    rather than xxhash64 so the DuckDB oracle replays the election
+    exactly); the election itself runs only on the boilerplate subset,
+    which threshold-filtering keeps tiny relative to the corpus; the
+    reassembly shuffles surviving text once on id — the irreducible
+    cost of rewriting the corpus, identical to line_dedup's.
+    """
+    seg = segment_lines(df, text_col, id_col, mode, delimiter, window)
+    hashed = seg.select("id", "pos", "line", F.md5("line").alias("_h"))
+    boiler = (
+        hashed.groupBy("_h")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") > max_docs)
+        .select("_h")
+    )
+    winners = (
+        hashed.join(boiler, "_h", "left_semi")
+        .groupBy("_h")
+        .agg(F.min(F.struct("id", "pos")).alias("_first"))
+        .select(
+            "_h",
+            F.col("_first.id").alias("id"),
+            F.col("_first.pos").alias("pos"),
+        )
+    )
+    kept = hashed.join(boiler, "_h", "left_anti").unionByName(
+        hashed.join(winners, ["_h", "id", "pos"], "left_semi")
+    )
+    n_passages = seg.groupBy("id").agg(F.count(F.lit(1)).alias("n_passages"))
+    sep = delimiter if mode == "delimiter" else " "
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_passages"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text"),
+        )
+        .join(n_passages, "id")
+        .select(
+            F.col("id").alias(id_col), "n_passages", "kept_passages", "text"
+        )
+    )

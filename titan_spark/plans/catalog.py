@@ -5647,3 +5647,47 @@ def _quality_classifier_oracle(nb: int = _NB_BUCKETS, alpha: float = 0.5) -> str
 
 
 ORACLE_SQL["quality_classifier"] = _quality_classifier_oracle()
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """Cross-doc boilerplate passage removal (r9, VERDICT r8 #7 — the
+    Lee et al. 2022 removal transform): 8-token passages occurring in
+    > 1 distinct documents are cut everywhere except their corpus-first
+    occurrence (line_dedup's winner election); documents reassemble
+    from surviving passages. Value-checked on the reassembled text
+    itself."""
+    from titan_spark.pipeline.dedup import boilerplate_passage_removal
+
+    docs = tables(spark, sf_dir)["documents"]
+    return boilerplate_passage_removal(docs, window=8, max_docs=1)
+
+
+QUERIES["boilerplate_removal"] = q_boilerplate_removal
+
+ORACLE_SQL["boilerplate_removal"] = f"""
+    WITH base AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+    seg0 AS (
+        SELECT doc_id, CAST(gs.i AS INT) AS pos,
+               array_to_string(toks[gs.i*8+1 : gs.i*8+8], ' ') AS line
+        FROM base, LATERAL (
+            SELECT unnest(range(greatest(CAST(ceil(len(toks)/8.0) AS BIGINT), 1))) AS i
+        ) gs
+    ),
+    seg AS (SELECT * FROM seg0 WHERE length(line) > 0),
+    nd AS (SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM seg GROUP BY 1),
+    marked AS (
+        SELECT seg.doc_id, seg.pos, seg.line, nd.n_docs > 1 AS boiler,
+               row_number() OVER (
+                   PARTITION BY seg.line ORDER BY seg.doc_id, seg.pos
+               ) AS rn
+        FROM seg JOIN nd ON seg.line = nd.line
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_passages FROM seg GROUP BY 1),
+    kept AS (SELECT * FROM marked WHERE NOT boiler OR rn = 1)
+    SELECT k.doc_id,
+           CAST(t.n_passages AS BIGINT) AS n_passages,
+           CAST(COUNT(*) AS BIGINT) AS kept_passages,
+           string_agg(k.line, ' ' ORDER BY k.pos) AS text
+    FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id, t.n_passages
+"""
