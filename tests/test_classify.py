@@ -164,3 +164,64 @@ def test_nb_weight_table_bounded(spark):
     assert weights.count() <= nb
     assert weights.agg(F.max("bucket")).collect()[0][0] < nb
     assert stats["n_buckets"] == nb
+
+
+def test_dsir_closed_form(spark):
+    """Hand-computed DSIR log-ratio on the length-hash: per-bucket
+    log p_target − log p_raw, per-doc sums, zero-gram docs score 0."""
+    from titan_spark.pipeline.classify import dsir_importance
+
+    nb, alpha = 10, 0.5
+    target = spark.createDataFrame(
+        [(100, "aa bb"), (101, "cc aa")], ["doc_id", "text"]
+    )  # 4 occurrences in bucket 2
+    raw = spark.createDataFrame(
+        [(1, "dd ee"), (2, "xxx yyy"), (3, "")],
+        ["doc_id", "text"],
+    )  # bucket 2 x2 (doc1), bucket 3 x2 (doc2), none (doc3)
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(
+            raw, target, n_buckets=nb, use_bigrams=False, hash_fn=_fake_hash
+        ).collect()
+    }
+    tt, tr = 4.0, 4.0
+    w2 = math.log((4 + alpha) / (tt + alpha * nb)) - math.log(
+        (2 + alpha) / (tr + alpha * nb)
+    )
+    w3 = math.log((0 + alpha) / (tt + alpha * nb)) - math.log(
+        (2 + alpha) / (tr + alpha * nb)
+    )
+    assert abs(out[1]["log_importance"] - round(2 * w2, 4)) < 1e-9
+    assert abs(out[2]["log_importance"] - round(2 * w3, 4)) < 1e-9
+    assert out[1]["log_importance"] > 0 > out[2]["log_importance"]
+    assert out[3]["log_importance"] == 0.0 and out[3]["n_grams"] == 0
+
+
+def test_dsir_resample_prefers_target_like(spark):
+    """End to end: resampling with DSIR weights concentrates the
+    selection on raw docs that share the target's vocabulary, and the
+    selection is deterministic (same seed → same set)."""
+    from titan_spark.pipeline.classify import dsir_resample
+
+    target = spark.createDataFrame(
+        [(1000 + i, "physics quantum electron proton field") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:  # target-like third
+            rows.append((i, f"quantum field electron study w{i % 5}"))
+        else:
+            rows.append((i, f"cooking recipe garlic onion pepper w{i % 5}"))
+    raw = spark.createDataFrame(rows, ["doc_id", "text"])
+    sel = dsir_resample(raw, target, n=15, seed=3, n_buckets=1 << 12)
+    ids = sorted(r["doc_id"] for r in sel.collect())
+    assert len(ids) == 15
+    target_like = sum(1 for i in ids if i % 3 == 0)
+    assert target_like >= 12, target_like  # heavily skewed to target-like
+    ids2 = sorted(
+        r["doc_id"]
+        for r in dsir_resample(raw, target, n=15, seed=3, n_buckets=1 << 12).collect()
+    )
+    assert ids == ids2

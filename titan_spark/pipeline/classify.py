@@ -224,3 +224,114 @@ def train_score_split(
     test = docs.filter(F.col(id_col) % mod != 0)
     weights, stats = nb_train(train, label_col, **kwargs)
     return nb_score(test, weights, stats)
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 16,
+    alpha: float = 0.5,
+    use_bigrams: bool = True,
+    hash_fn="portable",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    DSIR): score every document of the RAW corpus by how much it
+    resembles a small TARGET exemplar corpus, using the log-ratio of
+    the two corpora's hashed-n-gram distributions —
+    ``w(b) = log p_target(b) − log p_raw(b)`` per bucket (Laplace-α
+    smoothed), ``log_importance(doc) = Σ_occurrences w(bucket)``.
+    The standard pretraining-data selection operator: resample raw
+    documents with probability ∝ exp(log_importance) to shift the raw
+    distribution toward the target domain.
+
+    Same scale shape as the NB classifier (it IS the same estimator
+    with corpora as classes and no prior): two explode →
+    integer-key groupBy passes bounded by ``n_buckets``, a 2-scalar
+    collect, one broadcast weight join — and the whole computation
+    replays in ANSI SQL. Returns (id_col, n_grams, log_importance)
+    for every raw document; zero-gram docs score 0."""
+    rows_t = hashed_gram_rows(
+        target, text_col, id_col, n_buckets, use_bigrams, hash_fn
+    )
+    rows_r = hashed_gram_rows(
+        raw, text_col, id_col, n_buckets, use_bigrams, hash_fn
+    )
+    counts = (
+        rows_t.select("bucket", F.lit(1).alias("_t"), F.lit(0).alias("_r"))
+        .unionByName(
+            rows_r.select("bucket", F.lit(0).alias("_t"), F.lit(1).alias("_r"))
+        )
+        .groupBy("bucket")
+        .agg(F.sum("_t").alias("n_t"), F.sum("_r").alias("n_r"))
+    )
+    tot = counts.agg(
+        F.sum("n_t").alias("tt"), F.sum("n_r").alias("tr")
+    ).collect()[0]
+    import math
+
+    denom_t = float(tot["tt"] or 0.0) + alpha * n_buckets
+    denom_r = float(tot["tr"] or 0.0) + alpha * n_buckets
+    w_default = math.log(alpha / denom_t) - math.log(alpha / denom_r)
+    weights = counts.select(
+        "bucket",
+        (
+            F.log((F.col("n_t") + F.lit(alpha)) / F.lit(denom_t))
+            - F.log((F.col("n_r") + F.lit(alpha)) / F.lit(denom_r))
+        ).alias("w"),
+    )
+    w = (
+        F.broadcast(weights)
+        if n_buckets <= _BROADCAST_MAX_BUCKETS
+        else weights
+    )
+    per_doc = (
+        rows_r.join(w, "bucket", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("w"), F.lit(w_default))).alias("_sw"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.round(F.coalesce(F.col("_sw"), F.lit(0.0)), 4).alias(
+                "log_importance"
+            ),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    seed: int = 0,
+    **kwargs,
+) -> DataFrame:
+    """DSIR end to end: importance scores → weighted sample WITHOUT
+    replacement of ``n`` raw documents with weight
+    ``exp(log_importance)`` (Efraimidis-Spirakis via
+    ``sampling.weighted_sample`` — deterministic, oracle-replayable).
+    Log-importances are centered on their maximum before exp — a
+    constant factor, which the WRS key comparison cancels, so the
+    selection is unchanged while exp never overflows."""
+    from titan_spark.pipeline.sampling import weighted_sample
+
+    id_col = kwargs.get("id_col", "doc_id")
+    scores = dsir_importance(raw, target, **kwargs)
+    m = scores.agg(F.max("log_importance")).collect()[0][0] or 0.0
+    weighted = raw.join(
+        scores.select(
+            id_col, F.exp(F.col("log_importance") - F.lit(float(m))).alias("_iw")
+        ),
+        id_col,
+    )
+    return weighted_sample(weighted, n, "_iw", id_col=id_col, seed=seed).drop(
+        "_iw"
+    )

@@ -5691,3 +5691,62 @@ ORACLE_SQL["boilerplate_removal"] = f"""
     FROM kept k JOIN tot t ON k.doc_id = t.doc_id
     GROUP BY k.doc_id, t.n_passages
 """
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance scores (r9 — Xie et al. 2023, Data Selection
+    via Importance Resampling): rank the general corpus (source <>
+    'src0') by resemblance to the src0 target domain via the hashed
+    uni+bigram distribution log-ratio. The companion resample step is
+    sampling.weighted_sample with weight exp(log_importance)
+    (pytest-covered); the score pass is the value-checked part."""
+    from titan_spark.pipeline.classify import dsir_importance
+
+    docs = tables(spark, sf_dir)["documents"]
+    return dsir_importance(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n_buckets=_NB_BUCKETS,
+    )
+
+
+QUERIES["dsir_select"] = q_dsir_select
+
+
+def _dsir_oracle(nb: int = _NB_BUCKETS, alpha: float = 0.5) -> str:
+    return f"""
+    WITH t AS (SELECT doc_id, source = 'src0' AS is_t, {_toks()} AS toks
+               FROM documents),
+    g AS (
+        SELECT doc_id, is_t,
+               unnest(list_concat(toks, list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+        FROM t
+    ),
+    b AS (SELECT doc_id, is_t, {_h60_sql("gram")} % {nb} AS bucket FROM g),
+    cnt AS (SELECT bucket,
+                   SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t,
+                   SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS n_r
+            FROM b GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_t) AS DOUBLE) AS tt,
+                   CAST(SUM(n_r) AS DOUBLE) AS tr FROM cnt),
+    w AS (SELECT bucket,
+                 ln((n_t + {alpha}) / (tt + {alpha} * {nb}))
+                 - ln((n_r + {alpha}) / (tr + {alpha} * {nb})) AS w
+          FROM cnt, tot),
+    per_doc AS (
+        SELECT b.doc_id, COUNT(*) AS n_grams, SUM(w.w) AS sw
+        FROM b JOIN w ON b.bucket = w.bucket
+        WHERE NOT b.is_t
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           ROUND(COALESCE(p.sw, 0), 4) AS log_importance
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+ORACLE_SQL["dsir_select"] = _dsir_oracle()
