@@ -296,8 +296,10 @@ def _ima_adpcm_decode(
     import struct
 
     out: list[float] = []
-    for boff in range(0, len(data) - (len(data) % block_align), block_align):
+    for boff in range(0, len(data), block_align):
         block = data[boff : boff + block_align]
+        if len(block) < 4 * nch:  # no room for the channel headers
+            break
         preds, idxs = [], []
         chans: list[list[int]] = []
         for c in range(nch):
