@@ -144,6 +144,13 @@ HEADLINE = [
     "value_quantiles_sketch",
     "pagerank_traversal_top",
     "bloom_decontaminate",
+    # round 9: hashed-n-gram NB quality classifier (train + calibrate +
+    # score, bounded bucket space), DSIR importance resampling scores,
+    # cross-doc boilerplate passage removal (winner-election transform)
+    "quality_classifier",
+    "dsir_select",
+    "boilerplate_removal",
+    "temperature_mix",
 ]
 
 

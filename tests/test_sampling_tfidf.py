@@ -205,3 +205,50 @@ def test_gopher_rules_each_rule_fires(spark):
     assert got[6]["keep"] == 0 and got[6]["stop_hits"] < 2
     # features always emitted, not just the decision
     assert got[1]["mean_word_len"] > 3.0 and got[1]["stop_hits"] >= 2
+
+
+def test_temperature_mix_alpha_semantics(spark):
+    """Temperature weights: alpha=0.5 upweights the low-resource
+    source relative to natural proportions, alpha=1 reproduces
+    mix_corpus with natural weights exactly, and the sample is
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from titan_spark.pipeline.sampling import (
+        mix_corpus,
+        temperature_mix,
+        temperature_proportions,
+    )
+
+    # big source: 90 docs x 10 tokens; small source: 10 docs x 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (i, "srcbig" if i < 90 else "srcsmall", "tok " * 10)
+            for i in range(100)
+        ],
+        ["doc_id", "source", "text"],
+    )
+    tc = F.size(F.split(F.trim(F.col("text")), " "))
+    budget = 2000
+
+    def share(df, src):
+        rows = df.groupBy("source").count().collect()
+        tot = sum(r["count"] for r in rows)
+        return {r["source"]: r["count"] / tot for r in rows}.get(src, 0.0)
+
+    natural = share(temperature_mix(docs, budget, tc, alpha=1.0), "srcsmall")
+    balanced = share(temperature_mix(docs, budget, tc, alpha=0.5), "srcsmall")
+    # natural share of the small source is ~10%; sqrt weights raise it
+    # to 3/(3+sqrt(90)/sqrt(10)*3)... = 1/(1+3) = 25%
+    assert natural < 0.15
+    assert 0.18 < balanced < 0.35, balanced
+
+    # alpha=1 == mix_corpus with the raw token totals as weights
+    w, norm = temperature_proportions(docs, tc, alpha=1.0)
+    via_mix = mix_corpus(docs, w, budget, tc, norm=norm)
+    a = sorted((r["doc_id"], r["epoch"]) for r in temperature_mix(docs, budget, tc, alpha=1.0).collect())
+    b = sorted((r["doc_id"], r["epoch"]) for r in via_mix.collect())
+    assert a == b
+    # determinism
+    again = sorted((r["doc_id"], r["epoch"]) for r in temperature_mix(docs, budget, tc, alpha=1.0).collect())
+    assert a == again

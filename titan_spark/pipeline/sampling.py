@@ -110,9 +110,13 @@ def mix_corpus(
     source_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 0,
+    norm: float | None = None,
 ) -> DataFrame:
     """Deterministic training-mixture sampling: hit a token budget with
     target source proportions, up- OR down-sampling each source.
+    ``norm`` overrides the weight normalizer (sum of weights) — used by
+    :func:`temperature_mix` to pass a ROUNDED total so the SQL oracle's
+    independently-summed normalizer lands on the identical double.
 
     For each source s with weight w_s, the target is
     ``total_tokens * w_s / sum(w)``; with ``T_s`` tokens available the
@@ -129,7 +133,7 @@ def mix_corpus(
     source), then a narrow explode+filter pass; no corpus-sized
     shuffle. Unlisted sources are dropped (weight 0).
     """
-    totw = sum(proportions.values())
+    totw = norm if norm is not None else sum(proportions.values())
     stats = {
         r["s"]: r["toks"]
         for r in df.groupBy(F.col(source_col).alias("s"))
@@ -262,3 +266,98 @@ def quota_sample(
         .filter(F.col("_qrn") <= n_per_group)
         .drop("_qrn")
     )
+
+
+def temperature_proportions(
+    df: DataFrame,
+    token_count: Column,
+    alpha: float = 0.5,
+    source_col: str = "source",
+) -> tuple[dict[str, float], float]:
+    """mT5/PaLM-style temperature (alpha) source weights (Xue et al.
+    2021 §3.2, after mBERT's exponentiated smoothing): the sampling
+    weight of source s is ``T_s^alpha`` over its token count T_s —
+    alpha = 1 reproduces natural proportions, alpha → 0 approaches
+    uniform-over-sources, values in between upweight low-resource
+    sources. One per-source aggregate (one collected row per source).
+
+    Returns ``(weights, norm)`` where norm is the weight sum ROUNDED to
+    6 decimals: summation order differs between engines at the ulp
+    level, and the rounded normalizer is what makes the SQL oracle's
+    independently-computed rates land on bit-identical doubles.
+    ``alpha=0.5`` computes ``sqrt`` (correctly-rounded IEEE in every
+    engine — exact cross-engine agreement); other alphas use ``pow``,
+    whose last-ulp behavior is libm-specific (documented tolerance)."""
+    import math
+
+    stats = (
+        df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(token_count).alias("toks"))
+        .collect()
+    )
+    weights = {
+        r["s"]: (
+            math.sqrt(float(r["toks"]))
+            if alpha == 0.5
+            else float(r["toks"]) ** alpha
+        )
+        for r in stats
+        if r["toks"]
+    }
+    norm = round(sum(weights[s] for s in sorted(weights)), 6)
+    return weights, norm
+
+
+def temperature_mix(
+    df: DataFrame,
+    total_tokens: int,
+    token_count: Column,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-balanced training mixture: :func:`mix_corpus` with
+    the mT5 alpha-weights computed from the corpus itself — the
+    standard multilingual/multi-domain rebalancing recipe (sample
+    source s with probability ∝ T_s^alpha). Same scale shape as
+    mix_corpus: two tiny per-source aggregates + a narrow
+    explode+filter pass, nothing corpus-sized shuffles."""
+    weights, norm = temperature_proportions(df, token_count, alpha, source_col)
+    return mix_corpus(
+        df,
+        weights,
+        total_tokens,
+        token_count,
+        source_col=source_col,
+        id_col=id_col,
+        seed=seed,
+        norm=norm,
+    )
+
+
+def temperature_rates_sql(
+    total_tokens: int, token_len_sql: str, alpha: float = 0.5
+) -> str:
+    """Oracle twin of :func:`temperature_mix`'s rate arithmetic: the
+    weights come from the corpus (sqrt/pow of per-source token sums)
+    instead of literals, the normalizer is ROUND(SUM(w), 6) to match
+    the driver-side rounded norm, and the epoch/threshold expressions
+    keep :func:`mix_rates_sql`'s exact double-precision order."""
+    w_expr = "sqrt(toks)" if alpha == 0.5 else f"power(toks, {alpha!r})"
+    return f"""
+        stats AS (
+            SELECT source, CAST(sum({token_len_sql}) AS DOUBLE) AS toks
+            FROM documents GROUP BY source
+        ),
+        weights AS (SELECT source, {w_expr} AS w, toks FROM stats),
+        norm AS (SELECT ROUND(SUM(w), 6) AS totw FROM weights),
+        rates AS (
+            SELECT w.source,
+                   CAST(floor(({total_tokens} * w.w / n.totw) / w.toks) AS INT) AS k,
+                   CAST(floor(((({total_tokens} * w.w / n.totw) / w.toks)
+                        - floor(({total_tokens} * w.w / n.totw) / w.toks))
+                        * {_BUCKETS}) AS BIGINT) AS th
+            FROM weights w, norm n
+        )
+    """

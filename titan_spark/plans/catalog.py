@@ -5750,3 +5750,49 @@ def _dsir_oracle(nb: int = _NB_BUCKETS, alpha: float = 0.5) -> str:
 
 
 ORACLE_SQL["dsir_select"] = _dsir_oracle()
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-balanced training mixture (r9 — the mT5/PaLM
+    alpha-sampling recipe, Xue et al. 2021 §3.2): per-source weights
+    T_s^0.5 computed from the corpus itself, then the deterministic
+    epoch/fractional-hash sampler of mix_corpus. alpha=0.5 pins the
+    weights to sqrt — correctly-rounded IEEE in both engines — and the
+    normalizer is rounded so the two independently-computed rate
+    tables are bit-identical."""
+    from titan_spark.functions.text import tokenize
+    from titan_spark.pipeline.sampling import temperature_mix
+
+    d = tables(spark, sf_dir)["documents"]
+    out = temperature_mix(
+        d,
+        total_tokens=40_000,
+        token_count=F.size(tokenize(F.col("text"))),
+        alpha=0.5,
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
+QUERIES["temperature_mix"] = q_temperature_mix
+
+
+def _temperature_mix_oracle() -> str:
+    from titan_spark.pipeline.sampling import (
+        _EPOCH_STRIDE,
+        bucket_sql,
+        temperature_rates_sql,
+    )
+
+    rates = temperature_rates_sql(40_000, f"len({_toks()})", alpha=0.5)
+    b = bucket_sql(f"(doc_id + CAST(e.epoch AS BIGINT) * {_EPOCH_STRIDE})")
+    return f"""
+        WITH {rates}
+        SELECT d.doc_id, d.source, CAST(e.epoch AS INT) AS epoch
+        FROM documents d
+        JOIN rates r ON d.source = r.source
+        CROSS JOIN LATERAL (SELECT unnest(range(r.k + 1)) AS epoch) e
+        WHERE e.epoch < r.k OR {b} < r.th
+    """
+
+
+ORACLE_SQL["temperature_mix"] = _temperature_mix_oracle()
