@@ -414,6 +414,10 @@ def test_codec_capability_matrix():
     # stdlib paths are unconditionally real; the stub always works
     assert caps["audio"]["pcm_wav_stdlib"] is True
     assert caps["video"]["uncompressed_rgb_avi_stdlib"] is True
+    # r9 stdlib compressed codecs are unconditionally real too
+    assert caps["audio"]["mulaw_alaw_wav_stdlib"] is True
+    assert caps["audio"]["ima_adpcm_wav_stdlib"] is True
+    assert caps["video"]["rle8_avi_stdlib"] is True
     assert all(k["stub"] for k in caps.values())
     # optional gates mirror importability
     assert caps["image"]["png_jpeg_bmp_pil"] == (_pil_image() is not None)
@@ -806,3 +810,48 @@ def test_multimodal_mp3_gated_decode(spark):
         pytest.skip("soundfile/libsndfile absent in this environment")
     feats = _audio_features(_MP3_SILENCE, 4)
     assert all(abs(v) < 1e-3 for v in feats)
+
+
+def test_multimodal_ima_adpcm_short_final_block(spark):
+    """Real IMA-ADPCM WAV files usually end with a SHORT final block
+    (fewer samples than wSamplesPerBlock); the decoder must decode its
+    header sample + whole data words rather than silently dropping the
+    tail."""
+    import math
+    import struct
+
+    from titan_spark.pipeline.multimodal import (
+        _compressed_wav_features,
+        _ima_adpcm_decode,
+    )
+
+    rate = 8000
+    n = 505 + 57  # one full mono block + a 57-sample tail block
+    pcm = [int(12000 * math.sin(2 * math.pi * 330 * i / rate)) for i in range(n)]
+    body, block_align = _ima_encode_mono(pcm)
+    # the encoder emits a short trailing block: header + ceil(56/8)
+    # padded words < block_align
+    assert len(body) % block_align != 0
+    decoded = _ima_adpcm_decode(body, 1, block_align)
+    # padding nibbles may append a few trailing samples; everything up
+    # to n must be present and track the source within ADPCM error
+    assert len(decoded) >= n
+    # the first ~50 samples are the quantizer's attack transient (the
+    # encoder starts at step 7 and ramps up toward the sine's ~3100/
+    # sample slope); after it, tracking error stays within one step
+    err = [abs(a - b) for a, b in zip(decoded[64:n], pcm[64:])]
+    assert max(err) < 2000, max(err)
+    # the SHORT TAIL block (the subject of this test) tracks too: its
+    # samples sit past the transient and past the first block boundary
+    tail_err = [abs(a - b) for a, b in zip(decoded[505:n], pcm[505:])]
+    assert tail_err and max(tail_err) < 2000, max(tail_err) if tail_err else None
+    # and through the RIFF parser end to end
+    wav = _wav_container(
+        0x11, 1, rate, block_align, 4, body,
+        extra=struct.pack("<HH", 2, 505),
+    )
+    feats = _compressed_wav_features(wav, 4)
+    assert max(feats) > 0.2  # the tail contributes real energy
+    # a truncated header-only tail is ignored, not an error
+    wav_trunc = _wav_container(0x11, 1, rate, block_align, 4, body[: block_align + 2])
+    assert len(_compressed_wav_features(wav_trunc, 4)) == 4
