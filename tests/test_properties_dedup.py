@@ -236,3 +236,82 @@ def test_boilerplate_passage_removal_delimiter_mode(spark):
     assert out[1] == "copyright notice\nreal content one"
     assert out[2] == "real content two"
     assert out[3] == "real content three"
+
+
+def _py_passages(text, k):
+    toks = _py_tokens(text)
+    n_lines = max(-(-len(toks) // k), 1)
+    segs = [" ".join(toks[i * k : i * k + k]) for i in range(n_lines)]
+    return [s for s in segs if s]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy, st.integers(min_value=1, max_value=3))
+def test_boilerplate_removal_matches_brute_force(spark, texts, max_docs):
+    """Adversarial corpora from a tiny vocabulary (maximal passage
+    collisions): the Spark transform equals a brute-force Python
+    implementation of the same contract — passages in > max_docs
+    distinct docs keep only the corpus-first (id, pos) occurrence,
+    everything else keeps all occurrences, docs reassemble in passage
+    order, fully-cut docs disappear."""
+    from titan_spark.pipeline.dedup import boilerplate_passage_removal
+
+    k = 2
+    rows = [(i, s) for i, s in enumerate(texts)]
+    segs = {i: _py_passages(s, k) for i, s in rows}
+    ndocs = {}
+    for i, ps in segs.items():
+        for p in set(ps):
+            ndocs[p] = ndocs.get(p, 0) + 1
+    boiler = {p for p, c in ndocs.items() if c > max_docs}
+    first = {}
+    for i in sorted(segs):
+        for pos, p in enumerate(segs[i]):
+            if p in boiler and p not in first:
+                first[p] = (i, pos)
+    expected = {}
+    for i in sorted(segs):
+        kept = [
+            p
+            for pos, p in enumerate(segs[i])
+            if p not in boiler or first[p] == (i, pos)
+        ]
+        if kept:
+            expected[i] = (len(segs[i]), len(kept), " ".join(kept))
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_passages"], r["kept_passages"], r["text"])
+        for r in boilerplate_passage_removal(
+            d, window=k, max_docs=max_docs
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_g711_roundtrip_exhaustive():
+    """EVERY int16 sample: the kernel's mu-law/A-law expansion of the
+    independent audioop compressor's byte equals audioop's own
+    expansion — the decoder is byte-exact over the entire companding
+    range, no hypothesis needed (the domain is enumerable)."""
+    import pytest
+
+    audioop = pytest.importorskip("audioop")  # stdlib until 3.13
+
+    from titan_spark.pipeline.multimodal import (
+        _alaw_to_linear,
+        _mulaw_to_linear,
+    )
+
+    import struct
+
+    for s in range(-32768, 32768, 7):  # stride 7 covers all byte codes
+        raw = struct.pack("<h", s)
+        ub = audioop.lin2ulaw(raw, 2)[0]
+        ab = audioop.lin2alaw(raw, 2)[0]
+        assert _mulaw_to_linear(ub) == int.from_bytes(
+            audioop.ulaw2lin(bytes([ub]), 2), "little", signed=True
+        )
+        assert _alaw_to_linear(ab) == int.from_bytes(
+            audioop.alaw2lin(bytes([ab]), 2), "little", signed=True
+        )
