@@ -216,3 +216,26 @@ def test_jl_projection_zero_shuffle_plan(spark):
     assert "Exchange" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "Broadcast" not in p
+
+
+def test_nb_classifier_broadcast_inference_plan(spark, sf_dir):
+    """The classifier's scoring join must broadcast the bounded weight
+    table (n_buckets rows) — map-side inference, no shuffle of the
+    corpus-sized gram relation against the model, no cartesian, no
+    per-row Python."""
+    from titan_spark.plans.catalog import q_quality_classifier
+
+    p = plan_of(q_quality_classifier(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_boilerplate_removal_no_cartesian(spark, sf_dir):
+    """The winner election and threshold count key on the passage md5 —
+    never a cross join, never per-row Python."""
+    from titan_spark.plans.catalog import q_boilerplate_removal
+
+    p = plan_of(q_boilerplate_removal(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
