@@ -5069,9 +5069,16 @@ def q_louvain_cliques(spark, sf_dir):
 
     c = tables(spark, sf_dir)["customer"]
     w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    # only nations with >= 6 customers form cliques: a full 6-clique's
+    # internal degree (5) strictly dominates its single bridge, so the
+    # per-nation ground truth is the unique modularity optimum at ANY
+    # data scale — under-filled nations (seen at sf0.001, where some
+    # have 3-4 customers) would make merging bridged midget cliques
+    # legitimately optimal and the closed-form oracle ill-posed
     members = (
         c.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 6)
+        .withColumn("nsz", F.count(F.lit(1)).over(Window.partitionBy("c_nationkey")))
+        .filter((F.col("rn") <= 6) & (F.col("nsz") >= 6))
         .select(
             (F.lit(OFF["customer"]) + F.col("c_custkey")).cast("long").alias("id"),
             F.col("c_nationkey").alias("nk"),
@@ -5101,11 +5108,12 @@ ORACLE_SQL["louvain_cliques"] = f"""
     WITH members AS (
         SELECT CAST({OFF['customer']} + c_custkey AS BIGINT) AS id,
                c_nationkey AS nk,
-               ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS nsz
         FROM customer
     )
     SELECT id, MIN(id) OVER (PARTITION BY nk) AS community
-    FROM members WHERE rn <= 6
+    FROM members WHERE rn <= 6 AND nsz >= 6
     ORDER BY id
 """
 
