@@ -530,12 +530,22 @@ SF10_FLAGSHIPS = [
 
 
 def _sf10_block(sf1_queries: dict[str, float] | None) -> dict | None:
-    """Second decade of scale evidence (VERDICT r6 #2): one fresh-JVM
-    pass of the iterative/pipeline flagships at sf10 (100x sf0.1,
-    ~137 M edges, derived from sf1 by another 10x replication),
-    reported as per-query sf10/sf1 ratios. One decade of sublinearity
-    separates nothing; two decades separates constant factors from
-    asymptotics. Ratios > 11 are flagged. Disable with
+    """Second decade of scale evidence (VERDICT r6 #2): the
+    iterative/pipeline flagships at sf10 (100x sf0.1, ~137 M edges,
+    derived from sf1 by another 10x replication), reported as
+    per-query sf10/sf1 ratios. One decade of sublinearity separates
+    nothing; two decades separates constant factors from asymptotics.
+
+    r10 (VERDICT r9 #2): the block runs TWICE, each pass a fresh JVM,
+    and reports per-query min-of-2 — the same protocol the sf0.1 suite
+    uses. The r9 report showed four flagship ratios swinging 2-8x on
+    unchanged code under the old single-rep protocol (mix_corpus
+    3.8x→9.9x, shard_layout 1.2x→9.3x), i.e. single-JVM numbers at
+    this data size measure host state as much as plans. The per-query
+    ``spread`` field (max/min across the two passes) quantifies the
+    remaining noise band so a reader can tell a tight ratio from a
+    lucky one. Ratios > 11 are flagged (and re-confirmed in yet
+    another fresh JVM before being reported). Disable with
     SPARK_GRAFT_SF10_CHECK=0.
     """
     if os.environ.get("SPARK_GRAFT_SF10_CHECK", "1") == "0" or not sf1_queries:
@@ -557,16 +567,31 @@ def _sf10_block(sf1_queries: dict[str, float] | None) -> dict | None:
         if gen.returncode != 0:
             sys.stderr.write(gen.stdout + gen.stderr)
             return None
-    res = _run_single(
-        {
-            "SPARK_GRAFT_SF_DIR": sf10_dir,
-            "SPARK_GRAFT_BENCH_REPS": "1",
-            "SPARK_GRAFT_BENCH_ONLY": ",".join(SF10_FLAGSHIPS),
-        }
-    )
-    if res is None:
+    env = {
+        "SPARK_GRAFT_SF_DIR": sf10_dir,
+        "SPARK_GRAFT_BENCH_REPS": "1",
+        "SPARK_GRAFT_BENCH_ONLY": ",".join(SF10_FLAGSHIPS),
+    }
+    passes = [r for _ in range(2) if (r := _run_single(env)) is not None]
+    if not passes:
         return None
-    queries = dict(res["queries"])
+    res = passes[0]
+    queries = {
+        q: min(p["queries"][q] for p in passes if q in p["queries"])
+        for q in res["queries"]
+    }
+    # per-query noise band across the fresh-JVM passes: max/min — 1.0
+    # means the two JVMs agreed exactly, 2.0 means the slower pass took
+    # twice as long on identical code and data
+    spread = {
+        q: round(
+            max(p["queries"][q] for p in passes if q in p["queries"])
+            / queries[q],
+            2,
+        )
+        for q in queries
+        if queries[q]
+    }
     queries, confirm_note = _confirm_flags(
         queries, sf1_queries, sf10_dir, threshold=11.0
     )
@@ -580,19 +605,24 @@ def _sf10_block(sf1_queries: dict[str, float] | None) -> dict | None:
         "data_ratio_vs_sf1": 10.0,
         "total": round(sum(queries.values()), 3),
         "queries": queries,
+        "jvm_passes": len(passes),
+        "spread": spread,
         "flag_confirmation": confirm_note,
         "n_vertices": res.get("n_vertices"),
         "n_edges": res.get("n_edges"),
         "ratio_vs_sf1": ratios,
         "flagged_superlinear": sorted(q for q, r in ratios.items() if r > 11),
-        "note": "flagship subset, one fresh JVM, single rep; sf10 derived "
-        "from sf1 via tools/make_scaled_sf.py (10x replication, key "
-        "offsets, per-replica text/embedding decorrelation); ratios are "
-        "sf10/sf1 at 10x the data — <10 = sublinear. "
-        "graph_build_count/pagerank_full_graph ride along from the suite "
-        "pass; scc_blocks/condensation_dag run on the sf-SCALED "
-        "block-cycle fixture (n_blocks ~ sf), so their ratios measure "
-        "the FW-BW peeling's data behavior at constant round count.",
+        "note": "flagship subset; min-of-2 fresh JVMs (r10, VERDICT r9 "
+        "#2 — single-rep sf10 numbers swung 2-8x on unchanged code "
+        "between r8 and r9), per-query spread = max/min across the two "
+        "passes; sf10 derived from sf1 via tools/make_scaled_sf.py (10x "
+        "replication, key offsets, per-replica text/embedding "
+        "decorrelation); ratios are sf10/sf1 at 10x the data — <10 = "
+        "sublinear. graph_build_count/pagerank_full_graph ride along "
+        "from the suite pass; scc_blocks/condensation_dag run on the "
+        "sf-SCALED block-cycle fixture (n_blocks ~ sf), so their ratios "
+        "measure the FW-BW peeling's data behavior at constant round "
+        "count.",
     }
 
 
@@ -802,7 +832,12 @@ def main() -> None:
     }
     merged["queries"] = queries
     merged["value"] = round(sum(queries.values()), 3)
-    merged["runs"] = [r["value"] for r in results]  # raw totals, noise band
+    # raw totals labeled with query counts (r10, VERDICT r9 #6): every
+    # entry states what it covered, so a partial flagged-query re-run
+    # merged in later can never read like a full suite pass
+    merged["runs"] = [
+        {"seconds": r["value"], "n_queries": len(r["queries"])} for r in results
+    ]
     merged["config_note"] = (
         "minhash_lsh_pairs is timed with the production hash_fn=xxhash64; "
         "the correctness catalog pins the portable md5 hash so DuckDB can "

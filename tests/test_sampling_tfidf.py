@@ -252,3 +252,30 @@ def test_temperature_mix_alpha_semantics(spark):
     # determinism
     again = sorted((r["doc_id"], r["epoch"]) for r in temperature_mix(docs, budget, tc, alpha=1.0).collect())
     assert a == again
+
+
+def test_temperature_rates_sql_drops_zero_token_sources():
+    """Oracle parity at the edge (r10, ADVICE): a source whose token
+    sum is 0 is dropped by temperature_proportions, so the SQL twin
+    must drop it too — keeping it would make k = floor(0/0) NaN in the
+    rates CTE instead of the source being absent."""
+    import duckdb
+
+    from titan_spark.pipeline.sampling import temperature_rates_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(0, 'srca', 'tok tok tok'), (1, 'srca', 'tok tok'), "
+        "(2, 'srcempty', '')) t(doc_id, source, text)"
+    )
+    toks = (
+        "list_filter(string_split(regexp_replace(lower(text), "
+        "'[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')"
+    )
+    rates = temperature_rates_sql(100, f"len({toks})", alpha=0.5)
+    rows = con.execute(
+        f"WITH {rates} SELECT source, k, th FROM rates ORDER BY source"
+    ).fetchall()
+    assert [r[0] for r in rows] == ["srca"]  # zero-token source absent
+    assert all(r[1] is not None and r[2] is not None for r in rows)

@@ -782,6 +782,49 @@ def test_multimodal_rle8_avi_real_decode(spark):
     assert abs(one[0] - (lums[0] + lums[1]) / 2) < 1e-9
 
 
+def test_multimodal_rle8_truncated_strf_is_routable():
+    """A malformed RLE8 strf chunk — header shorter than biClrUsed, or
+    a palette smaller than the header declares — raises the routable
+    NotImplementedError codec boundary (r10, ADVICE), never a bare
+    ValueError/struct.error from the byte unpacking."""
+    import struct
+
+    import pytest
+
+    from titan_spark.pipeline.multimodal import _avi_features
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    def avi_with_strf(strf_body):
+        strh = chunk(b"strh", b"vids" + b"\x00" * 52)
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", b"\x00" * 56)
+            + lst(b"strl", strh + chunk(b"strf", strf_body)),
+        )
+        movi = lst(b"movi", chunk(b"00dc", b"\x05\x40\x00\x01"))
+        body = b"AVI " + hdrl + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # RLE8 header cut off before biClrUsed (20 <= size < 36)
+    bih_short = struct.pack("<IiiHHI", 40, 5, 3, 1, 8, 1)  # 20 bytes
+    with pytest.raises(NotImplementedError, match="truncated before"):
+        _avi_features(avi_with_strf(bih_short), 1)
+
+    # full 40-byte header declaring 256 palette entries, but only 4
+    # RGBQUAD rows actually present in the chunk
+    bih = struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 8, 1, 0, 0, 0, 256, 0)
+    small_pal = b"".join(bytes([i, i, i, 0]) for i in range(4))
+    with pytest.raises(NotImplementedError, match="palette truncated"):
+        _avi_features(avi_with_strf(bih + small_pal), 1)
+
+
 # Vendored MP3 fixture for the soundfile-gated path: four hand-built
 # MPEG-1 Layer III silence frames (sync 0xFFFB, 64 kbps, 44.1 kHz,
 # stereo, zeroed side info/main data = digital silence). The gated

@@ -98,9 +98,13 @@ def nb_train(
     one 4-scalar aggregate collect (the totals), the same 1-row
     pattern as the TF-IDF/perplexity operators."""
     lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    # NULL labels are excluded from training (not absorbed into the
+    # negative class): an unlabeled row is missing data, and silently
+    # counting it as negative would skew both the bucket counts and
+    # the fitted prior
     labeled = docs.select(
         F.col(id_col).alias("_id"), lbl.cast("boolean").alias("_pos")
-    )
+    ).filter(F.col("_pos").isNotNull())
     rows = hashed_gram_rows(
         docs, text_col, id_col, n_buckets, use_bigrams, hash_fn
     ).join(labeled, "_id")
@@ -149,9 +153,16 @@ def nb_train(
         # put the boundary at the midpoint of the two class-mean
         # scores: one more corpus pass + a 2-scalar collect, still
         # closed form and SQL-replayable.
-        train_scores = nb_score(docs, weights, stats).join(labeled, [
-            F.col(id_col) == F.col("_id")
-        ])
+        # zero-gram documents are excluded from the class means: they
+        # carry no feature evidence (score = b0 exactly), so including
+        # them would only pull the means toward the prior — and the
+        # oracle's per-gram GROUP BY can never see them, so exclusion
+        # is also what keeps the two engines' thresholds identical
+        train_scores = (
+            nb_score(docs, weights, stats)
+            .filter(F.col("n_grams") > 0)
+            .join(labeled, [F.col(id_col) == F.col("_id")])
+        )
         means = train_scores.agg(
             F.avg(F.when(F.col("_pos"), F.col("score"))).alias("mp"),
             F.avg(F.when(~F.col("_pos"), F.col("score"))).alias("mn"),
@@ -200,12 +211,12 @@ def nb_score(docs: DataFrame, weights: DataFrame, stats: dict) -> DataFrame:
             F.col("_id").alias(id_col),
             F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
             score.alias("score"),
-            (
-                F.lit(stats["b0"]) + F.coalesce(F.col("_sw"), F.lit(0.0))
-                > F.lit(stats.get("threshold", 0.0))
-            )
-            .cast("int")
-            .alias("pred"),
+            # pred compares the ROUNDED score to the threshold: the raw
+            # per-doc double sum is summation-order-dependent at the ulp
+            # level (score is rounded to 4dp precisely to absorb this),
+            # so deciding on the unrounded sum could flip pred near the
+            # boundary between engines while score itself agrees
+            (score > F.lit(stats.get("threshold", 0.0))).cast("int").alias("pred"),
         )
     )
 

@@ -464,9 +464,25 @@ def _avi_features(payload: bytes, dim: int) -> list[float]:
                 width, height = abs(w_), abs(h_)
                 if c_ == 1:
                     # RGBQUAD palette follows the 40-byte header:
-                    # biClrUsed @32 (0 means the full 256)
+                    # biClrUsed @32 (0 means the full 256). A strf
+                    # chunk too small for the header or its palette is
+                    # a malformed payload — a routable decode failure
+                    # (NotImplementedError), not an unpack crash
+                    if size < 36:
+                        raise NotImplementedError(
+                            f"RLE8 AVI strf chunk truncated before "
+                            f"biClrUsed ({size} bytes < 36)"
+                        )
                     (used,) = struct.unpack_from("<I", data, off + 32)
                     used = used or 256
+                    avail = min(off + size, len(data))
+                    held = max((avail - (off + 40)) // 4, 0)
+                    if held < used:
+                        raise NotImplementedError(
+                            f"RLE8 AVI strf palette truncated: header "
+                            f"declares {used} RGBQUAD entries, chunk "
+                            f"holds {held}"
+                        )
                     pal_luma = []
                     for p in range(used):
                         b_, g_, r_ = data[off + 40 + 4 * p : off + 43 + 4 * p]

@@ -343,14 +343,19 @@ def temperature_rates_sql(
     weights come from the corpus (sqrt/pow of per-source token sums)
     instead of literals, the normalizer is ROUND(SUM(w), 6) to match
     the driver-side rounded norm, and the epoch/threshold expressions
-    keep :func:`mix_rates_sql`'s exact double-precision order."""
+    keep :func:`mix_rates_sql`'s exact double-precision order.
+    Zero-token sources are excluded (``WHERE toks > 0``) exactly as
+    :func:`temperature_proportions` drops them — keeping them would
+    make ``k = floor(0/0)`` NaN in the rates CTE instead of the
+    source being absent."""
     w_expr = "sqrt(toks)" if alpha == 0.5 else f"power(toks, {alpha!r})"
     return f"""
         stats AS (
             SELECT source, CAST(sum({token_len_sql}) AS DOUBLE) AS toks
             FROM documents GROUP BY source
         ),
-        weights AS (SELECT source, {w_expr} AS w, toks FROM stats),
+        weights AS (SELECT source, {w_expr} AS w, toks FROM stats
+                    WHERE toks > 0),
         norm AS (SELECT ROUND(SUM(w), 6) AS totw FROM weights),
         rates AS (
             SELECT w.source,

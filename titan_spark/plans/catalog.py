@@ -5647,7 +5647,10 @@ def _quality_classifier_oracle(nb: int = _NB_BUCKETS, alpha: float = 0.5) -> str
     SELECT d.doc_id,
            CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
            ROUND((SELECT b0 FROM wd) + COALESCE(p.sw, 0), 4) AS score,
-           CAST((SELECT b0 FROM wd) + COALESCE(p.sw, 0)
+           -- pred decides on the ROUNDED score (r10, ADVICE): the raw
+           -- double sum is summation-order-dependent at the ulp level,
+           -- and both engines round to 4dp precisely to absorb that
+           CAST(ROUND((SELECT b0 FROM wd) + COALESCE(p.sw, 0), 4)
                 > (SELECT t FROM thr) AS INT) AS pred
     FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 <> 0) d
     LEFT JOIN per_doc p ON d.doc_id = p.doc_id

@@ -45,7 +45,13 @@ def main() -> int:
     queries = _min_merge([r.get("queries", {}) for r in runs])
     base["queries"] = queries
     base["value"] = round(sum(queries.values()), 3)
-    base["runs"] = [r.get("value") for r in runs]
+    # each runs entry is labeled with its query count (r10, VERDICT r9
+    # #6): a flagged-query re-run invocation covers a small subset, and
+    # its raw total must not read like a full suite pass
+    base["runs"] = [
+        {"seconds": r.get("value"), "n_queries": len(r.get("queries", {}))}
+        for r in runs
+    ]
 
     # vs-prev drift recomputed from merged minima, reusing bench.py's
     # own block (including its fresh-JVM contention re-run for
@@ -63,6 +69,11 @@ def main() -> int:
             f"host drift from plan regressions"
         )
         base["vs_prev_round"] = block
+    else:
+        # never carry run 1's vs_prev_round into the merged output: its
+        # ratios were computed from a single unmerged run and would
+        # misrepresent the merged minima's drift status
+        base.pop("vs_prev_round", None)
 
     for key, ratio_key, ref_key in (
         ("scaling", "ratio_vs_sf0.1", None),
@@ -74,6 +85,24 @@ def main() -> int:
         merged = dict(blocks[0])
         merged["queries"] = _min_merge([b.get("queries", {}) for b in blocks])
         merged["total"] = round(sum(merged["queries"].values()), 3)
+        # recompute the per-query spread over ALL contributing JVM
+        # passes: each block reports min + (max/min) spread, so its raw
+        # max is queries[q] * spread[q]; the merged spread is the
+        # global max over the merged (global) min — run 1's spread
+        # alone would go stale once another run lowers the min
+        if any(b.get("spread") for b in blocks):
+            maxima: dict[str, float] = {}
+            for b in blocks:
+                qd, sd = b.get("queries", {}), b.get("spread", {})
+                for q, t in qd.items():
+                    hi = t * sd.get(q, 1.0)
+                    maxima[q] = max(maxima.get(q, hi), hi)
+            merged["spread"] = {
+                q: round(maxima[q] / t, 2)
+                for q, t in merged["queries"].items()
+                if t and q in maxima
+            }
+            merged["jvm_passes"] = sum(b.get("jvm_passes", 1) for b in blocks)
         ref = (
             base[ref_key]["queries"]
             if ref_key and base.get(ref_key)
