@@ -14,8 +14,8 @@ def test_registry_shape():
     # SQL-expressible but its defining properties are)
     assert set(QUERIES) - set(ORACLE_SQL) == set()
     # the driver checks only the first 50 entries: current-round
-    # flagships must sit inside the checked region (r9 eleventh wave:
-    # the five r8-overflow flagships rotated in — each demoted query
+    # flagships must sit inside the checked region (r10 twelfth wave:
+    # the four r9-overflow flagships rotated in — each demoted query
     # keeps a family sibling in slots 1-50 per COVERAGE.md)
     first50 = list(QUERIES)[:50]
     for k in (
@@ -30,11 +30,9 @@ def test_registry_shape():
         "local_top3_sum",
         "map_nation_counts",
         "random_walk_corpus",
-        "gopher_rules",
         "feature_smooth",
         "transitivity",
         # tenth wave (r8)
-        "jl_project",
         "louvain_cliques",
         "graph_diameter",
         "dedup_weights",
@@ -42,11 +40,15 @@ def test_registry_shape():
         "k_hop_ego",
         "prop_meta_filter",
         # eleventh wave (r9)
-        "repeated_passages",
         "hll_hourly",
         "pagerank_traversal_top",
         "value_quantiles_sketch",
         "bloom_decontaminate",
+        # twelfth wave (r10)
+        "quality_classifier",
+        "boilerplate_removal",
+        "dsir_select",
+        "temperature_mix",
     ):
         assert k in first50
 

@@ -5807,3 +5807,36 @@ def _temperature_mix_oracle() -> str:
 
 
 ORACLE_SQL["temperature_mix"] = _temperature_mix_oracle()
+
+
+# Driver-slot curation, twelfth wave (r10, VERDICT r9 #1): the four r9
+# overflow flagships into the driver prefix. Each demotion keeps a
+# family sibling in slots 1-50:
+# - gopher_rules out for quality_classifier: text-quality filtering
+#   kept by lm_perplexity (CCNet perplexity buckets) while the
+#   classifier IS the family's production shape (trained on the same
+#   doc_quality composite gopher-style rules feed);
+# - repeated_passages out for boilerplate_removal: strictly richer —
+#   the removal transform runs the same windowed-passage segmentation
+#   PLUS the corpus-first winner election and text reassembly, and its
+#   driver row value-checks the reassembled text itself;
+# - jl_project out for dsir_select: embedding linear algebra kept by
+#   embed_covariance + ivfpq_ann, while DSIR adds the importance-
+#   selection family to the checked region;
+# - mix_corpus out for temperature_mix: strictly richer — it IS
+#   mix_corpus with corpus-derived alpha-weights (both rate tables and
+#   the sampler replayed in the oracle), with random_walk_corpus
+#   keeping a second sampling row.
+# All demoted queries stay green under the local gate (slots 51+).
+_SLOT_SWAPS_R10 = [
+    ("quality_classifier", "gopher_rules"),
+    ("boilerplate_removal", "repeated_passages"),
+    ("dsir_select", "jl_project"),
+    ("temperature_mix", "mix_corpus"),
+]
+_order_r10 = list(QUERIES)
+for _new, _old in _SLOT_SWAPS_R10:
+    _order_r10.remove(_new)
+    _order_r10[_order_r10.index(_old)] = _new
+    _order_r10.append(_old)
+QUERIES = {k: QUERIES[k] for k in _order_r10}
