@@ -239,3 +239,15 @@ def test_boilerplate_removal_no_cartesian(spark, sf_dir):
     p = plan_of(q_boilerplate_removal(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_phash_dup_pairs_no_cross_join(spark, sf_dir):
+    """Perceptual image dedup must plan as the banded equi-join on
+    (band, key) — never a cartesian/nested-loop all-pairs over the
+    signatures. (The Arrow decode kernel is the one intended Python
+    stage; the JOIN itself must stay JVM-side.)"""
+    from titan_spark.plans.catalog import q_phash_dup_pairs
+
+    p = plan_of(q_phash_dup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -98,6 +98,11 @@ def codec_capabilities() -> dict[str, dict[str, bool]]:
     return {
         "image": {
             "png_jpeg_bmp_pil": pil is not None,
+            # real BMP decode in pure stdlib (r10): BI_RGB 8/24/32-bpp
+            # and run-length-compressed BI_RLE8 — the luminance-grid
+            # substrate of the perceptual image-dedup operator
+            "bmp_stdlib": True,
+            "rle8_bmp_stdlib": True,
             "stub": True,
         },
         "audio": {
@@ -535,6 +540,272 @@ def _avi_features(payload: bytes, dim: int) -> list[float]:
         win = lums[lo : min(hi, n)] or [0.0]
         out.append(float(sum(win) / len(win)))
     return out
+
+
+# ---- BMP still images (r10) — stdlib decode to an integer luminance
+# grid, the substrate of the perceptual image-dedup operator
+# (pipeline/dedup.py phash_dup_pairs). Same DIB conventions as the AVI
+# frame path: bottom-up padded rows, BGR byte order, BI_RLE8 via
+# _rle8_indices. Luminance is INTEGER BT.601 ((299r + 587g + 114b) //
+# 1000) so every downstream perceptual hash is pure integer algebra —
+# replayable bit-for-bit by the SQL oracle.
+
+
+def encode_gray_bmp(rows: list[list[int]]) -> bytes:
+    """Encode an integer grayscale grid (rows top-down, values 0-255)
+    as a 24-bpp BI_RGB BMP (r = g = b = v). The roundtrip partner of
+    :func:`_bmp_luma_grid`: uncompressed DIB pixels are lossless, so
+    decode(encode(grid)) == grid exactly — which is what lets the
+    image-dedup oracle fixture verify the real container decode path
+    end to end (the SQL twin recomputes the grid from the generating
+    formula while Spark recovers it from the actual bytes)."""
+    import struct
+
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for row in reversed(rows):  # positive-height BMPs store bottom-up
+        line = bytearray()
+        for v in row:
+            vv = max(0, min(255, int(v)))
+            line += bytes((vv, vv, vv))
+        line += b"\x00" * (stride - len(line))
+        body += line
+    bih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + bih
+        + bytes(body)
+    )
+
+
+def _bmp_luma_grid(payload: bytes) -> list[list[int]]:
+    """Real image decode for BMP via stdlib ``struct``: parse the
+    BITMAPFILEHEADER + BITMAPINFOHEADER and return the TOP-DOWN integer
+    luminance grid (BT.601, ``(299r + 587g + 114b) // 1000``). Three
+    in-container encodings decode with zero extra deps:
+
+    - BI_RGB 24/32-bpp true color (padded bottom-up DIB rows, BGR(A));
+    - BI_RGB 8-bpp palettized (RGBQUAD palette lookup);
+    - BI_RLE8 8-bpp run-length compressed — REAL compression, decoded
+      by the same :func:`_rle8_indices` the AVI '00dc' frames use.
+
+    Anything else (1/4/16-bpp, BI_RLE4, BITFIELDS, PNG/JPEG-in-BMP,
+    core/V4/V5-only features) raises NotImplementedError — the
+    documented codec boundary (PIL takes over when importable, see
+    :func:`image_luma_grid`)."""
+    import struct
+
+    data = payload or b""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise NotImplementedError(
+            "real image decode supports BMP only (stdlib struct); other "
+            "containers need PIL"
+        )
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w_raw, h_raw = struct.unpack_from("<Iii", data, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"BMP core header ({hdr_size} bytes) has no stdlib decoder "
+            f"(BITMAPINFOHEADER and later only)"
+        )
+    _planes, bpp = struct.unpack_from("<HH", data, 26)
+    (comp,) = struct.unpack_from("<I", data, 30)
+    (clr_used,) = struct.unpack_from("<I", data, 46)
+    top_down = h_raw < 0
+    w, h = abs(w_raw), abs(h_raw)
+    if w == 0 or h == 0:
+        raise NotImplementedError("BMP with zero width/height")
+
+    if comp == 0 and bpp in (24, 32):
+        step = bpp // 8
+        stride = (w * step + 3) // 4 * 4
+        if pix_off + h * stride > len(data):
+            raise NotImplementedError("BMP pixel data truncated")
+        grid = []
+        for r in range(h):
+            src = r if top_down else h - 1 - r
+            base = pix_off + src * stride
+            line = []
+            for c in range(w):
+                i = base + c * step
+                # BGR(A) byte order; integer BT.601 luma
+                line.append(
+                    (299 * data[i + 2] + 587 * data[i + 1] + 114 * data[i])
+                    // 1000
+                )
+            grid.append(line)
+        return grid
+
+    if bpp == 8 and comp in (0, 1):
+        used = clr_used or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * used > min(pix_off, len(data)):
+            raise NotImplementedError(
+                f"BMP palette truncated: header declares {used} RGBQUAD "
+                f"entries before pixel offset {pix_off}"
+            )
+        pal = [
+            (
+                299 * data[pal_off + 4 * p + 2]
+                + 587 * data[pal_off + 4 * p + 1]
+                + 114 * data[pal_off + 4 * p]
+            )
+            // 1000
+            for p in range(used)
+        ]
+        if comp == 1:  # BI_RLE8 — bottom-up by spec
+            idx_rows = _rle8_indices(data[pix_off:], w, h)
+            return [
+                [pal[min(ix, used - 1)] for ix in idx_rows[h - 1 - r]]
+                for r in range(h)
+            ]
+        stride = (w + 3) // 4 * 4
+        if pix_off + h * stride > len(data):
+            raise NotImplementedError("BMP pixel data truncated")
+        grid = []
+        for r in range(h):
+            src = r if top_down else h - 1 - r
+            base = pix_off + src * stride
+            grid.append(
+                [pal[min(data[base + c], used - 1)] for c in range(w)]
+            )
+        return grid
+
+    raise NotImplementedError(
+        f"BMP bpp={bpp} compression={comp} has no stdlib decoder "
+        f"(BI_RGB 8/24/32-bpp and BI_RLE8 decode here); others need PIL"
+    )
+
+
+def image_luma_grid(payload: bytes) -> list[list[int]]:
+    """Image dispatch, two tiers (the audio/video ladder's image twin):
+    the stdlib BMP decoder first (zero deps); when that raises
+    NotImplementedError and PIL imports, PIL decodes any container to
+    the same top-down integer-luminance grid (``convert("L")`` —
+    PIL's L mode is the same integer BT.601 rounding). Without PIL the
+    NotImplementedError propagates — probe with
+    :func:`codec_capabilities`."""
+    try:
+        return _bmp_luma_grid(payload)
+    except NotImplementedError:
+        pil = _pil_image()
+        if pil is None:
+            raise
+        img = pil.open(io.BytesIO(payload or b"")).convert("L")
+        w, h = img.size
+        px = list(img.getdata())
+        return [px[r * w : (r + 1) * w] for r in range(h)]
+
+
+def _mean_pool_grid(
+    grid: list[list[int]], out_w: int, out_h: int
+) -> list[list[float]]:
+    """Area-mean downsample of a luminance grid to ``out_h x out_w``
+    using the same ``lo = k*n//dim`` windowing contract as every audio
+    temporal resample in this module. A grid already at the target
+    size passes through UNCHANGED (each window is one cell), keeping
+    the values integer-exact — the property the oracle fixture pins."""
+    h, w = len(grid), len(grid[0])
+    out = []
+    for r in range(out_h):
+        rlo = r * h // out_h
+        rhi = max((r + 1) * h // out_h, rlo + 1)
+        row = []
+        for c in range(out_w):
+            clo = c * w // out_w
+            chi = max((c + 1) * w // out_w, clo + 1)
+            vals = [
+                grid[rr][cc]
+                for rr in range(rlo, min(rhi, h))
+                for cc in range(clo, min(chi, w))
+            ]
+            row.append(sum(vals) / len(vals))
+        out.append(row)
+    return out
+
+
+def dhash_from_grid(
+    grid: list[list[int]], grid_w: int = 8, grid_h: int = 8
+) -> int:
+    """Difference hash (dHash — the standard perceptual image
+    fingerprint): mean-pool to ``grid_h x grid_w``, then one bit per
+    horizontally-adjacent cell pair, set when the right cell is
+    brighter (``cell[r][c+1] > cell[r][c]``, bit index
+    ``r*(grid_w-1) + c``). ``grid_h*(grid_w-1)`` bits — 56 at the 8x8
+    default, fitting a signed 64-bit long without overflow (the same
+    headroom rule as SimHash's 32-bit default).
+
+    Invariances that make it a DEDUP key rather than a checksum:
+    uniform brightness shift preserves every comparison exactly;
+    small content edits flip only the bits whose cells they touch, so
+    near-duplicates land within a small Hamming radius."""
+    pooled = _mean_pool_grid(grid, grid_w, grid_h)
+    sig = 0
+    for r in range(grid_h):
+        for c in range(grid_w - 1):
+            if pooled[r][c + 1] > pooled[r][c]:
+                sig |= 1 << (r * (grid_w - 1) + c)
+    return sig
+
+
+def ahash_from_grid(
+    grid: list[list[int]], grid_w: int = 8, grid_h: int = 8
+) -> int:
+    """Average hash (aHash): one bit per pooled cell, set when the
+    cell is brighter than the grid mean. The mean comparison is kept
+    in EXACT arithmetic (``cell * n > total``) so integer grids hash
+    identically in any engine — no float division on the decision
+    path. ``grid_h*grid_w`` bits; keep ``grid_w*grid_h <= 62`` for a
+    signed long (the 8x8 default does not — use 7x8 there, or dHash,
+    the better-separating variant this engine defaults to)."""
+    pooled = _mean_pool_grid(grid, grid_w, grid_h)
+    n = grid_w * grid_h
+    total = sum(v for row in pooled for v in row)
+    sig = 0
+    for r in range(grid_h):
+        for c in range(grid_w):
+            if pooled[r][c] * n > total:
+                sig |= 1 << (r * grid_w + c)
+    return sig
+
+
+IMAGE_SIG_SCHEMA = "media_id long, sig long, width int, height int"
+
+
+def image_dhash(
+    media: DataFrame, grid_w: int = 8, grid_h: int = 8, method: str = "dhash"
+) -> DataFrame:
+    """Per-image perceptual signature: decode each payload to the
+    integer luminance grid (:func:`image_luma_grid` — stdlib BMP, PIL
+    when importable) and hash it (``dhash``/``ahash``). One
+    ``mapInPandas`` pass, partitioning inherited — embarrassingly
+    parallel at any corpus size, no shuffle; the corpus-sized image
+    bytes never leave their scan partitions, only the 8-byte
+    signatures move on to the banded dedup join."""
+    hash_fn = {"dhash": dhash_from_grid, "ahash": ahash_from_grid}[method]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs, widths, heights = [], [], []
+            for payload in pdf["payload"]:
+                grid = image_luma_grid(payload)
+                sigs.append(hash_fn(grid, grid_w, grid_h))
+                widths.append(len(grid[0]))
+                heights.append(len(grid))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sig": sigs,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    return media.mapInPandas(kernel, IMAGE_SIG_SCHEMA)
 
 
 def _audio_features(payload: bytes, dim: int) -> list[float]:

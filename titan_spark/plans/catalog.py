@@ -5840,3 +5840,62 @@ for _new, _old in _SLOT_SWAPS_R10:
     _order_r10[_order_r10.index(_old)] = _new
     _order_r10.append(_old)
 QUERIES = {k: QUERIES[k] for k in _order_r10}
+
+
+# ---------------------------------------------------------------------------
+# r10 operators (VERDICT r9 #4/#5): perceptual image dedup + bigram
+# interpolated LM perplexity — registered after the twelfth-wave swap
+# block, so they land in the overflow region per the standing
+# new-flagships-rotate-in-next-round policy.
+
+
+def q_phash_dup_pairs(spark, sf_dir):
+    """Perceptual image near-dup pairs (r10 — dHash + Manku banded
+    Hamming join, the pixel-space member of the near-dup family): one
+    REAL 24-bpp BMP per document from a deterministic integer pixel
+    formula (groups of 4 ids share a base image; variants add a
+    dHash-invariant brightness shift, variant 3 perturbs one pixel),
+    decoded by the stdlib BMP decoder inside the signature kernel.
+    The oracle recomputes the luminance grid from the SAME formula and
+    replays dHash + the Hamming predicate as pure integer algebra — so
+    BMP encode, REAL container decode, the 56-bit signature and the
+    banded join's recall-1.0 guarantee are all value-checked end to
+    end (the oracle joins all pairs brute-force; banding must return
+    the identical set)."""
+    from titan_spark.pipeline.dedup import phash_dup_pairs
+    from titan_spark.sources.fixtures import formula_gray_bmp_media
+
+    docs = tables(spark, sf_dir)["documents"]
+    media = formula_gray_bmp_media(docs, "doc_id", width=8, height=8)
+    return phash_dup_pairs(media, max_hamming=3, grid_w=8, grid_h=8)
+
+
+QUERIES["phash_dup_pairs"] = q_phash_dup_pairs
+
+ORACLE_SQL["phash_dup_pairs"] = """
+    WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+    px AS (
+        SELECT id, r.r, c.c,
+               CAST(('0x' || substr(md5(
+                   CAST(id - id % 4 AS VARCHAR) || ':' || r.r || ':' || c.c
+               ), 1, 15)) AS BIGINT) % 191
+               + (id % 4) * 3
+               + CASE WHEN id % 4 = 3 AND r.r = 0 AND c.c = 0
+                      THEN 50 ELSE 0 END AS v
+        FROM ids,
+             (SELECT unnest(range(8)) AS r) r,
+             (SELECT unnest(range(8)) AS c) c
+    ),
+    sig AS (
+        SELECT a.id,
+               CAST(COALESCE(SUM(CASE WHEN b.v > a.v
+                   THEN CAST(1 AS BIGINT) << CAST(a.r * 7 + a.c AS INT)
+                   ELSE 0 END), 0) AS BIGINT) AS sig
+        FROM px a JOIN px b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+        GROUP BY a.id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""

@@ -132,3 +132,74 @@ def block_cycle_digraph(
         F.lit("link").alias("label"),
     )
     return PropertyGraph(v, chain.unionByName(closing).unionByName(cross))
+
+
+def formula_gray_bmp_media(ids_df, id_col: str = "doc_id",
+                           width: int = 8, height: int = 8):
+    """Deterministic grayscale-BMP media fixture for the perceptual
+    image-dedup oracle (r10): one REAL 24-bpp BI_RGB BMP payload per
+    input id, pixels from a pure integer formula so the SQL oracle can
+    recompute the decoded luminance grid without touching bytes.
+
+    Groups of four: ids sharing ``id // 4`` depict the same base image
+    ``v0(r, c) = h60(base:r:c) % 191`` — the engine's portable md5
+    hash (functions/hashing.py), whose per-cell independence makes
+    DISTINCT bases uncorrelated noise ~bits/2 apart. (Arithmetic
+    formulas — linear or multiply-mod — leave adjacent cells on a
+    lattice, and unrelated images then collide within the Hamming
+    radius.) Each variant adds a uniform brightness shift
+    ``(id % 4) * 3`` (dHash-invariant — a constant offset preserves
+    every adjacent-pixel comparison, and 190 + 9 + 50 < 256 means no
+    clipping), and variant 3 additionally perturbs the single pixel
+    (0, 0) by +50, flipping at most one dHash bit. Within-group pairs
+    therefore sit at Hamming <= 1.
+
+    The payload is built by :func:`~titan_spark.pipeline.multimodal.
+    encode_gray_bmp` inside a mapInPandas kernel, so the catalog row
+    exercises encode -> REAL stdlib BMP decode -> dHash end to end
+    while the oracle replays only the closed-form pixel math."""
+    import hashlib
+
+    import pandas as pd
+
+    from titan_spark.pipeline.multimodal import encode_gray_bmp
+
+    def h60(s: str) -> int:
+        # the Python twin of functions/hashing.portable_hash64: top 60
+        # bits of md5, non-negative, identical in Spark SQL and DuckDB
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["media_id"]:
+                i = int(i)
+                base = i - i % 4
+                bright = (i % 4) * 3
+                rows = [
+                    [
+                        h60(f"{base}:{r}:{c}") % 191
+                        + bright
+                        + (50 if i % 4 == 3 and r == 0 and c == 0 else 0)
+                        for c in range(width)
+                    ]
+                    for r in range(height)
+                ]
+                payloads.append(encode_gray_bmp(rows))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    base = ids_df.select(F.col(id_col).cast("long").alias("media_id"))
+    return base.mapInPandas(
+        kernel, "media_id long, payload binary"
+    ).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "payload",
+        F.expr(
+            "named_struct('width', CAST(NULL AS INT), 'height', "
+            "CAST(NULL AS INT), 'sample_rate', CAST(NULL AS INT), "
+            "'duration_ms', CAST(NULL AS INT))"
+        ).alias("meta"),
+    )
