@@ -279,3 +279,67 @@ def test_temperature_rates_sql_drops_zero_token_sources():
     ).fetchall()
     assert [r[0] for r in rows] == ["srca"]  # zero-token source absent
     assert all(r[1] is not None and r[2] is not None for r in rows)
+
+
+def test_bigram_perplexity_separates_shuffled_from_fluent(spark):
+    """The r10 upgrade's reason to exist: two documents with IDENTICAL
+    token multisets — one in the corpus's fluent word order, one
+    shuffled — tie EXACTLY under the unigram lm_perplexity but
+    separate under the bigram interpolated model (fluent scores lower
+    perplexity). Also pins the closed form on a hand-checkable
+    corpus."""
+    from pyspark.sql import functions as F
+
+    from titan_spark.pipeline.text_quality import lm_perplexity, lm_perplexity_bigram
+
+    # corpus: strict "a b a b ..." alternation everywhere, plus the
+    # two probe docs sharing the multiset {a x3, b x3}
+    rows = [(i, "a b a b a b a b") for i in range(10)]
+    fluent, shuffled = 100, 101
+    rows.append((fluent, "a b a b a b"))
+    rows.append((shuffled, "a a a b b b"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uni = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
+    assert uni[fluent]["nll"] == uni[shuffled]["nll"]  # unigram is blind
+    assert uni[fluent]["ppl"] == uni[shuffled]["ppl"]
+
+    bi = {r["doc_id"]: r for r in lm_perplexity_bigram(docs).collect()}
+    assert bi[fluent]["ppl"] < bi[shuffled]["ppl"], (
+        bi[fluent]["ppl"],
+        bi[shuffled]["ppl"],
+    )
+    # closed-form spot check on the fluent probe: every one of its 5
+    # bigram positions is 'a b' or 'b a'; recompute p by hand
+    import math
+
+    toks = [t for _, s in rows for t in s.split()]
+    N = len(toks)
+    V = len(set(toks))  # 2
+    ca, cb = toks.count("a"), toks.count("b")
+    bigrams = []
+    for _, s in rows:
+        ts = s.split()
+        bigrams += list(zip(ts, ts[1:]))
+    from collections import Counter
+
+    bc = Counter(bigrams)
+    ctx = Counter(w1 for w1, _ in bigrams)
+    k, lam = 0.5, 0.75
+
+    def p(w1, w2, cu):
+        return lam * (bc[(w1, w2)] + k) / (ctx[w1] + k * (V + 1)) + (
+            1 - lam
+        ) * (cu + k) / (N + k * (V + 1))
+
+    probe = ["a", "b", "a", "b", "a", "b"]
+    nll = sum(
+        -math.log(p(w1, w2, cb if w2 == "b" else ca))
+        for w1, w2 in zip(probe, probe[1:])
+    ) / 5
+    assert abs(bi[fluent]["nll"] - round(nll, 4)) < 1e-9
+    assert bi[fluent]["n_tokens"] == 6 and bi[fluent]["n_bigrams"] == 5
+    # single-token docs are omitted (no bigram positions)
+    one = spark.createDataFrame([(0, "a b a"), (1, "a")], ["doc_id", "text"])
+    got = {r["doc_id"] for r in lm_perplexity_bigram(one).collect()}
+    assert got == {0}

@@ -356,6 +356,101 @@ def lm_perplexity(
     )
 
 
+def lm_perplexity_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+    lam: float = 0.75,
+) -> DataFrame:
+    """Bigram corpus-LM perplexity with unigram-backoff interpolation
+    (r10 — the CCNet/KenLM scoring shape upgraded from
+    :func:`lm_perplexity`'s unigram model; Wenzek et al. 2020 score
+    with a 5-gram KenLM, and interpolation-with-backoff is the
+    standard n-gram smoothing family, Jelinek-Mercer form).
+
+    Why it exists: a unigram LM cannot separate fluent text from the
+    same words shuffled — both have identical unigram distributions
+    and therefore identical unigram perplexity. The bigram term scores
+    word ORDER:
+
+        p(w2 | w1) = lam  * (c(w1 w2) + k) / (ctx(w1) + k * (V + 1))
+                   + (1-lam) * (c(w2) + k) / (N      + k * (V + 1))
+
+    with ``ctx(w1)`` = occurrences of w1 as a bigram context (i.e. in
+    non-final position), and N/V the corpus token total / vocabulary
+    size shared with the unigram operator. ``nll(doc)`` averages
+    ``-ln p`` over the document's bigram positions (rounded to 4dp
+    BEFORE exp, the cross-engine contract every scoring operator here
+    uses); ``ppl = exp(nll)``. Defaults ``k = 0.5``/``lam = 0.75`` are
+    exactly representable doubles so both engines interpolate
+    identical values. Corpus statistics train on the WHOLE corpus;
+    documents with fewer than 2 tokens have no bigram positions and
+    are omitted (same inner-join contract as the unigram operator's
+    empty docs).
+
+    Plan shape at scale: the token stream explodes once into bigram
+    pairs built by ``zip_with`` over shifted slices (no self-join on
+    position); THREE map-side-combinable aggs (unigram counts, bigram
+    counts, context counts — each bounded by vocabulary, not corpus,
+    size) then the inverted-index joins gram⋈count on (w1,w2) / w1 /
+    w2 — hot stopword keys are exactly what AQE skew-split handles —
+    and one per-doc agg. The N/V totals broadcast as one row.
+    Everything is corpus-linear; nothing is n².
+
+    Reference parity: the same external-scoring surface note as
+    :func:`lm_perplexity` (the reference delegates document scoring to
+    its index provider; this engine computes it as a first-class
+    distributed operator)."""
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    # corpus unigram statistics over ALL documents (shared with the
+    # unigram LM: same N, V, counts)
+    uni = base.select(F.col(id_col), F.explode("_t").alias("w"))
+    cnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = cnt.agg(
+        F.sum("c").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+    # bigram position stream: (doc, w1, w2) per adjacent pair
+    n = F.size("_t")
+    pairs = F.zip_with(
+        F.slice("_t", 1, n - 1),
+        F.slice("_t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        base.filter(n >= 2)
+        .select(F.col(id_col), n.alias("n_tokens"), F.explode(pairs).alias("p"))
+        .select(id_col, "n_tokens", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bcnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    ctx = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("cc"))
+    k = F.lit(k_smooth)
+    smooth_v = k * (F.col("v_size") + 1.0)
+    p = F.lit(lam) * (F.col("bc") + k) / (F.col("cc") + smooth_v) + F.lit(
+        1.0 - lam
+    ) * (F.col("c") + k) / (F.col("n_total") + smooth_v)
+    doc = (
+        bg.join(bcnt, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cnt, F.col("w2") == F.col("w"))
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col, "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("nll"),
+        )
+    )
+    return doc.select(
+        id_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_bigrams",
+        "nll",
+        F.round(F.exp(F.col("nll")), 2).alias("ppl"),
+    )
+
+
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",

@@ -5899,3 +5899,53 @@ ORACLE_SQL["phash_dup_pairs"] = """
     FROM sig a JOIN sig b ON a.id < b.id
     WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
+
+
+def q_bigram_perplexity(spark, sf_dir):
+    """Bigram interpolated LM perplexity (r10 — the CCNet/KenLM shape,
+    Jelinek-Mercer interpolation of an add-0.5 bigram model with the
+    unigram backoff): scores word ORDER, which the unigram
+    lm_perplexity provably cannot (shuffling a document leaves its
+    unigram score unchanged — pytest-pinned). Closed form from three
+    corpus aggregates, fully SQL-replayable."""
+    from titan_spark.pipeline.text_quality import lm_perplexity_bigram
+
+    d = tables(spark, sf_dir)["documents"]
+    return lm_perplexity_bigram(d)
+
+
+QUERIES["bigram_perplexity"] = q_bigram_perplexity
+
+ORACLE_SQL["bigram_perplexity"] = f"""
+    WITH base AS (SELECT doc_id, {_toks()} AS t FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS w FROM base),
+    cnt AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total,
+                   CAST(count(*) AS DOUBLE) AS v_size FROM cnt),
+    bg AS (
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+               t[g.i] AS w1, t[g.i + 1] AS w2
+        FROM base, LATERAL (
+            SELECT unnest(range(1, CAST(len(t) AS BIGINT))) AS i
+        ) g
+        WHERE len(t) >= 2
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(count(*) AS DOUBLE) AS cc FROM bg GROUP BY 1),
+    doc AS (
+        SELECT bg.doc_id, bg.n_tokens,
+               CAST(count(*) AS INT) AS n_bigrams,
+               ROUND(avg(-ln(
+                   0.75 * (bcnt.bc + 0.5) / (ctx.cc + 0.5 * (tot.v_size + 1.0))
+                   + 0.25 * (cnt.c + 0.5) / (tot.n_total + 0.5 * (tot.v_size + 1.0))
+               )), 4) AS nll
+        FROM bg
+        JOIN bcnt USING (w1, w2)
+        JOIN ctx USING (w1)
+        JOIN cnt ON bg.w2 = cnt.w
+        CROSS JOIN tot
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, n_tokens, n_bigrams, nll, ROUND(exp(nll), 2) AS ppl
+    FROM doc
+"""
