@@ -251,3 +251,15 @@ def test_phash_dup_pairs_no_cross_join(spark, sf_dir):
     p = plan_of(q_phash_dup_pairs(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_exact_substring_dedup_no_cartesian(spark, sf_dir):
+    """ExactSubstr: duplicate count + winner election key on the
+    window md5 (never window text), the interval union is one window
+    function over the loser set — no cross join, no Python eval."""
+    from titan_spark.plans.catalog import q_exact_substring_dedup
+
+    p = plan_of(q_exact_substring_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

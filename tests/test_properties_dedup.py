@@ -315,3 +315,104 @@ def test_g711_roundtrip_exhaustive():
         assert _alaw_to_linear(ab) == int.from_bytes(
             audioop.alaw2lin(bytes([ab]), 2), "little", signed=True
         )
+
+
+def _py_exact_substring(texts, k):
+    """Brute-force reference for exact_substring_removal's contract."""
+    from collections import Counter
+
+    toks = {i: _py_tokens(s) for i, s in enumerate(texts)}
+    toks = {i: t for i, t in toks.items() if t}
+    wins, cnt = [], Counter()
+    for i in sorted(toks):
+        t = toks[i]
+        for s in range(len(t) - k + 1):
+            key = " ".join(t[s : s + k])
+            wins.append((i, s, key))
+            cnt[key] += 1
+    first = {}
+    for i, s, key in wins:  # built in (id, start) order
+        if cnt[key] >= 2 and key not in first:
+            first[key] = (i, s)
+    removed = {i: set() for i in toks}
+    for i, s, key in wins:
+        if cnt[key] >= 2 and first[key] != (i, s):
+            removed[i].update(range(s, s + k))
+    out = {}
+    for i in sorted(toks):
+        kept = [t for p, t in enumerate(toks[i]) if p not in removed[i]]
+        if kept:
+            out[i] = (len(toks[i]), len(toks[i]) - len(kept), " ".join(kept))
+    return out
+
+
+def test_exact_substring_removal_closed_form(spark):
+    """A 5-token span shared by two docs (k=3): the later doc loses the
+    whole merged span (overlapping windows fuse into one maximal cut),
+    the corpus-first doc is untouched, and a doc shorter than k passes
+    through verbatim even when its text occurs elsewhere."""
+    from titan_spark.pipeline.dedup import exact_substring_removal
+
+    rows = [
+        (0, "x1 x2 a b c d e x3"),
+        (1, "y1 a b c d e y2 y3"),
+        (2, "a b"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["text"])
+        for r in exact_substring_removal(d, k=3).collect()
+    }
+    assert got == {
+        0: (8, 0, "x1 x2 a b c d e x3"),
+        1: (8, 5, "y1 y2 y3"),
+        2: (2, 0, "a b"),
+    }
+
+
+def test_exact_substring_removal_within_doc(spark):
+    """Within-document repetition dedups too (Lee et al. dedup within
+    AND across): 'm n o p' repeated in one doc keeps only its first
+    occurrence."""
+    from titan_spark.pipeline.dedup import exact_substring_removal
+
+    d = spark.createDataFrame(
+        [(7, "m n o p m n o p")], "doc_id long, text string"
+    )
+    [r] = exact_substring_removal(d, k=4).collect()
+    assert (r["n_tokens"], r["removed_tokens"], r["text"]) == (8, 4, "m n o p")
+
+
+def test_exact_substring_fully_removed_doc_disappears(spark):
+    """A doc that is entirely a later occurrence of a duplicated span
+    drops out of the output (fully cut), like boilerplate_removal."""
+    from titan_spark.pipeline.dedup import exact_substring_removal
+
+    rows = [(0, "a b c d"), (1, "a b c d")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["text"])
+        for r in exact_substring_removal(d, k=4).collect()
+    }
+    assert got == {0: (4, 0, "a b c d")}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_strategy)
+def test_exact_substring_removal_matches_brute_force(spark, texts):
+    """Adversarial tiny-vocabulary corpora (maximal window collisions):
+    the Spark transform — overlapping k-windows, corpus-first winner
+    election, interval-merged cut — equals the brute-force Python
+    reference on every generated corpus."""
+    from titan_spark.pipeline.dedup import exact_substring_removal
+
+    k = 2
+    expected = _py_exact_substring(texts, k)
+    d = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["text"])
+        for r in exact_substring_removal(d, k=k).collect()
+    }
+    assert got == expected

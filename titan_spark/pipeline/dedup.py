@@ -738,6 +738,134 @@ def repeated_passage_stats(
     )
 
 
+def exact_substring_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Exact-substring deduplication — the full ExactSubstr transform
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", §3.1): any span of ≥ ``k`` tokens that occurs more
+    than once in the corpus (across documents OR within one) is
+    removed everywhere except its corpus-first occurrence. Unlike
+    :func:`boilerplate_passage_removal` (disjoint fixed passages),
+    the windows here OVERLAP — every token position starts one — so a
+    shared span of any length ≥ k is detected at token granularity and
+    the overlapping duplicated windows merge into one maximal removed
+    span, exactly the suffix-array semantics of the paper without the
+    suffix array.
+
+    Mechanics: each k-token rolling window is keyed by md5 of its
+    space-joined text (md5 so the DuckDB oracle replays the election
+    bit-for-bit); a window hash with ≥ 2 occurrences is duplicated;
+    per hash the corpus-first occurrence by (id, start) keeps its
+    tokens, every other occurrence marks [start, start+k) for
+    removal; per-document interval union (gaps-and-islands over a
+    running max) merges overlapping marks into maximal spans; the doc
+    reassembles from tokens outside every span. Documents shorter
+    than k tokens carry no window and pass through verbatim (they
+    cannot share a k-token span). Documents whose every token is
+    removed disappear from the output, like
+    :func:`boilerplate_passage_removal`.
+
+    Returns (id_col, n_tokens, removed_tokens, text).
+
+    Shuffle profile at 100 TB: the duplicate count and the winner
+    election group on the 16-byte window hash — window text never
+    shuffles; the interval union partitions by document id (one
+    window-function pass over the loser set, which duplicate
+    filtering keeps small); the removed-position explode emits
+    exactly the removed-token count because spans are merged first
+    (unmerged, overlapping windows would inflate it k-fold); the
+    reassembly shuffles surviving tokens once on id — the
+    irreducible corpus rewrite, same as line_dedup. Hashing each
+    window by concat+md5 costs O(k) per position; a Rabin-Karp
+    rolling hash (the fingerprint machinery) drops that to O(1) but
+    is not oracle-replayable, so the portable form stays md5.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.select(
+            F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("_toks")
+        )
+        .filter(F.size("_toks") > 0)
+    )
+    toks = base.select("id", F.posexplode("_toks").alias("pos", "tok"))
+    wins = base.filter(F.size("_toks") >= k).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda s: F.md5(F.concat_ws(" ", F.slice("_toks", s + 1, k))),
+            )
+        ).alias("start", "_h"),
+    )
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_h")
+    )
+    occ = wins.join(dup, "_h", "left_semi")
+    winners = (
+        occ.groupBy("_h")
+        .agg(F.min(F.struct("id", "start")).alias("_first"))
+        .select(
+            "_h",
+            F.col("_first.id").alias("id"),
+            F.col("_first.start").alias("start"),
+        )
+    )
+    iv = occ.join(winners, ["_h", "id", "start"], "left_anti").select(
+        "id", "start", (F.col("start") + F.lit(k)).alias("end")
+    )
+    w = Window.partitionBy("id").orderBy("start", "end")
+    merged = (
+        iv.withColumn(
+            "_maxend",
+            F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_maxend").isNull() | (F.col("start") > F.col("_maxend")), 1
+            ).otherwise(0),
+        )
+        .withColumn("_grp", F.sum("_new").over(w))
+        .groupBy("id", "_grp")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+    )
+    removed = merged.select(
+        "id", F.explode(F.sequence("start", F.col("end") - 1)).alias("pos")
+    )
+    kept = toks.join(removed, ["id", "pos"], "left_anti")
+    n_tokens = base.select("id", F.size("_toks").alias("n_tokens"))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .join(n_tokens, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.col("n_tokens") - F.col("_kept")).cast("long").alias(
+                "removed_tokens"
+            ),
+            "text",
+        )
+    )
+
+
 def boilerplate_passage_removal(
     df: DataFrame,
     text_col: str = "text",

@@ -5949,3 +5949,68 @@ ORACLE_SQL["bigram_perplexity"] = f"""
     SELECT doc_id, n_tokens, n_bigrams, nll, ROUND(exp(nll), 2) AS ppl
     FROM doc
 """
+
+
+def q_exact_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (r10 — the full ExactSubstr transform of
+    Lee et al. 2022 §3.1, suffix-array semantics without the suffix
+    array): every 8-token span occurring ≥ 2 times corpus-wide is cut
+    everywhere except its corpus-first occurrence; overlapping
+    duplicated windows merge into maximal removed spans before the
+    cut, so shared spans of ANY length ≥ 8 are removed at token
+    granularity — the capability boilerplate_removal's disjoint
+    passages cannot express. Value-checked on the reassembled text."""
+    from titan_spark.pipeline.dedup import exact_substring_removal
+
+    d = tables(spark, sf_dir)["documents"]
+    return exact_substring_removal(d, k=8)
+
+
+QUERIES["exact_substring_dedup"] = q_exact_substring_dedup
+
+ORACLE_SQL["exact_substring_dedup"] = f"""
+    WITH base AS (
+        SELECT doc_id, toks
+        FROM (SELECT doc_id, {_toks()} AS toks FROM documents)
+        WHERE len(toks) > 0
+    ),
+    wins AS (
+        SELECT doc_id, CAST(g.i AS INT) AS s,
+               md5(array_to_string(toks[g.i + 1 : g.i + 8], ' ')) AS h
+        FROM base, LATERAL (
+            SELECT unnest(range(len(toks) - 7)) AS i
+        ) g
+        WHERE len(toks) >= 8
+    ),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+    occ AS (
+        SELECT w.doc_id, w.s,
+               row_number() OVER (
+                   PARTITION BY w.h ORDER BY w.doc_id, w.s
+               ) AS rn
+        FROM wins w JOIN dup USING (h)
+    ),
+    rem AS (
+        SELECT DISTINCT doc_id, CAST(p.j AS INT) AS pos
+        FROM occ, LATERAL (SELECT unnest(range(occ.s, occ.s + 8)) AS j) p
+        WHERE occ.rn > 1
+    ),
+    tok AS (
+        SELECT doc_id, CAST(g.i AS INT) AS pos, toks[g.i + 1] AS tok,
+               CAST(len(toks) AS INT) AS n_tokens
+        FROM base, LATERAL (SELECT unnest(range(len(toks))) AS i) g
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok, t.n_tokens
+        FROM tok t
+        WHERE NOT EXISTS (
+            SELECT 1 FROM rem r
+            WHERE r.doc_id = t.doc_id AND r.pos = t.pos
+        )
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - count(*) AS BIGINT) AS removed_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS text
+    FROM kept
+    GROUP BY doc_id, n_tokens
+"""
