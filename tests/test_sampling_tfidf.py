@@ -343,3 +343,39 @@ def test_bigram_perplexity_separates_shuffled_from_fluent(spark):
     one = spark.createDataFrame([(0, "a b a"), (1, "a")], ["doc_id", "text"])
     got = {r["doc_id"] for r in lm_perplexity_bigram(one).collect()}
     assert got == {0}
+
+
+def test_ccnet_buckets_per_language_terciles(spark):
+    """CCNet bucketing: within each language the head/middle/tail
+    split is equal-frequency (sizes differ by <= 1), the bucket
+    boundaries are monotone in ppl (max head ppl <= min middle ppl <=
+    ... within each language), and languages bucket independently —
+    a doc's bucket depends only on its own language's distribution."""
+    from titan_spark.pipeline.text_quality import ccnet_buckets
+
+    rows = []
+    did = 0
+    # 7 'en' docs and 5 'fr' docs with varied fluency/length
+    for i in range(7):
+        rows.append((did, "the cat sat on the mat " * (i + 1) + "tok%d extra" % i, "en"))
+        did += 1
+    for i in range(5):
+        rows.append((did, "le chat dort tok%d ici la" % i * (i + 2), "fr"))
+        did += 1
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets(d).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["ppl"], r["bucket"]))
+    assert set(by_lang) == {"en", "fr"}
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, vals in by_lang.items():
+        sizes = {}
+        for ppl, b in vals:
+            sizes[b] = sizes.get(b, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        # monotone: sorting by ppl must list head rows before middle
+        # before tail (ties can't straddle buckets out of order here
+        # because the tie-break is doc_id and ppls are distinct)
+        ranked = [b for _, b in sorted(vals)]
+        assert ranked == sorted(ranked, key=lambda b: order[b]), (lang, ranked)

@@ -451,6 +451,52 @@ def lm_perplexity_bigram(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data"): documents are scored by the corpus bigram LM
+    (:func:`lm_perplexity_bigram`) and split WITHIN each language into
+    equal-frequency perplexity buckets — head/middle/tail for the
+    CCNet default of 3. Per-language is the point: perplexity scales
+    are not comparable across languages, which is why CCNet computes
+    its thresholds per language shard. 'head' = the lowest-perplexity
+    (most fluent) third, 'tail' the highest; downstream recipes train
+    on head+middle or reweight by bucket. Ranking orders by the
+    2dp-rounded ppl with doc id as tie-break so both engines bucket
+    identically; docs with < 2 tokens have no LM score and are absent,
+    inheriting the scorer's contract.
+
+    Returns (id_col, lang, ppl, bucket).
+
+    Plan shape at scale: scoring is corpus-linear
+    (lm_perplexity_bigram); bucketing adds ONE window function
+    partitioned by language — a per-language sort is the same cost
+    CCNet itself pays sorting each language shard by perplexity. The
+    lang join projects two columns of the input scan, never text.
+    """
+    from pyspark.sql import Window
+
+    scored = lm_perplexity_bigram(df, text_col, id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    w = Window.partitionBy("lang").orderBy("ppl", id_col)
+    t = scored.join(langs, id_col).withColumn(
+        "_q", F.ntile(n_buckets).over(w)
+    )
+    if n_buckets == 3:
+        bucket = F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("_q")
+        )
+    else:
+        bucket = F.concat(F.lit("b"), F.col("_q").cast("string"))
+    return t.select(id_col, "lang", "ppl", bucket.alias("bucket"))
+
+
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",

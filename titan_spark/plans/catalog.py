@@ -6014,3 +6014,33 @@ ORACLE_SQL["exact_substring_dedup"] = f"""
     FROM kept
     GROUP BY doc_id, n_tokens
 """
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (r10 — Wenzek et al. 2020): bigram-LM
+    ppl ranked WITHIN each language into equal-frequency head/middle/
+    tail buckets (per-language because perplexity scales don't compare
+    across languages — CCNet's own thresholding). One window function
+    over the corpus-linear LM scoring."""
+    from titan_spark.pipeline.text_quality import ccnet_buckets
+
+    d = tables(spark, sf_dir)["documents"]
+    return ccnet_buckets(d)
+
+
+QUERIES["ccnet_buckets"] = q_ccnet_buckets
+
+ORACLE_SQL["ccnet_buckets"] = f"""
+    WITH scored AS ({ORACLE_SQL["bigram_perplexity"]}),
+    ranked AS (
+        SELECT s.doc_id, d.lang, s.ppl,
+               ntile(3) OVER (
+                   PARTITION BY d.lang ORDER BY s.ppl, s.doc_id
+               ) AS q
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, ppl,
+           CASE q WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS bucket
+    FROM ranked
+"""
