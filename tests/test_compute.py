@@ -327,3 +327,84 @@ def test_hits_closed_form(spark):
     assert got[3]["authority"] == 1.0 and got[3]["hub"] == 0.0
     assert got[1]["hub"] == got[2]["hub"] == pytest.approx(1 / 2**0.5, abs=1e-6)
     assert got[1]["authority"] == 0.0
+
+
+def _py_kruskal(n_vertices, edges):
+    """Union-find Kruskal reference: edges as (u, v, w), distinct w."""
+    parent = list(range(n_vertices))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for u, v, w in sorted(edges, key=lambda e: (e[2], e[0], e[1])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.append((min(u, v), max(u, v), w))
+    return sorted(out)
+
+
+def test_boruvka_msf_matches_kruskal_random(spark):
+    """Borůvka equals union-find Kruskal on seeded random graphs with
+    distinct weights (unique MSF), including disconnected ones — the
+    forest has V - #components edges and the exact same edge set."""
+    import itertools
+    import random
+
+    from titan_spark.compute.algorithms import minimum_spanning_forest
+
+    rng = random.Random(20260815)
+    for trial in range(6):
+        n = rng.randint(2, 12)
+        pairs = list(itertools.combinations(range(n), 2))
+        rng.shuffle(pairs)
+        m = rng.randint(1, len(pairs))
+        weights = rng.sample(range(1, 10_000), m)
+        edges = [
+            (u, v, w / 16.0) for (u, v), w in zip(pairs[:m], weights)
+        ]
+        expected = _py_kruskal(n, edges)
+        d = spark.createDataFrame(edges, "src long, dst long, weight double")
+        got = sorted(
+            (r["u"], r["v"], r["weight"])
+            for r in minimum_spanning_forest(d).collect()
+        )
+        assert got == expected, (trial, n, edges)
+
+
+def test_boruvka_msf_long_chain(spark):
+    """A 40-vertex path with shuffled distinct weights: the MSF is the
+    path itself (every edge is a bridge) — exercises many contraction
+    rounds and deep pointer-jump chains."""
+    import random
+
+    from titan_spark.compute.algorithms import minimum_spanning_forest
+
+    rng = random.Random(7)
+    ws = rng.sample(range(1, 1000), 39)
+    edges = [(i, i + 1, float(w)) for i, w in enumerate(ws)]
+    d = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = sorted(
+        (r["u"], r["v"], r["weight"])
+        for r in minimum_spanning_forest(d).collect()
+    )
+    assert got == sorted(edges)
+
+
+def test_boruvka_msf_parallel_and_reversed_edges(spark):
+    """Orientation and parallel duplicates normalize away: both
+    orientations of an edge plus a heavier parallel copy yield the
+    single min-weight canonical edge."""
+    from titan_spark.compute.algorithms import minimum_spanning_forest
+
+    edges = [(2, 1, 5.0), (1, 2, 3.0), (2, 3, 4.0), (3, 2, 4.0)]
+    d = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = sorted(
+        (r["u"], r["v"], r["weight"])
+        for r in minimum_spanning_forest(d).collect()
+    )
+    assert got == [(1, 2, 3.0), (2, 3, 4.0)]

@@ -81,9 +81,22 @@ def cut_lineage(
     depth that otherwise decays exponentially past ~17 rounds (see
     SPILL_PERIOD). One-shot cuts (no ``round_idx``) never spill.
 
+    A second, sneakier reason to spill: ``localCheckpoint`` (and
+    ``checkpoint``) PRESERVE the plan's Catalyst sizeInBytes statistic
+    across the cut, and the size-only join estimator multiplies child
+    sizes (cartesian worst case). A loop whose cross-round state plan
+    contains J joins therefore multiplies its carried stat's BIT LENGTH
+    by ~J every round — minimum_spanning_forest (J≈10 per round)
+    measured 385 → 8052 bits in one round and had the driver spending
+    minutes in BigInteger multiplies inside stats estimation by round
+    5. A parquet round-trip resets the stat to the real file size.
+    Loops with many joins per round must spill their cross-round
+    carrier every round (``spill_period=1``); loops with few joins are
+    bounded by the default period-10 spill.
+
     Loops whose per-round state is EDGE-SET-sized (k-core / k-truss
     peels hold the whole surviving edge relation, not a row per vertex)
-    pass ``spill_period=1``: localCheckpoint blocks from prior rounds
+    also pass ``spill_period=1``: localCheckpoint blocks from prior rounds
     are only reclaimed lazily by the context cleaner, so a big state
     checkpointed every round stacks multiple copies in executor memory;
     the parquet spill keeps each round's state on disk instead.

@@ -6044,3 +6044,53 @@ ORACLE_SQL["ccnet_buckets"] = f"""
                AS bucket
     FROM ranked
 """
+
+
+def q_minimum_spanning_tree(spark, sf_dir):
+    """Borůvka minimum spanning forest (r10) on a planted-tree fixture
+    over the customer keys: tree edges (v, ⌊v/2⌋) for v ≥ 1
+    (keys are 0-based, 0 is the root) carry weights < 1 by a
+    deterministic formula, extra cycle edges (v, v·7919 mod (N+1))
+    carry weights > 1 — by the cycle property no extra edge is in any
+    MST and with distinct tree weights the MST is UNIQUE and equals
+    the planted tree, so the oracle is the closed-form tree edge list
+    while Borůvka must actually elect/contract its way there through
+    the cycle edges (log₂N rounds on the binary-tree fixture)."""
+    from titan_spark.compute.algorithms import minimum_spanning_forest
+
+    cust = tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("v")
+    )
+    mx = cust.agg(F.max("v").alias("mx"))
+    base = cust.crossJoin(F.broadcast(mx))
+    tree = base.filter(F.col("v") >= 1).select(
+        F.floor(F.col("v") / 2).cast("long").alias("src"),
+        F.col("v").alias("dst"),
+        (
+            (((F.col("v") * 37) % 101) + F.col("v") / (F.col("mx") + 2))
+            / F.lit(101.0)
+        ).alias("weight"),
+    )
+    extras = (
+        base.select(
+            F.col("v").alias("src"),
+            ((F.col("v") * 7919) % (F.col("mx") + 1)).alias("dst"),
+            (1.0 + F.col("v") / (F.col("mx") + 2)).alias("weight"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    msf = minimum_spanning_forest(tree.unionByName(extras))
+    return msf.select("u", "v", F.round("weight", 6).alias("weight"))
+
+
+QUERIES["minimum_spanning_tree"] = q_minimum_spanning_tree
+
+ORACLE_SQL["minimum_spanning_tree"] = """
+    WITH n AS (SELECT max(c_custkey) AS mx FROM customer)
+    SELECT CAST(c_custkey // 2 AS BIGINT) AS u,
+           CAST(c_custkey AS BIGINT) AS v,
+           ROUND((((c_custkey * 37) % 101) + c_custkey / (mx + 2)) / 101.0,
+                 6) AS weight
+    FROM customer, n
+    WHERE c_custkey >= 1
+"""
