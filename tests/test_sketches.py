@@ -272,3 +272,61 @@ def test_bloom_decontaminate_matches_exact_at_large_m(spark):
     }
     for doc, n in exact.items():
         assert tiny.get(doc, 0) >= n  # overcount only, never undercount
+
+
+def test_kmv_build_exact_mode_and_theta(spark):
+    """A set with <= k distinct items is stored exactly: theta_h is the
+    full hash space, n_kept == |S|, one row per distinct item (dups
+    collapse)."""
+    from titan_spark.pipeline.sketches import kmv_build
+
+    rows = [("a", f"item{i}") for i in range(10)] + [("a", "item0")]
+    d = spark.createDataFrame(rows, "s string, item string")
+    out = kmv_build(d, "s", "item", k=64).collect()
+    assert len(out) == 10
+    assert all(r["theta_h"] == 2**60 and r["n_kept"] == 10 for r in out)
+
+
+def test_kmv_intersection_exact_when_small(spark):
+    """Both sets within k: n_common and est_common equal the true
+    intersection exactly (theta = full space)."""
+    from titan_spark.pipeline.sketches import kmv_intersection
+
+    rows = [("a", f"x{i}") for i in range(30)] + [
+        ("b", f"x{i}") for i in range(20, 50)
+    ]
+    d = spark.createDataFrame(rows, "s string, item string")
+    [r] = kmv_intersection(d, "s", "item", k=64).collect()
+    assert (r["set_a"], r["set_b"]) == ("a", "b")
+    assert r["n_common"] == 10 and r["est_common"] == 10.0
+
+
+def test_kmv_intersection_recovers_planted_overlap(spark):
+    """Sketch path (sets >> k): planted |A|=|B|=600, |A∩B|=200; the
+    theta-intersection estimate lands within 3σ of truth
+    (RSE ≈ 1/√(k−1) on the sampled fraction)."""
+    from titan_spark.pipeline.sketches import kmv_intersection
+
+    shared = [f"s{i}" for i in range(200)]
+    rows = [("a", x) for x in shared + [f"a{i}" for i in range(400)]]
+    rows += [("b", x) for x in shared + [f"b{i}" for i in range(400)]]
+    d = spark.createDataFrame(rows, "s string, item string")
+    k = 128
+    [r] = kmv_intersection(d, "s", "item", k=k).collect()
+    # sampling rate θ ≈ k/600; n_common ~ Binomial(200, θ) →
+    # σ(est) ≈ sqrt(200/θ) ≈ 31 at θ≈0.21; allow 3σ
+    assert abs(r["est_common"] - 200) < 95, r
+    assert r["n_common"] < 128
+
+
+def test_kmv_disjoint_sets_zero(spark):
+    """Disjoint sets: the pair row exists with n_common = 0 and
+    est_common = 0.0 (LEFT join contract, no dropped pairs)."""
+    from titan_spark.pipeline.sketches import kmv_intersection
+
+    rows = [("a", f"x{i}") for i in range(100)] + [
+        ("b", f"y{i}") for i in range(100)
+    ]
+    d = spark.createDataFrame(rows, "s string, item string")
+    [r] = kmv_intersection(d, "s", "item", k=32).collect()
+    assert r["n_common"] == 0 and r["est_common"] == 0.0

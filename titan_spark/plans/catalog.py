@@ -6094,3 +6094,71 @@ ORACLE_SQL["minimum_spanning_tree"] = """
     FROM customer, n
     WHERE c_custkey >= 1
 """
+
+
+def q_kmv_user_days(spark, sf_dir):
+    """KMV / Theta sketch intersection (r10 — Beyer et al. 2007;
+    DataSketches theta set ops): distinct (user, day) pairs active in
+    BOTH event types, estimated per type pair from bottom-64 sketches.
+    The capability HLL cannot express (HLL only unions); the sketch
+    rows are ≤ k+1 per set so the pairwise stage never rescans the
+    corpus. Portable h60 makes both the sample and the estimate
+    DuckDB-replayable bit-for-bit."""
+    from titan_spark.pipeline.sketches import kmv_intersection
+
+    ev = tables(spark, sf_dir)["events"]
+    items = ev.select(
+        F.col("event_type").alias("s"),
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.to_date("ts").cast("string"),
+        ).alias("item"),
+    )
+    return kmv_intersection(items, "s", "item", k=64).select(
+        F.col("set_a").alias("type_a"),
+        F.col("set_b").alias("type_b"),
+        "n_common",
+        "est_common",
+    )
+
+
+QUERIES["kmv_user_days"] = q_kmv_user_days
+
+_KMV_H = "CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+
+ORACLE_SQL["kmv_user_days"] = f"""
+    WITH d AS (
+        SELECT DISTINCT event_type AS s, {_h60_sql(_KMV_H)} AS h
+        FROM events
+    ),
+    r AS (
+        SELECT s, h,
+               row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+        FROM d
+    ),
+    th AS (
+        SELECT s,
+               COALESCE(MAX(CASE WHEN rn = 65 THEN h END),
+                        {2**60}) AS theta_h
+        FROM r GROUP BY s
+    ),
+    sk AS (SELECT s, h FROM r WHERE rn <= 64),
+    p AS (
+        SELECT a.s AS type_a, b.s AS type_b,
+               LEAST(a.theta_h, b.theta_h) AS theta
+        FROM th a JOIN th b ON a.s < b.s
+    ),
+    c AS (
+        SELECT x.s AS type_a, y.s AS type_b, count(*) AS n_common
+        FROM sk x
+        JOIN sk y ON x.h = y.h AND x.s < y.s
+        JOIN p ON p.type_a = x.s AND p.type_b = y.s AND x.h < p.theta
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+           ROUND(COALESCE(c.n_common, 0) * CAST({2**60} AS DOUBLE)
+                 / CAST(p.theta AS DOUBLE), 4) AS est_common
+    FROM p LEFT JOIN c USING (type_a, type_b)
+"""
