@@ -408,3 +408,117 @@ def test_boruvka_msf_parallel_and_reversed_edges(spark):
         for r in minimum_spanning_forest(d).collect()
     )
     assert got == [(1, 2, 3.0), (2, 3, 4.0)]
+
+
+def _py_h60(s):
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_node2vec(vertices, edges, length, seed, wr, wi, wo):
+    """Pure-Python reference for node2vec_walks' deterministic
+    contract (sorted candidates, integer cumulative-sum draw)."""
+    ns = {}
+    for u, v in edges:
+        if u != v:
+            ns.setdefault(u, set()).add(v)
+            ns.setdefault(v, set()).add(u)
+    ns = {u: sorted(vs) for u, vs in ns.items()}
+    rows = []
+    for w in vertices:
+        prev, cur = None, w
+        rows.append((w, 0, w))
+        for t in range(length):
+            cand = ns.get(cur)
+            if not cand:
+                break
+            h = _py_h60(f"n2v{seed}:{w}:{t}")
+            if t == 0:
+                nxt = cand[h % len(cand)]
+            else:
+                ws = [
+                    wr if x == prev else wi if x in ns.get(prev, []) else wo
+                    for x in cand
+                ]
+                r = h % sum(ws)
+                cum = 0
+                for x, wt in zip(cand, ws):
+                    cum += wt
+                    if cum > r:
+                        nxt = x
+                        break
+            prev, cur = cur, nxt
+            rows.append((w, t + 1, cur))
+    return sorted(rows)
+
+
+def test_node2vec_matches_python_reference(spark):
+    """Seeded random graphs: the Spark biased walk (array-expression
+    weighting + integer cumulative draw) equals the brute-force Python
+    reference step for step, including dead-end stops."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from titan_spark.compute.algorithms import node2vec_walks
+    from titan_spark.graph import PropertyGraph
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(3, 10)
+        m = rng.randint(1, n * 2)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        expected = _py_node2vec(range(n), edges, 3, 7, 2, 2, 1)
+        v = spark.createDataFrame(
+            [(i,) for i in range(n)], "id long"
+        ).withColumn("label", F.lit("v"))
+        e = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(edges)],
+            "edge_id long, src long, dst long",
+        ).withColumn("label", F.lit("e"))
+        got = sorted(
+            (r["walk_id"], r["step"], r["id"])
+            for r in node2vec_walks(
+                PropertyGraph(v, e), length=3, seed=7
+            ).collect()
+        )
+        assert got == expected, (trial, edges)
+
+
+def test_node2vec_return_bias_oscillates(spark):
+    """Bias sanity: with weight_return >> others on a cycle, nearly
+    every step-2 position returns to the start (the 1/p 'return'
+    parameter doing its job); with weight_out >> others, returns are
+    rare."""
+    from pyspark.sql import functions as F
+
+    from titan_spark.compute.algorithms import node2vec_walks
+    from titan_spark.graph import PropertyGraph
+
+    n = 40
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long").withColumn(
+        "label", F.lit("v")
+    )
+    e = spark.createDataFrame(
+        [(i, i, (i + 1) % n) for i in range(n)],
+        "edge_id long, src long, dst long",
+    ).withColumn("label", F.lit("e"))
+    g = PropertyGraph(v, e)
+
+    def returns(wr, wo):
+        rows = {
+            (r["walk_id"], r["step"]): r["id"]
+            for r in node2vec_walks(
+                g, length=2, seed=3, weight_return=wr, weight_in=wo,
+                weight_out=wo,
+            ).collect()
+        }
+        return sum(
+            1 for w in range(n) if rows[(w, 2)] == rows[(w, 0)]
+        )
+
+    assert returns(99, 1) >= n * 0.9
+    assert returns(1, 99) <= n * 0.2

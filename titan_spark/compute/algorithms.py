@@ -2513,3 +2513,190 @@ def minimum_spanning_forest(
         F.col("oa").alias("u"), F.col("ob").alias("v"),
         F.col("w").alias("weight"),
     ).dropDuplicates(["u", "v"])
+
+
+def node2vec_walks(
+    graph: PropertyGraph,
+    length: int = 3,
+    seed: int = 0,
+    edge_labels: tuple[str, ...] = (),
+    direction: str = "both",
+    weight_return: int = 2,
+    weight_in: int = 2,
+    weight_out: int = 1,
+    start_ids: list[int] | None = None,
+    max_neighbors: int | None = None,
+    cut_every: int = 4,
+) -> DataFrame:
+    """Deterministic node2vec walks → (walk_id, step, id): the
+    second-order BIASED walk of Grover–Leskovec 2016 §3.2, upgrading
+    :func:`random_walks`' first-order uniform step. From edge
+    (prev → cur), candidate x ∈ N(cur) is weighted by its distance to
+    prev — α = 1/p for x = prev (return), 1 for x ∈ N(prev) (stay
+    local), 1/q otherwise (explore) — which interpolates BFS-like and
+    DFS-like exploration. Weights here are INTEGERS
+    (``weight_return : weight_in : weight_out``, defaults 2:2:1 ≡
+    p=1, q=2): the draw is ``h(seed, walk, t) mod Σw`` walked down the
+    candidate cumulative sum in sorted-neighbor order — all-integer
+    arithmetic, so the oracle replays every pick exactly (a float
+    keyed argmin, e.g. exponential-race sampling, would flip picks on
+    cross-engine log() ulp differences). Step 0 has no prev and draws
+    uniformly, the standard convention. Walks stop at dead ends.
+
+    Scale shape: neighbor arrays build once; each biased step is one
+    frontier join to the cur array + one to the prev array, and the
+    weighting runs INSIDE the row as JVM array expressions
+    (transform/zip_with/aggregate) — no per-candidate row explosion,
+    so a walk visiting a supernode costs O(deg) array work in one
+    task, not deg shuffled rows. The in-neighborhood test is
+    array_contains over the prev array (O(deg(prev)) per candidate —
+    the price of second-order bias; node2vec's own alias tables cost
+    O(Σ_e deg) MEMORY instead, which is why they famously do not
+    scale). ``max_neighbors`` caps supernode arrays with the same
+    documented sampling bias as random_walks.
+    """
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out|in|both, got {direction!r}")
+    for nm, w in (
+        ("weight_return", weight_return),
+        ("weight_in", weight_in),
+        ("weight_out", weight_out),
+    ):
+        if int(w) != w or w < 1:
+            raise ValueError(f"{nm} must be a positive integer, got {w!r}")
+    from titan_spark.functions.hashing import portable_hash64
+
+    e = graph.edges
+    if edge_labels:
+        e = e.filter(F.col("label").isin(list(edge_labels)))
+    parts = []
+    if direction in ("out", "both"):
+        parts.append(e.select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    if direction in ("in", "both"):
+        parts.append(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    ad = parts[0]
+    for p in parts[1:]:
+        ad = ad.unionByName(p)
+    ad = ad.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+    if max_neighbors is not None:
+        from pyspark.sql import Window
+
+        pick = portable_hash64(
+            F.concat(F.lit(f"n2vn{seed}:"), F.col("v").cast("string"))
+        )
+        w = Window.partitionBy("u").orderBy(pick.asc(), F.col("v").asc())
+        ad = (
+            ad.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_neighbors)
+            .drop("_rn")
+        )
+    nbrs = ad.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("_ns")
+    ).cache()
+    nbrs.count()
+
+    starts = graph.vertices.select("id")
+    if start_ids is not None:
+        starts = starts.filter(F.col("id").isin([int(x) for x in start_ids]))
+    frontier = starts.select(
+        F.col("id").alias("walk_id"), F.col("id").alias("cur")
+    )
+    frontier = cut_lineage(frontier, eager=True)
+    acc = frontier.select(
+        "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("id")
+    )
+    for t in range(length):
+        # fresh per-step projections of the cached neighbor relation
+        # (new alias ids each step keep the repeated self-joins of
+        # nbrs trivially disambiguable)
+        cn = nbrs.select(F.col("u").alias("_cu"), F.col("_ns").alias("_cn"))
+        pn = nbrs.select(F.col("u").alias("_pu"), F.col("_ns").alias("_pn"))
+        draw = portable_hash64(
+            F.concat(
+                F.lit(f"n2v{seed}:"),
+                F.col("walk_id").cast("string"),
+                F.lit(f":{t}"),
+            )
+        )
+        if t == 0:
+            idx = (F.pmod(draw, F.size("_cn")) + F.lit(1)).cast("int")
+            nxt = frontier.join(cn, frontier["cur"] == cn["_cu"]).select(
+                "walk_id",
+                F.col("cur").alias("_p"),
+                F.element_at("_cn", idx).alias("_c"),
+            ).select(
+                "walk_id",
+                F.col("_p").alias("prev"),
+                F.col("_c").alias("cur"),
+            )
+        else:
+            weights = F.transform(
+                F.col("_cn"),
+                lambda x: F.when(x == F.col("prev"), F.lit(int(weight_return)))
+                .when(
+                    F.array_contains(F.col("_pn"), x), F.lit(int(weight_in))
+                )
+                .otherwise(F.lit(int(weight_out))),
+            )
+            zipped = F.zip_with(
+                F.col("_cn"),
+                weights,
+                lambda x, w: F.struct(x.alias("x"), w.alias("w")),
+            )
+            total = F.aggregate(
+                weights, F.lit(0), lambda a, b: a + b
+            ).cast("long")
+            r = F.pmod(draw, total)
+            picked = F.aggregate(
+                zipped,
+                F.struct(
+                    F.lit(0).cast("long").alias("s"),
+                    F.lit(None).cast("long").alias("p"),
+                ),
+                lambda st, el: F.struct(
+                    (st["s"] + el["w"]).alias("s"),
+                    F.when(
+                        st["p"].isNull() & (st["s"] + el["w"] > r), el["x"]
+                    )
+                    .otherwise(st["p"])
+                    .alias("p"),
+                ),
+                lambda st: st["p"],
+            )
+            # TWO-stage projection, deliberately: a single select of
+            # (cur AS prev, picked AS cur) makes "prev" a LATERAL
+            # column alias shadowing the input column of the same
+            # name, and inside the higher-order weight lambda Spark
+            # resolves F.col("prev") to that alias (= the OLD cur) —
+            # every biased pick silently computes against the wrong
+            # vertex (caught by the Python-reference test). Renaming
+            # through collision-free temporaries keeps the lambda
+            # bound to the input row's prev.
+            nxt = (
+                frontier.join(cn, frontier["cur"] == cn["_cu"])
+                .join(pn, frontier["prev"] == pn["_pu"])
+                .select(
+                    "walk_id",
+                    F.col("cur").alias("_p"),
+                    picked.alias("_c"),
+                )
+                .select(
+                    "walk_id",
+                    F.col("_p").alias("prev"),
+                    F.col("_c").alias("cur"),
+                )
+            )
+        if (t + 1) % cut_every == 0:
+            frontier = cut_lineage(nxt, eager=True, round_idx=t)
+        else:
+            frontier = nxt
+        acc = acc.unionByName(
+            frontier.select(
+                "walk_id",
+                F.lit(t + 1).cast("int").alias("step"),
+                F.col("cur").alias("id"),
+            )
+        )
+    acc = cut_lineage(acc, eager=True)
+    nbrs.unpersist()
+    return acc

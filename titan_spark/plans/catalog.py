@@ -6162,3 +6162,122 @@ ORACLE_SQL["kmv_user_days"] = f"""
                  / CAST(p.theta AS DOUBLE), 4) AS est_common
     FROM p LEFT JOIN c USING (type_a, type_b)
 """
+
+
+def q_node2vec_corpus(spark, sf_dir):
+    """node2vec biased-walk corpus (r10 — Grover & Leskovec 2016 §3.2,
+    the second-order upgrade of random_walk_corpus): candidate weights
+    2:2:1 for return / stay-local / explore (p=1, q=2), drawn by the
+    integer cumulative-sum hash draw so every pick is replayed exactly
+    by the oracle's per-step CTEs (a float-keyed draw would flip picks
+    on cross-engine ulp differences)."""
+    from titan_spark.compute.algorithms import node2vec_walks
+
+    sub = _geo_subgraph(spark, sf_dir)
+    return node2vec_walks(sub, length=3, seed=0, direction="both").select(
+        "walk_id", "step", "id"
+    )
+
+
+QUERIES["node2vec_corpus"] = q_node2vec_corpus
+
+
+def _node2vec_oracle(
+    length: int = 3, seed: int = 0, wr: int = 2, wi: int = 2, wo: int = 1
+) -> str:
+    """Fixed-round replay of the biased walk: step 0 is the uniform
+    index-by-hash pick; step t ≥ 1 unnests the cur adjacency, weights
+    each candidate by its relation to prev (return / in-neighborhood /
+    other), and walks the integer cumulative sum down to
+    h(seed, walk, t) mod Σw — all-integer, bit-identical to Spark."""
+    from titan_spark.functions.hashing import portable_hash64_sql
+    from titan_spark.sources.tpch import OFF as _OFF
+
+    steps = []
+    for t in range(length):
+        if t == 0:
+            draw = portable_hash64_sql(
+                f"'n2v{seed}:' || CAST(p.walk_id AS VARCHAR) || ':0'"
+            )
+            steps.append(
+                f"""w1 AS (
+        SELECT p.walk_id, p.cur AS prev,
+               nb.ns[CAST({draw} % len(nb.ns) AS BIGINT) + 1] AS cur
+        FROM w0 p JOIN nbrs nb ON p.cur = nb.u
+    )"""
+            )
+        else:
+            draw = portable_hash64_sql(
+                f"'n2v{seed}:' || CAST(walk_id AS VARCHAR) || ':{t}'"
+            )
+            steps.append(
+                f"""cand{t} AS (
+        SELECT p.walk_id, p.prev, p.cur, c.x, c.i,
+               CASE WHEN c.x = p.prev THEN {wr}
+                    WHEN list_contains(pn.ns, c.x) THEN {wi}
+                    ELSE {wo} END AS w
+        FROM w{t} p
+        JOIN nbrs cn ON p.cur = cn.u
+        JOIN nbrs pn ON p.prev = pn.u,
+        LATERAL (
+            SELECT unnest(cn.ns) AS x, unnest(range(len(cn.ns))) AS i
+        ) c
+    ),
+    cum{t} AS (
+        SELECT walk_id, cur, x, i,
+               SUM(w) OVER (PARTITION BY walk_id ORDER BY i) AS cum,
+               SUM(w) OVER (PARTITION BY walk_id) AS total
+        FROM cand{t}
+    ),
+    w{t + 1} AS (
+        SELECT walk_id, cur AS prev, x AS cur FROM (
+            SELECT walk_id, cur, x,
+                   row_number() OVER (
+                       PARTITION BY walk_id
+                       ORDER BY CASE WHEN cum > ({draw} % total) THEN i
+                                ELSE 2147483647 END
+                   ) AS rn
+            FROM cum{t}
+        ) WHERE rn = 1
+    )"""
+            )
+    steps_sql = ",\n    ".join(steps)
+    selects = "\n    UNION ALL\n    ".join(
+        ["SELECT walk_id, CAST(0 AS INT) AS step, cur AS id FROM w0"]
+        + [
+            f"SELECT walk_id, CAST({t} AS INT) AS step, cur AS id FROM w{t}"
+            for t in range(1, length + 1)
+        ]
+    )
+    return f"""
+    WITH e AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS src,
+               CAST({_OFF['nation']} + c_nationkey AS BIGINT) AS dst FROM customer
+        UNION ALL
+        SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT),
+               CAST({_OFF['nation']} + s_nationkey AS BIGINT) FROM supplier
+        UNION ALL
+        SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT),
+               CAST({_OFF['region']} + n_regionkey AS BIGINT) FROM nation
+    ),
+    ue AS (
+        SELECT src AS u, dst AS v FROM e WHERE src <> dst
+        UNION
+        SELECT dst AS u, src AS v FROM e WHERE src <> dst
+    ),
+    nbrs AS (
+        SELECT u, list(v ORDER BY v) AS ns FROM ue GROUP BY u
+    ),
+    verts AS (
+        SELECT CAST({_OFF['customer']} + c_custkey AS BIGINT) AS id FROM customer
+        UNION ALL SELECT CAST({_OFF['supplier']} + s_suppkey AS BIGINT) FROM supplier
+        UNION ALL SELECT CAST({_OFF['nation']} + n_nationkey AS BIGINT) FROM nation
+        UNION ALL SELECT CAST({_OFF['region']} + r_regionkey AS BIGINT) FROM region
+    ),
+    w0 AS (SELECT id AS walk_id, id AS cur FROM verts),
+    {steps_sql}
+    {selects}
+"""
+
+
+ORACLE_SQL["node2vec_corpus"] = _node2vec_oracle()
