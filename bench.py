@@ -151,6 +151,18 @@ HEADLINE = [
     "dsir_select",
     "boilerplate_removal",
     "temperature_mix",
+    # round 10: token-level ExactSubstr removal (overlapping windows +
+    # interval-merged cuts), perceptual image near-dup (stdlib decode +
+    # banded Hamming), bigram interpolated LM + CCNet per-language
+    # bucketing, Borůvka MSF (log-round contraction), KMV theta-sketch
+    # set intersection
+    "exact_substring_dedup",
+    "phash_dup_pairs",
+    "bigram_perplexity",
+    "ccnet_buckets",
+    "minimum_spanning_tree",
+    "kmv_user_days",
+    "node2vec_corpus",
 ]
 
 
