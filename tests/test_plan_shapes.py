@@ -263,3 +263,25 @@ def test_exact_substring_dedup_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_kmv_intersection_no_python_eval(spark, sf_dir):
+    """KMV: distinct + window + hash-keyed joins only — no per-row
+    Python anywhere; the only nested-loop join allowed is the
+    intentional theta pair product (<= n_sets² rows of 2 ints)."""
+    from titan_spark.plans.catalog import q_kmv_user_days
+
+    p = plan_of(q_kmv_user_days(spark, sf_dir))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_node2vec_no_python_no_explosion(spark, sf_dir):
+    """node2vec: candidate weighting must stay inside JVM array
+    expressions — no per-candidate row explosion (no Generate/explode
+    over the neighbor arrays) and no Python eval nodes."""
+    from titan_spark.plans.catalog import q_node2vec_corpus
+
+    p = plan_of(q_node2vec_corpus(spark, sf_dir))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate explode" not in p
