@@ -34,16 +34,24 @@ from pyspark.sql import DataFrame
 # per-round wall cost DOUBLING from ~the 17th chained round (0.4 s →
 # 0.6, 1.0, 2.2, 4.8, 15.7, 32.9, 104.6 s ...) even though the optimized
 # plan, the RDD debug string, row counts, partition counts, and driver
-# heap all stay flat — i.e. some driver-side structure in the
-# Dataset.checkpoint/LogicalRDD path still nests the two parent
-# references per round and is walked at 2^depth cost. The blowup is
-# identical under reliable checkpoint(), AQE off, and constraint
-# propagation off; routing the state through parquet write+read every
-# round is flat for 30+ rounds (~0.5 s/round). The hybrid below keeps
-# the cheap localCheckpoint for short chains and resets the chain
-# through storage every SPILL_PERIOD cuts — at depth ≤ 10 the hidden
-# 2^depth term is microseconds.
-SPILL_PERIOD = 10
+# heap all stay flat. ROOT CAUSE identified r10: localCheckpoint (and
+# checkpoint) PRESERVE the plan's Catalyst sizeInBytes statistic, and
+# the size-only join estimator MULTIPLIES child sizes — so a round
+# with J join references to carried state multiplies the carried
+# stat's BIT LENGTH by ~J, i.e. the stat's cost (BigInteger
+# multiplies inside every stats query: broadcast decisions,
+# InjectRuntimeFilter, ...) grows exponentially in rounds. Measured
+# in the CC loop: 127 → 392 → 1829 → 8359 bits over four rounds
+# (~4.6×/round); by round 9 the stat is tens of megabits and the
+# driver burns seconds per planning pass. A parquet write+read resets
+# the stat to the real file size. Period tuning on a 3000-vertex
+# path-graph CC (13 rounds, min of reps): period 10 → 34.7 s,
+# 5 → 18.1 s, 4 → 16.5 s, 3 → 20.4 s (spill I/O overtakes the saved
+# BigInteger work below 4). 5 keeps the pre-spill stat ≤ ~40 kbits
+# (negligible multiply cost) with one fewer spill than 4 for typical
+# round counts; loops with MANY joins per round (Borůvka's ~10) still
+# pass spill_period=1 explicitly.
+SPILL_PERIOD = 5
 
 _spill_ids = itertools.count()
 _local_spill_root: str | None = None
