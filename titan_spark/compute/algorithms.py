@@ -2545,15 +2545,21 @@ def node2vec_walks(
 
     Scale shape: neighbor arrays build once; each biased step is one
     frontier join to the cur array + one to the prev array, and the
-    weighting runs INSIDE the row as JVM array expressions
-    (transform/zip_with/aggregate) — no per-candidate row explosion,
-    so a walk visiting a supernode costs O(deg) array work in one
-    task, not deg shuffled rows. The in-neighborhood test is
-    array_contains over the prev array (O(deg(prev)) per candidate —
-    the price of second-order bias; node2vec's own alias tables cost
-    O(Σ_e deg) MEMORY instead, which is why they famously do not
-    scale). ``max_neighbors`` caps supernode arrays with the same
-    documented sampling bias as random_walks.
+    weighting runs INSIDE the row as ONE JVM array aggregate — no
+    per-candidate row explosion, so a walk visiting a supernode costs
+    one task's array work, not deg shuffled rows. Everything
+    row-constant (the draw threshold r, the candidate∩prev-neighbor
+    intersection, prev itself) is carried in the aggregate's INITIAL
+    accumulator struct, evaluated once per row — Spark re-evaluates
+    non-lambda subtrees inside lambda bodies per element, so
+    referencing them free would make the step Θ(deg²·deg_prev) per
+    hub (the r10 bug: 170.9 s → single-digit s at sf0.1). The
+    in-neighborhood test scans the carried intersection,
+    O(min(deg, deg(prev))) per candidate — the price of second-order
+    bias; node2vec's own alias tables cost O(Σ_e deg) MEMORY instead,
+    which is why they famously do not scale. ``max_neighbors`` caps
+    supernode arrays with the same documented sampling bias as
+    random_walks.
     """
     if direction not in ("out", "in", "both"):
         raise ValueError(f"direction must be out|in|both, got {direction!r}")
@@ -2630,36 +2636,76 @@ def node2vec_walks(
                 F.col("_c").alias("cur"),
             )
         else:
-            weights = F.transform(
-                F.col("_cn"),
-                lambda x: F.when(x == F.col("prev"), F.lit(int(weight_return)))
-                .when(
-                    F.array_contains(F.col("_pn"), x), F.lit(int(weight_in))
+            # CAUTION — in-row expression re-evaluation: Spark
+            # re-evaluates every non-lambda-variable subtree that
+            # appears INSIDE a higher-order-function lambda body once
+            # PER ELEMENT (and a withColumn hoist does not help —
+            # CollapseProject inlines it straight back).  The r10
+            # formulation referenced ``r = pmod(draw, total)`` in the
+            # pick-aggregate's merge lambda, where ``total`` was an
+            # O(deg) aggregate over weights that were themselves
+            # O(deg·deg_prev) from array_contains(_pn, x) — so each
+            # merge step re-ran the whole weighting: Θ(deg²·deg_prev)
+            # per hub row, measured 170.9 s at sf0.1 (681-degree hubs)
+            # vs 5.5 s at sf0.01.  Everything row-constant therefore
+            # goes into the aggregate's INITIAL accumulator struct,
+            # which Spark evaluates exactly once per row.
+            #
+            # ``total`` itself needs no per-candidate scan: with
+            # self-loops removed prev ∉ N(prev) = _pn, so the sorted,
+            # deduplicated candidates _cn partition exactly into
+            # {prev} (if the back-edge exists), _cn ∩ _pn, and the
+            # rest — one hash-based array_intersect, O(deg+deg_prev).
+            wr_l, wi_l, wo_l = (
+                F.lit(int(weight_return)).cast("long"),
+                F.lit(int(weight_in)).cast("long"),
+                F.lit(int(weight_out)).cast("long"),
+            )
+            has_prev = F.array_contains(F.col("_cn"), F.col("prev")).cast(
+                "long"
+            )
+            inter = F.array_intersect(F.col("_cn"), F.col("_pn"))
+            n_in = F.size(inter).cast("long")
+            total = (
+                has_prev * wr_l
+                + n_in * wi_l
+                + (F.size("_cn").cast("long") - has_prev - n_in) * wo_l
+            )
+
+            def _weight(st, x):
+                # membership test against the accumulator-carried
+                # intersection: O(|_cn ∩ _pn|) ≤ O(min(deg, deg_prev))
+                # per candidate, strictly cheaper than the old
+                # O(deg_prev) scan of _pn — and evaluated against a
+                # lambda-bound struct field, never a re-expanded
+                # subtree.
+                return (
+                    F.when(x == st["pv"], wr_l)
+                    .when(F.array_contains(st["ia"], x), wi_l)
+                    .otherwise(wo_l)
                 )
-                .otherwise(F.lit(int(weight_out))),
-            )
-            zipped = F.zip_with(
-                F.col("_cn"),
-                weights,
-                lambda x, w: F.struct(x.alias("x"), w.alias("w")),
-            )
-            total = F.aggregate(
-                weights, F.lit(0), lambda a, b: a + b
-            ).cast("long")
-            r = F.pmod(draw, total)
+
             picked = F.aggregate(
-                zipped,
+                F.col("_cn"),
                 F.struct(
                     F.lit(0).cast("long").alias("s"),
                     F.lit(None).cast("long").alias("p"),
+                    F.pmod(draw, total).alias("r"),
+                    inter.alias("ia"),
+                    F.col("prev").alias("pv"),
                 ),
-                lambda st, el: F.struct(
-                    (st["s"] + el["w"]).alias("s"),
+                lambda st, x: F.struct(
+                    (st["s"] + _weight(st, x)).alias("s"),
                     F.when(
-                        st["p"].isNull() & (st["s"] + el["w"] > r), el["x"]
+                        st["p"].isNull()
+                        & (st["s"] + _weight(st, x) > st["r"]),
+                        x,
                     )
                     .otherwise(st["p"])
                     .alias("p"),
+                    st["r"].alias("r"),
+                    st["ia"].alias("ia"),
+                    st["pv"].alias("pv"),
                 ),
                 lambda st: st["p"],
             )

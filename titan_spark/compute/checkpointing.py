@@ -100,7 +100,7 @@ def cut_lineage(
     5. A parquet round-trip resets the stat to the real file size.
     Loops with many joins per round must spill their cross-round
     carrier every round (``spill_period=1``); loops with few joins are
-    bounded by the default period-10 spill.
+    bounded by the default ``SPILL_PERIOD`` spill.
 
     Loops whose per-round state is EDGE-SET-sized (k-core / k-truss
     peels hold the whole surviving edge relation, not a row per vertex)
