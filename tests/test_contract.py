@@ -14,22 +14,20 @@ def test_registry_shape():
     # SQL-expressible but its defining properties are)
     assert set(QUERIES) - set(ORACLE_SQL) == set()
     # the driver checks only the first 50 entries: current-round
-    # flagships must sit inside the checked region (r10 twelfth wave:
-    # the four r9-overflow flagships rotated in — each demoted query
-    # keeps a family sibling in slots 1-50 per COVERAGE.md)
+    # flagships must sit inside the checked region (r11 thirteenth
+    # wave: the seven r10-overflow flagships rotated in — each demoted
+    # query keeps a family sibling in slots 1-50 per COVERAGE.md)
     first50 = list(QUERIES)[:50]
     for k in (
         "path_strings",
         "motif_unification",
         "sessionize_events",
-        "lm_perplexity",
         "ivfpq_ann",
         "asof_view_before_purchase",
         "range_join_clicks",
         "betweenness",
         "local_top3_sum",
         "map_nation_counts",
-        "random_walk_corpus",
         "feature_smooth",
         "transitivity",
         # tenth wave (r8)
@@ -40,7 +38,6 @@ def test_registry_shape():
         "k_hop_ego",
         "prop_meta_filter",
         # eleventh wave (r9)
-        "hll_hourly",
         "pagerank_traversal_top",
         "value_quantiles_sketch",
         "bloom_decontaminate",
@@ -49,6 +46,14 @@ def test_registry_shape():
         "boilerplate_removal",
         "dsir_select",
         "temperature_mix",
+        # thirteenth wave (r11)
+        "exact_substring_dedup",
+        "phash_dup_pairs",
+        "bigram_perplexity",
+        "ccnet_buckets",
+        "minimum_spanning_tree",
+        "kmv_user_days",
+        "node2vec_corpus",
     ):
         assert k in first50
 

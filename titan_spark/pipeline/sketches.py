@@ -547,11 +547,20 @@ def kmv_build(
     """
     from pyspark.sql import Window
 
+    from titan_spark.compute.checkpointing import cut_lineage
+
     h = portable_hash64(F.col(item_col))
     d = items.select(F.col(set_col).alias("s"), h.alias("h")).distinct()
     w = Window.partitionBy("s").orderBy("h")
-    r = d.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k + 1
+    # materialized ONCE: the ranked relation feeds both the theta
+    # summary and the retained rows — without the cut, the
+    # corpus-wide distinct + per-set window sort would run twice per
+    # sketch build (and once more per consumer of the build).
+    r = cut_lineage(
+        d.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= k + 1
+        ),
+        eager=True,
     )
     summ = r.groupBy("s").agg(
         F.max(F.when(F.col("_rn") == k + 1, F.col("h"))).alias("_th"),
@@ -592,7 +601,13 @@ def kmv_intersection(
     sketch rows only) and the final agg groups on the set pair —
     nothing downstream of the sketch build ever rescans the corpus.
     """
-    sk = kmv_build(items, set_col, item_col, k)
+    from titan_spark.compute.checkpointing import cut_lineage
+
+    # the sketch fans out into three references (a, b, thetas);
+    # materialize it once so the build's distinct + window never
+    # recompute — keeping the docstring's "nothing downstream of the
+    # sketch build ever rescans the corpus" literally true.
+    sk = cut_lineage(kmv_build(items, set_col, item_col, k), eager=True)
     a = sk.select(
         F.col(set_col).alias("set_a"), "h",
         F.col("theta_h").alias("_tha"),

@@ -569,3 +569,139 @@ def gopher_rules(
         stop_hits.alias("stop_hits"),
         keep.cast("int").alias("keep"),
     )
+
+
+def kneser_ney_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1998 §2.7 — the smoothing family KenLM implements
+    and CCNet scores with). The step past Jelinek-Mercer
+    (:func:`lm_perplexity_bigram`): lower-order distributions use
+    CONTINUATION counts (in how many distinct contexts does a word
+    appear) rather than raw frequency, so "francisco" — frequent but
+    only ever after "san" — scores low as a novel continuation, which
+    additive/interpolation smoothing gets wrong.
+
+        P(w3|w1w2) = max(c3−D,0)/ctx2 + D·N1+(w1w2·)/ctx2 · P(w3|w2)
+        P(w3|w2)   = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+                     + D·N1+(w2·)/N1+(·w2·) · Pcont(w3)
+        Pcont(w3)  = N1+(·w3) / N1+(··)
+
+    All statistics derive from ONE trigram type table (the
+    self-consistent convention): ctx2 = trigram-position count of the
+    context, N1+ counts are distinct-continuation/-context counts
+    over trigram types, and the adjacent (w2,w3) type pairs supply the
+    continuation-unigram numerators/denominator. The model trains on
+    the scored corpus itself, so every scored position has c3 ≥ 1 and
+    no probability is zero. ``D = 0.75`` (the Chen-Goodman near-
+    optimal constant) is exactly representable, so both engines
+    discount identical doubles; ``nll`` rounds to 4dp BEFORE exp, the
+    cross-engine contract every scoring operator here uses. Documents
+    with fewer than 3 tokens have no trigram positions and are
+    omitted (the n-gram operators' shared inner-join contract).
+
+    Plan shape at scale: the token stream explodes ONCE into trigram
+    positions via zip_with over three shifted slices (no positional
+    self-join); every statistic is a map-side-combinable agg over the
+    TYPE table, bounded by distinct-trigram count, never corpus size;
+    scoring joins position⋈stats on (w1,w2,w3)/(w1,w2)/(w2,w3)/w2/w3
+    — hot stopword keys are the AQE skew-split case — plus one
+    broadcast one-row total. Everything is corpus-linear; nothing
+    is n².
+
+    Reference parity: the reference delegates document scoring to its
+    external index provider (SURVEY §2 S7/S8 surface); this engine
+    computes LM scoring as a first-class distributed operator.
+    """
+    D = F.lit(float(discount))
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(
+        F.size("_t") >= 3
+    )
+    n = F.size("_t")
+    inner = F.zip_with(
+        F.slice("_t", 2, n - 2),
+        F.slice("_t", 3, n - 2),
+        lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+    )
+    tri3 = F.zip_with(
+        F.slice("_t", 1, n - 2),
+        inner,
+        lambda a, bc: F.struct(
+            a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
+        ),
+    )
+    pos = base.select(
+        F.col(id_col), n.alias("n_tokens"), F.explode(tri3).alias("g")
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("g.w1").alias("w1"),
+        F.col("g.w2").alias("w2"),
+        F.col("g.w3").alias("w3"),
+    )
+    # ONE type table; every KN statistic below is an agg over it
+    types = pos.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    ctx2 = types.groupBy("w1", "w2").agg(
+        F.sum("c3").cast("double").alias("cc2"),
+        F.count(F.lit(1)).cast("double").alias("t12"),  # N1+(w1 w2 ·)
+    )
+    left3 = types.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).cast("double").alias("n_l")  # N1+(· w2 w3)
+    )
+    mid = types.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n_mid")  # N1+(· w2 ·)
+    )
+    fwd2 = (
+        types.select("w2", "w3")
+        .distinct()
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("t2"))  # N1+(w2 ·)
+    )
+    cont1 = (
+        types.select("w2", "w3")
+        .distinct()
+        .groupBy("w3")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_r"))  # N1+(· w3)
+    )
+    total_b = (
+        types.select("w2", "w3")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n_bb"))  # N1+(· ·)
+    )
+    p1 = F.col("n_r") / F.col("n_bb")
+    p2 = (
+        F.greatest(F.col("n_l") - D, F.lit(0.0)) / F.col("n_mid")
+        + D * F.col("t2") / F.col("n_mid") * p1
+    )
+    p3 = (
+        F.greatest(F.col("c3").cast("double") - D, F.lit(0.0)) / F.col("cc2")
+        + D * F.col("t12") / F.col("cc2") * p2
+    )
+    doc = (
+        pos.join(types, ["w1", "w2", "w3"])
+        .join(ctx2, ["w1", "w2"])
+        .join(left3, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(fwd2, "w2")
+        .join(cont1, "w3")
+        .crossJoin(F.broadcast(total_b))
+        .groupBy(id_col, "n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_trigrams"),
+            F.round(F.avg(-F.log(p3)), 4).alias("nll"),
+        )
+    )
+    return doc.select(
+        id_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_trigrams",
+        "nll",
+        F.round(F.exp(F.col("nll")), 2).alias("ppl"),
+    )
