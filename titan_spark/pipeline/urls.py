@@ -37,14 +37,16 @@ def synth_urls(
     df: DataFrame, id_col: str = "doc_id", source_col: str = "source"
 ) -> DataFrame:
     """Deterministic messy-URL fixture column. The URL's CONTENT
-    (host, page path, real query params) derives from a shared page
-    key ``p = doc_id % 211``, so many documents point at the same
-    logical page; the MESS (casing, ``www.``, default port, trailing
-    slash, tracking params in scrambled order, fragment) derives from
-    the doc key itself — documents sharing ``p`` and source differ in
-    every superficial way and must still collide after
+    (host, section/page path, real query params) derives ONLY from a
+    shared page key ``p = doc_id % 211``, so many documents point at
+    the same logical page; the MESS (casing, ``www.``, default port,
+    trailing slash, tracking params in scrambled order, fragment)
+    derives from the doc key itself — documents sharing ``p`` differ
+    in every superficial way and must still collide after
     canonicalization. Every canonicalizer branch is exercised and
-    both engines build bit-identical inputs."""
+    both engines build bit-identical inputs. ``source_col`` is kept
+    for signature stability; content deliberately avoids it so group
+    sizes are corpus-size-proportional at every sf."""
     k = F.col(id_col)
     p = k % 211
     scheme = F.when(k % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
@@ -60,8 +62,8 @@ def synth_urls(
     )
     port = F.when(k % 7 == 0, F.lit(":443")).otherwise(F.lit(""))
     path = F.concat(
-        F.lit("/"),
-        F.col(source_col),
+        F.lit("/s"),
+        (p % 4).cast("string"),
         F.lit("/page"),
         p.cast("string"),
         F.when(k % 6 == 0, F.lit("/")).otherwise(F.lit("")),

@@ -6331,3 +6331,298 @@ for _new, _old in _SLOT_SWAPS_R11:
     _order_r11[_order_r11.index(_old)] = _new
     _order_r11.append(_old)
 QUERIES = {k: QUERIES[k] for k in _order_r11}
+
+
+# ---------------------------------------------------------------------------
+# r11 operators: Kneser-Ney trigram LM, URL canonicalization front door
+# (RefinedWeb-style), per-vertex clustering coefficient — registered
+# after the thirteenth-wave swap block, so they land in the overflow
+# region per the standing new-flagships-rotate-in-next-round policy.
+
+
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney trigram perplexity (r11 — Kneser & Ney
+    1995 / Chen & Goodman 1998, the smoothing KenLM implements): the
+    step past bigram_perplexity's Jelinek-Mercer — lower orders use
+    CONTINUATION counts over the trigram type table, so frequent-but-
+    context-bound words score low as novel continuations. D = 0.75
+    exactly representable; nll rounds 4dp before exp (the shared
+    cross-engine scoring contract)."""
+    from titan_spark.pipeline.text_quality import kneser_ney_perplexity
+
+    d = tables(spark, sf_dir)["documents"]
+    return kneser_ney_perplexity(d)
+
+
+QUERIES["kn_perplexity"] = q_kn_perplexity
+
+ORACLE_SQL["kn_perplexity"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_toks()} AS t FROM documents
+    ),
+    tg AS (
+        SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+               t[g.i] AS w1, t[g.i + 1] AS w2, t[g.i + 2] AS w3
+        FROM base, LATERAL (
+            SELECT unnest(range(1, CAST(len(t) AS BIGINT) - 1)) AS i
+        ) g
+        WHERE len(t) >= 3
+    ),
+    types AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY 1, 2, 3),
+    ctx2 AS (SELECT w1, w2, CAST(sum(c3) AS DOUBLE) AS cc2,
+                    CAST(count(*) AS DOUBLE) AS t12 FROM types GROUP BY 1, 2),
+    left3 AS (SELECT w2, w3, CAST(count(*) AS DOUBLE) AS n_l
+              FROM types GROUP BY 1, 2),
+    mid AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n_mid
+            FROM types GROUP BY 1),
+    bt AS (SELECT DISTINCT w2, w3 FROM types),
+    fwd2 AS (SELECT w2, CAST(count(*) AS DOUBLE) AS t2 FROM bt GROUP BY 1),
+    cont1 AS (SELECT w3, CAST(count(*) AS DOUBLE) AS n_r FROM bt GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_bb FROM bt),
+    doc AS (
+        SELECT tg.doc_id, tg.n_tokens, CAST(count(*) AS INT) AS n_trigrams,
+               ROUND(avg(-ln(
+                   GREATEST(types.c3 - 0.75, 0) / ctx2.cc2
+                   + 0.75 * ctx2.t12 / ctx2.cc2 * (
+                       GREATEST(left3.n_l - 0.75, 0) / mid.n_mid
+                       + 0.75 * fwd2.t2 / mid.n_mid
+                         * (cont1.n_r / tot.n_bb)
+                   )
+               )), 4) AS nll
+        FROM tg
+        JOIN types USING (w1, w2, w3)
+        JOIN ctx2 USING (w1, w2)
+        JOIN left3 USING (w2, w3)
+        JOIN mid USING (w2)
+        JOIN fwd2 USING (w2)
+        JOIN cont1 USING (w3)
+        CROSS JOIN tot
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, n_tokens, n_trigrams, nll, ROUND(exp(nll), 2) AS ppl
+    FROM doc
+"""
+
+
+# shared SQL fragments for the URL family: the synthetic messy URL and
+# its canonical form, replayed verbatim from pipeline/urls.py
+_URL_SYNTH_SQL = """
+        SELECT doc_id,
+               (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
+               || '://'
+               || (CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN 'Site' ELSE 'site' END)
+               || CAST((doc_id % 211) % 23 AS VARCHAR) || '.example.'
+               || (['com', 'org', 'net'])[CAST((doc_id % 211) % 3 AS INT) + 1]
+               || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+               || '/s' || CAST((doc_id % 211) % 4 AS VARCHAR)
+               || '/page' || CAST(doc_id % 211 AS VARCHAR)
+               || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+               || '?'
+               || regexp_replace(regexp_replace(
+                      CASE WHEN doc_id % 2 = 0 THEN concat_ws('&',
+                          'utm_source=feed&utm_campaign=c'
+                              || CAST(doc_id % 3 AS VARCHAR),
+                          'id=' || CAST((doc_id % 211) % 7 AS VARCHAR),
+                          CASE WHEN doc_id % 3 = 0 THEN 'ref=tw' ELSE '' END,
+                          'lang=' || (CASE WHEN (doc_id % 211) % 2 = 0
+                                      THEN 'en' ELSE 'de' END))
+                      ELSE concat_ws('&',
+                          'lang=' || (CASE WHEN (doc_id % 211) % 2 = 0
+                                      THEN 'en' ELSE 'de' END),
+                          'id=' || CAST((doc_id % 211) % 7 AS VARCHAR),
+                          CASE WHEN doc_id % 3 = 0 THEN 'ref=tw' ELSE '' END,
+                          CASE WHEN doc_id % 2 = 0 THEN
+                              'utm_source=feed&utm_campaign=c'
+                                  || CAST(doc_id % 3 AS VARCHAR)
+                          ELSE '' END)
+                      END, '&+', '&', 'g'), '^&|&$', '', 'g')
+               || (CASE WHEN doc_id % 8 = 0
+                   THEN '#p' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+               AS url
+        FROM documents
+"""
+
+_URL_CANON_SQL = """
+        SELECT doc_id,
+               lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               || '://'
+               || regexp_replace(regexp_replace(
+                      lower(regexp_extract(
+                          regexp_replace(pre,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                          '^([^/]*)', 1)),
+                      ':(443|80)$', ''), '^www\\.', '')
+               || regexp_replace(regexp_extract(
+                      regexp_replace(pre, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                      '^[^/]*(/.*)?$', 1), '/+$', '')
+               || (CASE WHEN qcanon <> '' THEN '?' || qcanon ELSE '' END)
+               AS canonical_url
+        FROM (
+            SELECT doc_id,
+                   regexp_extract(u1, '^([^?]*)', 1) AS pre,
+                   array_to_string(list_sort(list_filter(
+                       string_split(CASE WHEN strpos(u1, '?') > 0
+                           THEN regexp_extract(u1, '\\?(.*)$', 1)
+                           ELSE '' END, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                           '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') AS qcanon
+            FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u1
+                  FROM raw_urls)
+        )
+"""
+
+
+def q_url_dedup_groups(spark, sf_dir):
+    """URL-level exact dedup after canonicalization (r11 — the
+    RefinedWeb/CCNet curation front door: canonicalize before dedup;
+    raw-string dedup misses every tracking-param/casing/port/slash
+    variant). The fixture URLs share content by page key but differ
+    in every superficial way, so the group sizes value-check each
+    canonicalization branch."""
+    from titan_spark.pipeline.urls import synth_urls, url_dedup
+
+    d = tables(spark, sf_dir)["documents"]
+    return url_dedup(synth_urls(d))
+
+
+QUERIES["url_dedup_groups"] = q_url_dedup_groups
+
+ORACLE_SQL["url_dedup_groups"] = f"""
+    WITH raw_urls AS ({_URL_SYNTH_SQL}),
+    canon AS ({_URL_CANON_SQL})
+    SELECT canonical_url,
+           MIN(doc_id) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM canon
+    GROUP BY canonical_url
+"""
+
+
+def q_domain_quota(spark, sf_dir):
+    """Per-domain contribution cap (r11 — RefinedWeb §3.1 keeps
+    per-domain balance so one site cannot dominate the corpus): at
+    most 100 docs per canonical host, picked by deterministic hash
+    order; kept_id_sum pins the exact kept SET, not just its size."""
+    from titan_spark.pipeline.urls import domain_quota, synth_urls
+
+    d = tables(spark, sf_dir)["documents"]
+    return domain_quota(synth_urls(d), cap=100)
+
+
+QUERIES["domain_quota"] = q_domain_quota
+
+
+def _domain_quota_oracle(cap: int = 100, seed: int = 0) -> str:
+    from titan_spark.functions.hashing import portable_hash64_sql
+
+    pick = portable_hash64_sql("'dq' || '{seed}:' || CAST(doc_id AS VARCHAR)".format(seed=seed))
+    return f"""
+    WITH raw_urls AS ({_URL_SYNTH_SQL}),
+    canon AS ({_URL_CANON_SQL}),
+    ranked AS (
+        SELECT doc_id,
+               regexp_extract(canonical_url,
+                   '^[a-z][a-z0-9+.-]*://([^/?]*)', 1) AS domain,
+               row_number() OVER (
+                   PARTITION BY regexp_extract(canonical_url,
+                       '^[a-z][a-z0-9+.-]*://([^/?]*)', 1)
+                   ORDER BY {pick}, doc_id
+               ) AS rn
+        FROM canon
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= {cap} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rn <= {cap} THEN doc_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+    FROM ranked
+    GROUP BY domain
+"""
+
+
+ORACLE_SQL["domain_quota"] = _domain_quota_oracle()
+
+
+def q_local_clustering(spark, sf_dir):
+    """Per-vertex local clustering coefficient (r11 — Watts-Strogatz
+    1998: 2T(v)/(d(v)(d(v)-1)) over the deduplicated undirected
+    neighborhood) on the order-part-supplier co-lineitem graph (same
+    graph as transitivity, whose single global row this refines),
+    projected to supplier vertices — the label whose neighborhoods
+    close densely (every lineitem closes an order-part-supplier
+    triangle)."""
+    from titan_spark.compute import clustering_coefficient
+
+    g = graph(spark, sf_dir)
+    li = tables(spark, sf_dir)["lineitem"]
+    v = g.vertices.filter(
+        F.col("label").isin(["order", "part", "supplier"])
+    ).select("id", "label")
+    base = g.edges.filter(
+        F.col("label").isin(["contains", "supplied_by"])
+    ).select("edge_id", "src", "dst", "label")
+    extra = li.select(
+        F.lit(0).cast("long").alias("edge_id"),
+        (F.lit(OFF["order"]) + F.col("l_orderkey")).cast("long").alias("src"),
+        (F.lit(OFF["supplier"]) + F.col("l_suppkey")).cast("long").alias("dst"),
+        F.lit("assigned").alias("label"),
+    )
+    cc = clustering_coefficient(PropertyGraph(v, base.unionByName(extra)))
+    return (
+        cc.filter(
+            (F.col("id") >= OFF["supplier"]) & (F.col("id") < OFF["part"])
+        )
+        .select("id", F.round("coefficient", 6).alias("coefficient"))
+    )
+
+
+QUERIES["local_clustering"] = q_local_clustering
+
+ORACLE_SQL["local_clustering"] = f"""
+    WITH e AS (
+        SELECT DISTINCT CAST({OFF['order']} + l_orderkey AS BIGINT) AS s,
+                        CAST({OFF['part']} + l_partkey AS BIGINT) AS t
+        FROM lineitem
+        UNION
+        SELECT DISTINCT CAST({OFF['part']} + l_partkey AS BIGINT),
+                        CAST({OFF['supplier']} + l_suppkey AS BIGINT)
+        FROM lineitem
+        UNION
+        SELECT DISTINCT CAST({OFF['order']} + l_orderkey AS BIGINT),
+                        CAST({OFF['supplier']} + l_suppkey AS BIGINT)
+        FROM lineitem
+    ),
+    und AS (
+        SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        FROM e WHERE s <> t
+    ),
+    deg AS (
+        SELECT id, COUNT(*) AS d FROM (
+            SELECT a AS id FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY id
+    ),
+    tri AS (
+        SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pertri AS (
+        SELECT id, COUNT(*) AS t FROM (
+            SELECT v1 AS id FROM tri
+            UNION ALL SELECT v2 FROM tri
+            UNION ALL SELECT v3 FROM tri
+        ) GROUP BY id
+    )
+    SELECT s.id,
+           CASE WHEN COALESCE(deg.d, 0) >= 2
+                THEN ROUND(2.0 * COALESCE(pertri.t, 0)
+                           / (deg.d * (deg.d - 1)), 6)
+                ELSE 0.0 END AS coefficient
+    FROM (SELECT CAST({OFF['supplier']} + s_suppkey AS BIGINT) AS id
+          FROM supplier) s
+    LEFT JOIN deg ON s.id = deg.id
+    LEFT JOIN pertri ON s.id = pertri.id
+"""
