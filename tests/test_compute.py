@@ -416,15 +416,19 @@ def _py_h60(s):
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-def _py_node2vec(vertices, edges, length, seed, wr, wi, wo):
+def _py_node2vec(vertices, edges, length, seed, wr, wi, wo, trials=16):
     """Pure-Python reference for node2vec_walks' deterministic
-    contract (sorted candidates, integer cumulative-sum draw)."""
+    contract: rejection sampling (uniform candidate by hash index,
+    accept iff an independent hash mod wmax is below the candidate's
+    weight class; lowest accepted trial wins), with the exact
+    class-ordered cumulative pick as the all-rejected fallback."""
     ns = {}
     for u, v in edges:
         if u != v:
             ns.setdefault(u, set()).add(v)
             ns.setdefault(v, set()).add(u)
     ns = {u: sorted(vs) for u, vs in ns.items()}
+    wmax = max(wr, wi, wo)
     rows = []
     for w in vertices:
         prev, cur = None, w
@@ -433,29 +437,44 @@ def _py_node2vec(vertices, edges, length, seed, wr, wi, wo):
             cand = ns.get(cur)
             if not cand:
                 break
-            h = _py_h60(f"n2v{seed}:{w}:{t}")
             if t == 0:
+                h = _py_h60(f"n2v{seed}:{w}:{t}")
                 nxt = cand[h % len(cand)]
             else:
-                ws = [
-                    wr if x == prev else wi if x in ns.get(prev, []) else wo
-                    for x in cand
-                ]
-                r = h % sum(ws)
-                cum = 0
-                for x, wt in zip(cand, ws):
-                    cum += wt
-                    if cum > r:
+                pn = set(ns.get(prev, []))
+
+                def weight(x):
+                    return wr if x == prev else wi if x in pn else wo
+
+                nxt = None
+                for j in range(trials):
+                    hj = _py_h60(f"n2v{seed}:{w}:{t}:{j}")
+                    x = cand[hj % len(cand)]
+                    u = _py_h60(f"n2va{seed}:{w}:{t}:{j}") % wmax
+                    if u < weight(x):
                         nxt = x
                         break
+                if nxt is None:
+                    # exact class-ordered fallback
+                    ordered = sorted(cand, key=lambda x: (
+                        0 if x == prev else 1 if x in pn else 2, x
+                    ))
+                    total = sum(weight(x) for x in ordered)
+                    r = _py_h60(f"n2v{seed}:{w}:{t}") % total
+                    cum = 0
+                    for x in ordered:
+                        cum += weight(x)
+                        if r < cum:
+                            nxt = x
+                            break
             prev, cur = cur, nxt
             rows.append((w, t + 1, cur))
     return sorted(rows)
 
 
 def test_node2vec_matches_python_reference(spark):
-    """Seeded random graphs: the Spark biased walk (array-expression
-    weighting + integer cumulative draw) equals the brute-force Python
+    """Seeded random graphs: the Spark biased walk (rejection trials +
+    class-ordered exact fallback) equals the brute-force Python
     reference step for step, including dead-end stops."""
     import random
 
@@ -486,6 +505,41 @@ def test_node2vec_matches_python_reference(spark):
             ).collect()
         )
         assert got == expected, (trial, edges)
+
+
+def test_node2vec_fallback_arm_matches_reference(spark):
+    """Weights 1:1:99 on a complete graph leave every candidate at
+    weight 1 with wmax 99, so ~85% of biased picks exhaust all 16
+    rejection trials and take the exact class-ordered fallback — this
+    pins the fallback arm (rows-based cumulative pick) against the
+    Python reference, not just the accept path."""
+    from pyspark.sql import functions as F
+
+    from titan_spark.compute.algorithms import node2vec_walks
+    from titan_spark.graph import PropertyGraph
+
+    n = 6
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    expected = _py_node2vec(range(n), edges, 3, 11, 1, 1, 99)
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long").withColumn(
+        "label", F.lit("v")
+    )
+    e = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(edges)],
+        "edge_id long, src long, dst long",
+    ).withColumn("label", F.lit("e"))
+    got = sorted(
+        (r["walk_id"], r["step"], r["id"])
+        for r in node2vec_walks(
+            PropertyGraph(v, e),
+            length=3,
+            seed=11,
+            weight_return=1,
+            weight_in=1,
+            weight_out=99,
+        ).collect()
+    )
+    assert got == expected
 
 
 def test_node2vec_return_bias_oscillates(spark):

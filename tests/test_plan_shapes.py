@@ -275,13 +275,56 @@ def test_kmv_intersection_no_python_eval(spark, sf_dir):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
-def test_node2vec_no_python_no_explosion(spark, sf_dir):
-    """node2vec: candidate weighting must stay inside JVM array
-    expressions — no per-candidate row explosion (no Generate/explode
-    over the neighbor arrays) and no Python eval nodes."""
+def test_node2vec_no_python_no_degree_explosion(spark, sf_dir):
+    """node2vec (rejection formulation): no Python eval nodes, no
+    cartesian product, and the only explodes are the CONSTANT-width
+    trial sequences (sequence(0, trials−1) — degree-independent); no
+    neighbor-array explode (posexplode / explode over a collected
+    list) may appear, and no collect_list/sort_array array build at
+    all — the walk is row-based end to end."""
+    import re
+
     from titan_spark.plans.catalog import q_node2vec_corpus
 
     p = plan_of(q_node2vec_corpus(spark, sf_dir))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
-    assert "Generate explode" not in p
+    # every Generate must be the constant trial sequence, never an
+    # array-column explode
+    for m in re.findall(r"Generate (\w+)\(([^)]*)", p):
+        kind, arg = m
+        assert kind == "explode" and arg.startswith("sequence("), m
+    assert "sort_array" not in p and "collect_list" not in p
+
+
+def test_url_dedup_single_shuffle_no_text(spark, sf_dir):
+    """url_dedup: ONE exchange (the groupBy on the canonical string)
+    and the text column never enters the plan — the scan reads only
+    the columns the canonical key needs."""
+    from titan_spark.plans.catalog import q_url_dedup_groups
+
+    p = plan_of(q_url_dedup_groups(spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert n_scans(p) == 1
+    # column pruning: the documents scan must not read text
+    assert "text" not in [
+        c.strip()
+        for line in p.splitlines()
+        if "ReadSchema" in line
+        for c in re.findall(r"struct<([^>]*)>", line)
+        for c in c.split(",")
+        for c in [c.split(":")[0]]
+    ]
+
+
+def test_kn_perplexity_no_cartesian_no_python(spark, sf_dir):
+    """Kneser-Ney: every join is keyed (no CartesianProduct except the
+    broadcast one-row total), no Python/Arrow eval in the plan — the
+    trigram stream and all statistics stay JVM-side."""
+    from titan_spark.plans.catalog import q_kn_perplexity
+
+    p = plan_of(q_kn_perplexity(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

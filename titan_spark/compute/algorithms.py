@@ -2527,6 +2527,7 @@ def node2vec_walks(
     start_ids: list[int] | None = None,
     max_neighbors: int | None = None,
     cut_every: int = 4,
+    trials: int = 16,
 ) -> DataFrame:
     """Deterministic node2vec walks → (walk_id, step, id): the
     second-order BIASED walk of Grover–Leskovec 2016 §3.2, upgrading
@@ -2534,32 +2535,53 @@ def node2vec_walks(
     (prev → cur), candidate x ∈ N(cur) is weighted by its distance to
     prev — α = 1/p for x = prev (return), 1 for x ∈ N(prev) (stay
     local), 1/q otherwise (explore) — which interpolates BFS-like and
-    DFS-like exploration. Weights here are INTEGERS
+    DFS-like exploration. Weights are INTEGERS
     (``weight_return : weight_in : weight_out``, defaults 2:2:1 ≡
-    p=1, q=2): the draw is ``h(seed, walk, t) mod Σw`` walked down the
-    candidate cumulative sum in sorted-neighbor order — all-integer
-    arithmetic, so the oracle replays every pick exactly (a float
-    keyed argmin, e.g. exponential-race sampling, would flip picks on
-    cross-engine log() ulp differences). Step 0 has no prev and draws
-    uniformly, the standard convention. Walks stop at dead ends.
+    p=1, q=2).
 
-    Scale shape: neighbor arrays build once; each biased step is one
-    frontier join to the cur array + one to the prev array, and the
-    weighting runs INSIDE the row as ONE JVM array aggregate — no
-    per-candidate row explosion, so a walk visiting a supernode costs
-    one task's array work, not deg shuffled rows. Everything
-    row-constant (the draw threshold r, the candidate∩prev-neighbor
-    intersection, prev itself) is carried in the aggregate's INITIAL
-    accumulator struct, evaluated once per row — Spark re-evaluates
-    non-lambda subtrees inside lambda bodies per element, so
-    referencing them free would make the step Θ(deg²·deg_prev) per
-    hub (the r10 bug: 170.9 s → single-digit s at sf0.1). The
-    in-neighborhood test scans the carried intersection,
-    O(min(deg, deg(prev))) per candidate — the price of second-order
-    bias; node2vec's own alias tables cost O(Σ_e deg) MEMORY instead,
-    which is why they famously do not scale. ``max_neighbors`` caps
-    supernode arrays with the same documented sampling bias as
-    random_walks.
+    The biased step is REJECTION sampling (the scale trick of
+    KnightKing, Yang et al. SOSP'19 — public paper): trial j draws a
+    uniform candidate ``x = N(cur)[h(seed, walk, t, j) mod deg]`` and
+    accepts it iff ``h'(seed, walk, t, j) mod wmax < w(x)``; the pick
+    is the lowest-j accepted trial. Conditioned on acceptance the
+    pick is exactly ∝ w(x), so the node2vec distribution is exact;
+    acceptance probability is ≥ wmin/wmax per trial (≥ 1/2 at the
+    2:2:1 defaults), so all ``trials`` (default 16) rejecting has
+    probability ≤ 2⁻¹⁶ per step. Those rare walks fall back to an
+    EXACT bounded escape: the class-ordered cumulative pick (return
+    edge, then N(cur) ∩ N(prev) sorted, then the rest sorted) with
+    ``r = h(seed, walk, t) mod Σw`` — also ∝ w(x), so the overall
+    distribution stays exact. All arithmetic is 64-bit integer hash →
+    mod, so the oracle replays every trial and every fallback pick
+    bit-for-bit (a float-keyed draw would flip picks on cross-engine
+    ulp differences). Step 0 has no prev and draws uniformly over the
+    rank-indexed adjacency, the standard convention. Walks stop at
+    dead ends.
+
+    Scale shape — the whole step is ROW-based; neighbor ARRAYS are
+    never built or shipped. The rank-indexed adjacency (u, rn, v)
+    builds once (one window shuffle, reused by every step); per step
+    each walk emits ``trials`` constant-width rows: the candidate
+    lookup is an equi-join on the COMPOSITE key (u, rn) — rn varies
+    per trial, so even a 10M-degree hub's lookups spread across
+    partitions instead of hashing to one — and the w(x) class test is
+    one (prev, x) pair join. Cost per step is Θ(walks · trials)
+    joined rows, INDEPENDENT of degree. The fallback arm explodes
+    N(cur) as rows for only the ≤ 2⁻ᵗʳⁱᵃˡˢ fraction of walks that
+    exhausted their trials. History of why: the r10 array formulation
+    aggregated per-candidate weights inside an F.aggregate lambda —
+    Θ(deg²·deg_prev) per hub row from Spark's per-element re-eval of
+    non-lambda subtrees (170.9 s at sf0.1); carrying row-constants in
+    the accumulator (r11 fix #1) still scanned the intersection per
+    candidate (648.7 s at sf1, 69× on 10× data — the geo hub degree
+    grows ~linearly with sf); even a closed-form array pick is
+    Θ(Σ_walks deg(cur)) element-touches just to ship and read hub
+    arrays. Rejection + indexed lookup is the only shape whose
+    per-step cost does not grow with hub degree — at 100 TB it is the
+    difference between seconds and never finishing. node2vec's own
+    alias tables cost O(Σ_e deg) MEMORY and famously do not scale;
+    ``max_neighbors`` still caps supernode adjacency with the same
+    documented sampling bias as random_walks.
     """
     if direction not in ("out", "in", "both"):
         raise ValueError(f"direction must be out|in|both, got {direction!r}")
@@ -2570,7 +2592,17 @@ def node2vec_walks(
     ):
         if int(w) != w or w < 1:
             raise ValueError(f"{nm} must be a positive integer, got {w!r}")
+    if int(trials) != trials or trials < 1:
+        raise ValueError(f"trials must be a positive integer, got {trials!r}")
+    from pyspark.sql import Window
+
     from titan_spark.functions.hashing import portable_hash64
+
+    wr, wi, wo = int(weight_return), int(weight_in), int(weight_out)
+    wmax = max(wr, wi, wo)
+    wr_l, wi_l, wo_l = F.lit(wr).cast("long"), F.lit(wi).cast("long"), F.lit(
+        wo
+    ).cast("long")
 
     e = graph.edges
     if edge_labels:
@@ -2585,21 +2617,25 @@ def node2vec_walks(
         ad = ad.unionByName(p)
     ad = ad.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
     if max_neighbors is not None:
-        from pyspark.sql import Window
-
         pick = portable_hash64(
             F.concat(F.lit(f"n2vn{seed}:"), F.col("v").cast("string"))
         )
-        w = Window.partitionBy("u").orderBy(pick.asc(), F.col("v").asc())
+        w_cap = Window.partitionBy("u").orderBy(pick.asc(), F.col("v").asc())
         ad = (
-            ad.withColumn("_rn", F.row_number().over(w))
+            ad.withColumn("_rn", F.row_number().over(w_cap))
             .filter(F.col("_rn") <= max_neighbors)
             .drop("_rn")
         )
-    nbrs = ad.groupBy("u").agg(
-        F.sort_array(F.collect_list("v")).alias("_ns")
+    # rank-indexed adjacency: rn = 1-based rank of v in sorted N(u).
+    # element_at(sort_array(collect_list(v)), rn) ≡ join on (u, rn) —
+    # the row-based equivalent of the sorted neighbor array, built by
+    # ONE window shuffle and reused (cached) by every step.
+    adr = ad.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("u").orderBy(F.col("v").asc())),
     ).cache()
-    nbrs.count()
+    adr.count()
+    degs = adr.groupBy("u").agg(F.max("rn").cast("long").alias("_deg")).cache()
 
     starts = graph.vertices.select("id")
     if start_ids is not None:
@@ -2612,12 +2648,13 @@ def node2vec_walks(
         "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("id")
     )
     for t in range(length):
-        # fresh per-step projections of the cached neighbor relation
-        # (new alias ids each step keep the repeated self-joins of
-        # nbrs trivially disambiguable)
-        cn = nbrs.select(F.col("u").alias("_cu"), F.col("_ns").alias("_cn"))
-        pn = nbrs.select(F.col("u").alias("_pu"), F.col("_ns").alias("_pn"))
-        draw = portable_hash64(
+        adx = adr.select(
+            F.col("u").alias("_xu"),
+            F.col("rn").alias("_xrn"),
+            F.col("v").alias("_xv"),
+        )
+        prs = adr.select(F.col("u").alias("_pu"), F.col("v").alias("_pv"))
+        base_draw = portable_hash64(
             F.concat(
                 F.lit(f"n2v{seed}:"),
                 F.col("walk_id").cast("string"),
@@ -2625,112 +2662,147 @@ def node2vec_walks(
             )
         )
         if t == 0:
-            idx = (F.pmod(draw, F.size("_cn")) + F.lit(1)).cast("int")
-            nxt = frontier.join(cn, frontier["cur"] == cn["_cu"]).select(
-                "walk_id",
-                F.col("cur").alias("_p"),
-                F.element_at("_cn", idx).alias("_c"),
-            ).select(
-                "walk_id",
-                F.col("_p").alias("prev"),
-                F.col("_c").alias("cur"),
+            # uniform first step: one indexed lookup, no arrays
+            f1 = frontier.join(degs, frontier["cur"] == degs["u"]).select(
+                "walk_id", "cur", "_deg"
             )
-        else:
-            # CAUTION — in-row expression re-evaluation: Spark
-            # re-evaluates every non-lambda-variable subtree that
-            # appears INSIDE a higher-order-function lambda body once
-            # PER ELEMENT (and a withColumn hoist does not help —
-            # CollapseProject inlines it straight back).  The r10
-            # formulation referenced ``r = pmod(draw, total)`` in the
-            # pick-aggregate's merge lambda, where ``total`` was an
-            # O(deg) aggregate over weights that were themselves
-            # O(deg·deg_prev) from array_contains(_pn, x) — so each
-            # merge step re-ran the whole weighting: Θ(deg²·deg_prev)
-            # per hub row, measured 170.9 s at sf0.1 (681-degree hubs)
-            # vs 5.5 s at sf0.01.  Everything row-constant therefore
-            # goes into the aggregate's INITIAL accumulator struct,
-            # which Spark evaluates exactly once per row.
-            #
-            # ``total`` itself needs no per-candidate scan: with
-            # self-loops removed prev ∉ N(prev) = _pn, so the sorted,
-            # deduplicated candidates _cn partition exactly into
-            # {prev} (if the back-edge exists), _cn ∩ _pn, and the
-            # rest — one hash-based array_intersect, O(deg+deg_prev).
-            wr_l, wi_l, wo_l = (
-                F.lit(int(weight_return)).cast("long"),
-                F.lit(int(weight_in)).cast("long"),
-                F.lit(int(weight_out)).cast("long"),
-            )
-            has_prev = F.array_contains(F.col("_cn"), F.col("prev")).cast(
-                "long"
-            )
-            inter = F.array_intersect(F.col("_cn"), F.col("_pn"))
-            n_in = F.size(inter).cast("long")
-            total = (
-                has_prev * wr_l
-                + n_in * wi_l
-                + (F.size("_cn").cast("long") - has_prev - n_in) * wo_l
-            )
-
-            def _weight(st, x):
-                # membership test against the accumulator-carried
-                # intersection: O(|_cn ∩ _pn|) ≤ O(min(deg, deg_prev))
-                # per candidate, strictly cheaper than the old
-                # O(deg_prev) scan of _pn — and evaluated against a
-                # lambda-bound struct field, never a re-expanded
-                # subtree.
-                return (
-                    F.when(x == st["pv"], wr_l)
-                    .when(F.array_contains(st["ia"], x), wi_l)
-                    .otherwise(wo_l)
-                )
-
-            picked = F.aggregate(
-                F.col("_cn"),
-                F.struct(
-                    F.lit(0).cast("long").alias("s"),
-                    F.lit(None).cast("long").alias("p"),
-                    F.pmod(draw, total).alias("r"),
-                    inter.alias("ia"),
-                    F.col("prev").alias("pv"),
-                ),
-                lambda st, x: F.struct(
-                    (st["s"] + _weight(st, x)).alias("s"),
-                    F.when(
-                        st["p"].isNull()
-                        & (st["s"] + _weight(st, x) > st["r"]),
-                        x,
-                    )
-                    .otherwise(st["p"])
-                    .alias("p"),
-                    st["r"].alias("r"),
-                    st["ia"].alias("ia"),
-                    st["pv"].alias("pv"),
-                ),
-                lambda st: st["p"],
-            )
-            # TWO-stage projection, deliberately: a single select of
-            # (cur AS prev, picked AS cur) makes "prev" a LATERAL
-            # column alias shadowing the input column of the same
-            # name, and inside the higher-order weight lambda Spark
-            # resolves F.col("prev") to that alias (= the OLD cur) —
-            # every biased pick silently computes against the wrong
-            # vertex (caught by the Python-reference test). Renaming
-            # through collision-free temporaries keeps the lambda
-            # bound to the input row's prev.
+            idx = (F.pmod(base_draw, F.col("_deg")) + F.lit(1)).cast("int")
             nxt = (
-                frontier.join(cn, frontier["cur"] == cn["_cu"])
-                .join(pn, frontier["prev"] == pn["_pu"])
+                f1.withColumn("_idx", idx)
+                .join(
+                    adx,
+                    (F.col("cur") == F.col("_xu"))
+                    & (F.col("_idx") == F.col("_xrn")),
+                )
                 .select(
                     "walk_id",
                     F.col("cur").alias("_p"),
-                    picked.alias("_c"),
+                    F.col("_xv").alias("_c"),
                 )
                 .select(
                     "walk_id",
                     F.col("_p").alias("prev"),
                     F.col("_c").alias("cur"),
                 )
+            )
+        else:
+            f1 = frontier.join(degs, frontier["cur"] == degs["u"]).select(
+                "walk_id", "prev", "cur", "_deg"
+            )
+            # --- rejection trials: `trials` constant-width rows per
+            # walk; candidate by composite-key (u, rn) lookup,
+            # acceptance by an independent hash vs the weight class
+            tr = f1.select(
+                "walk_id",
+                "prev",
+                "cur",
+                "_deg",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(int(trials) - 1))
+                ).alias("_j"),
+            )
+            h_pick = portable_hash64(
+                F.concat(
+                    F.lit(f"n2v{seed}:"),
+                    F.col("walk_id").cast("string"),
+                    F.lit(f":{t}:"),
+                    F.col("_j").cast("string"),
+                )
+            )
+            h_acc = portable_hash64(
+                F.concat(
+                    F.lit(f"n2va{seed}:"),
+                    F.col("walk_id").cast("string"),
+                    F.lit(f":{t}:"),
+                    F.col("_j").cast("string"),
+                )
+            )
+            tr = tr.withColumn(
+                "_idx", (F.pmod(h_pick, F.col("_deg")) + F.lit(1)).cast("int")
+            ).withColumn("_u", F.pmod(h_acc, F.lit(wmax).cast("long")))
+            cand = tr.join(
+                adx,
+                (tr["cur"] == adx["_xu"]) & (tr["_idx"] == adx["_xrn"]),
+            ).select(
+                "walk_id", "prev", "cur", "_j", "_u",
+                F.col("_xv").alias("_x"),
+            )
+            cand = cand.join(
+                prs,
+                (cand["prev"] == prs["_pu"]) & (cand["_x"] == prs["_pv"]),
+                "left",
+            ).select(
+                "walk_id", "prev", "cur", "_j", "_u", "_x",
+                F.col("_pv").isNotNull().alias("_inp"),
+            )
+            w_x = (
+                F.when(F.col("_x") == F.col("prev"), wr_l)
+                .when(F.col("_inp"), wi_l)
+                .otherwise(wo_l)
+            )
+            accepted = (
+                cand.filter(F.col("_u") < w_x)
+                .groupBy("walk_id", "cur")
+                .agg(F.min(F.struct("_j", "_x")).alias("_w"))
+                .select(
+                    "walk_id",
+                    F.col("cur").alias("_p"),
+                    F.col("_w._x").alias("_c"),
+                )
+            )
+            # --- exact bounded escape for walks whose every trial
+            # rejected (probability ≤ (1 − wmin/wmax)^trials per
+            # step): class-ordered cumulative pick, replayed as ROWS
+            # (explode N(cur), classify each candidate by one pair
+            # join, rank by (class, id), take the candidate whose
+            # cumulative-weight window brackets r) — exact ∝ w(x), no
+            # neighbor arrays anywhere.
+            fb = f1.join(
+                accepted.select("walk_id"), "walk_id", "left_anti"
+            )
+            fbc = fb.join(adx, fb["cur"] == adx["_xu"]).select(
+                "walk_id", "prev", "cur",
+                F.col("_xv").alias("_x"),
+            )
+            fbc = fbc.join(
+                prs,
+                (fbc["prev"] == prs["_pu"]) & (fbc["_x"] == prs["_pv"]),
+                "left",
+            ).select(
+                "walk_id", "prev", "cur", "_x",
+                F.col("_pv").isNotNull().alias("_inp"),
+            )
+            fbc = fbc.withColumn(
+                "_cls",
+                F.when(F.col("_x") == F.col("prev"), F.lit(0))
+                .when(F.col("_inp"), F.lit(1))
+                .otherwise(F.lit(2)),
+            ).withColumn(
+                "_w",
+                F.when(F.col("_cls") == 0, wr_l)
+                .when(F.col("_cls") == 1, wi_l)
+                .otherwise(wo_l),
+            )
+            w_ord = Window.partitionBy("walk_id").orderBy("_cls", "_x")
+            w_all = Window.partitionBy("walk_id")
+            fbc = fbc.withColumn(
+                "_cum",
+                F.sum("_w").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            ).withColumn("_tot", F.sum("_w").over(w_all))
+            r = F.pmod(base_draw, F.col("_tot"))
+            fallback = fbc.filter(
+                (r >= F.col("_cum") - F.col("_w")) & (r < F.col("_cum"))
+            ).select(
+                "walk_id",
+                F.col("cur").alias("_p"),
+                F.col("_x").alias("_c"),
+            )
+            nxt = accepted.unionByName(fallback).select(
+                "walk_id",
+                F.col("_p").alias("prev"),
+                F.col("_c").alias("cur"),
             )
         if (t + 1) % cut_every == 0:
             frontier = cut_lineage(nxt, eager=True, round_idx=t)
@@ -2744,5 +2816,6 @@ def node2vec_walks(
             )
         )
     acc = cut_lineage(acc, eager=True)
-    nbrs.unpersist()
+    adr.unpersist()
+    degs.unpersist()
     return acc

@@ -6167,10 +6167,13 @@ ORACLE_SQL["kmv_user_days"] = f"""
 def q_node2vec_corpus(spark, sf_dir):
     """node2vec biased-walk corpus (r10 — Grover & Leskovec 2016 §3.2,
     the second-order upgrade of random_walk_corpus): candidate weights
-    2:2:1 for return / stay-local / explore (p=1, q=2), drawn by the
-    integer cumulative-sum hash draw so every pick is replayed exactly
-    by the oracle's per-step CTEs (a float-keyed draw would flip picks
-    on cross-engine ulp differences)."""
+    2:2:1 for return / stay-local / explore (p=1, q=2), sampled by
+    hash-deterministic rejection trials over the rank-indexed
+    adjacency (KnightKing's scale trick — degree-independent row work
+    per step) with an exact class-ordered fallback, so every trial and
+    pick is replayed exactly by the oracle's per-step CTEs (a
+    float-keyed draw would flip picks on cross-engine ulp
+    differences)."""
     from titan_spark.compute.algorithms import node2vec_walks
 
     sub = _geo_subgraph(spark, sf_dir)
@@ -6183,13 +6186,21 @@ QUERIES["node2vec_corpus"] = q_node2vec_corpus
 
 
 def _node2vec_oracle(
-    length: int = 3, seed: int = 0, wr: int = 2, wi: int = 2, wo: int = 1
+    length: int = 3,
+    seed: int = 0,
+    wr: int = 2,
+    wi: int = 2,
+    wo: int = 1,
+    trials: int = 16,
 ) -> str:
-    """Fixed-round replay of the biased walk: step 0 is the uniform
-    index-by-hash pick; step t ≥ 1 unnests the cur adjacency, weights
-    each candidate by its relation to prev (return / in-neighborhood /
-    other), and walks the integer cumulative sum down to
-    h(seed, walk, t) mod Σw — all-integer, bit-identical to Spark."""
+    """Fixed-round replay of the biased walk's rejection sampling:
+    step 0 is the uniform index-by-hash pick; step t ≥ 1 replays all
+    ``trials`` rejection draws (uniform candidate by hash index,
+    accept iff the acceptance hash mod wmax is under the candidate's
+    weight class, lowest accepted trial wins) and, for walks whose
+    every trial rejected, the exact class-ordered cumulative fallback
+    (return edge, then N(cur) ∩ N(prev) sorted, then the rest sorted)
+    — all-integer, bit-identical to Spark's row-based formulation."""
     from titan_spark.functions.hashing import portable_hash64_sql
     from titan_spark.sources.tpch import OFF as _OFF
 
@@ -6207,38 +6218,81 @@ def _node2vec_oracle(
     )"""
             )
         else:
+            wmax = max(wr, wi, wo)
             draw = portable_hash64_sql(
                 f"'n2v{seed}:' || CAST(walk_id AS VARCHAR) || ':{t}'"
             )
+            h_pick = portable_hash64_sql(
+                f"'n2v{seed}:' || CAST(tr.walk_id AS VARCHAR) "
+                f"|| ':{t}:' || CAST(tr.j AS VARCHAR)"
+            )
+            h_acc = portable_hash64_sql(
+                f"'n2va{seed}:' || CAST(tr.walk_id AS VARCHAR) "
+                f"|| ':{t}:' || CAST(tr.j AS VARCHAR)"
+            )
             steps.append(
-                f"""cand{t} AS (
-        SELECT p.walk_id, p.prev, p.cur, c.x, c.i,
-               CASE WHEN c.x = p.prev THEN {wr}
-                    WHEN list_contains(pn.ns, c.x) THEN {wi}
-                    ELSE {wo} END AS w
+                f"""cd{t} AS (
+        SELECT tr.walk_id, tr.prev, tr.cur, tr.j,
+               cn.ns[CAST(({h_pick}) % len(cn.ns) AS BIGINT) + 1] AS x,
+               ({h_acc}) % {wmax} AS u
+        FROM (
+            SELECT p.walk_id, p.prev, p.cur, t_.j
+            FROM w{t} p, LATERAL (SELECT unnest(range({trials})) AS j) t_
+        ) tr
+        JOIN nbrs cn ON tr.cur = cn.u
+    ),
+    acc{t} AS (
+        SELECT walk_id, cur, x,
+               row_number() OVER (PARTITION BY walk_id ORDER BY j) AS rnk
+        FROM (
+            SELECT cd.*,
+                   CASE WHEN cd.x = cd.prev THEN {wr}
+                        WHEN list_contains(pn.ns, cd.x) THEN {wi}
+                        ELSE {wo} END AS wx
+            FROM cd{t} cd JOIN nbrs pn ON cd.prev = pn.u
+        ) WHERE u < wx
+    ),
+    fbcls{t} AS (
+        SELECT p.walk_id, p.prev, p.cur,
+               CAST(list_contains(cn.ns, p.prev) AS BIGINT) AS has_prev,
+               list_filter(cn.ns, x -> list_contains(pn.ns, x)) AS inter,
+               list_filter(
+                   cn.ns, x -> x <> p.prev AND NOT list_contains(pn.ns, x)
+               ) AS rest
         FROM w{t} p
         JOIN nbrs cn ON p.cur = cn.u
-        JOIN nbrs pn ON p.prev = pn.u,
-        LATERAL (
-            SELECT unnest(cn.ns) AS x, unnest(range(len(cn.ns))) AS i
-        ) c
+        JOIN nbrs pn ON p.prev = pn.u
+        WHERE NOT EXISTS (
+            SELECT 1 FROM acc{t} a WHERE a.walk_id = p.walk_id
+        )
     ),
-    cum{t} AS (
-        SELECT walk_id, cur, x, i,
-               SUM(w) OVER (PARTITION BY walk_id ORDER BY i) AS cum,
-               SUM(w) OVER (PARTITION BY walk_id) AS total
-        FROM cand{t}
+    fb{t} AS (
+        SELECT walk_id, cur,
+               CASE WHEN r < has_prev * {wr} THEN prev
+                    WHEN r - has_prev * {wr} < len(inter) * {wi}
+                        THEN inter[
+                            CAST((r - has_prev * {wr}) // {wi} AS BIGINT) + 1
+                        ]
+                    ELSE rest[
+                        CAST(
+                            (r - has_prev * {wr} - len(inter) * {wi}) // {wo}
+                            AS BIGINT
+                        ) + 1
+                    ]
+               END AS x
+        FROM (
+            SELECT *,
+                   ({draw}) % (
+                       has_prev * {wr} + len(inter) * {wi}
+                       + len(rest) * {wo}
+                   ) AS r
+            FROM fbcls{t}
+        )
     ),
     w{t + 1} AS (
-        SELECT walk_id, cur AS prev, x AS cur FROM (
-            SELECT walk_id, cur, x,
-                   row_number() OVER (
-                       PARTITION BY walk_id
-                       ORDER BY CASE WHEN cum > ({draw} % total) THEN i
-                                ELSE 2147483647 END
-                   ) AS rn
-            FROM cum{t}
-        ) WHERE rn = 1
+        SELECT walk_id, cur AS prev, x AS cur FROM acc{t} WHERE rnk = 1
+        UNION ALL
+        SELECT walk_id, cur AS prev, x AS cur FROM fb{t}
     )"""
             )
     steps_sql = ",\n    ".join(steps)
