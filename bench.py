@@ -172,6 +172,17 @@ HEADLINE = [
     "minimum_spanning_tree",
     "kmv_user_days",
     "node2vec_corpus",
+    # round 11: Kneser-Ney trigram LM, URL canonicalize+dedup and
+    # per-domain quota (RefinedWeb front door), per-vertex local
+    # clustering coefficient, cross-corpus 8-gram novelty (Lee 2022
+    # memorization diagnostic), pair-wise containment decontamination
+    # (GPT-3 App. C leakage rule)
+    "kn_perplexity",
+    "url_dedup_groups",
+    "domain_quota",
+    "local_clustering",
+    "ngram_novelty",
+    "eval_containment",
 ]
 
 

@@ -174,3 +174,83 @@ def test_lsh_topk_pairs_default_matches_pinned_width(spark):
     got = lsh_topk_pairs(df, k=10).collect()
     pinned = lsh_topk_pairs(df, k=10, n_planes=8).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in pinned]
+
+
+def test_containment_decontaminate_asymmetric(spark):
+    """A short eval doc fully embedded in a long train page scores
+    containment 1.0 (the Jaccard between the pair would be tiny) and a
+    disjoint pair never appears; thresholding keeps only the flagged
+    pair."""
+    from titan_spark.pipeline.decontam import containment_decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "what is the capital of france")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (
+                1,
+                "intro text here what is the capital of france "
+                "and lots of unrelated filler words follow "
+                "one two three four five six seven eight nine ten",
+            ),
+            (2, "completely different content about spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = containment_decontaminate(
+        train, eval_df, n=3, threshold=0.5
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["eval_doc_id"]) == (1, 100)
+    # eval doc has 6 tokens -> 4 distinct 3-grams, all inside doc 1
+    assert r["n_eval_grams"] == 4 and r["n_shared"] == 4
+    assert r["containment"] == 1.0
+
+
+def test_containment_partial_below_threshold_drops(spark):
+    from titan_spark.pipeline.decontam import containment_decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    # shares exactly 1 of the 4 distinct 3-grams -> containment 0.25
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma unrelated tail words")],
+        "doc_id long, text string",
+    )
+    assert (
+        containment_decontaminate(train, eval_df, n=3, threshold=0.5).count()
+        == 0
+    )
+    got = containment_decontaminate(
+        train, eval_df, n=3, threshold=0.2
+    ).collect()
+    assert len(got) == 1 and got[0]["containment"] == 0.25
+
+
+def test_ngram_novelty_closed_form(spark):
+    """Three docs: an exact dup pair scores 0 novelty (every gram
+    appears in the twin), the unique doc scores 1.0; counts match the
+    clamped-slice shingle contract (shorter-than-n docs -> one
+    whole-doc gram)."""
+    from titan_spark.pipeline.text_quality import ngram_novelty
+
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely novel words never repeated anywhere else"),
+            (4, "tiny"),  # < n tokens -> one whole-doc shingle
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(d, n=8).collect()}
+    # 9 tokens -> 2 distinct 8-grams, both shared with the twin
+    assert rows[1]["n_grams"] == 2 and rows[1]["novel_grams"] == 0
+    assert rows[1]["novelty"] == 0.0 and rows[2]["novelty"] == 0.0
+    assert rows[3]["novelty"] == 1.0
+    assert rows[4]["n_grams"] == 1 and rows[4]["novelty"] == 1.0

@@ -328,3 +328,22 @@ def test_kn_perplexity_no_cartesian_no_python(spark, sf_dir):
     p = plan_of(q_kn_perplexity(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ngram_novelty_hash_keyed_shuffles(spark, sf_dir):
+    """ngram_novelty: the corpus-wide doc-frequency agg and the join
+    back are keyed by the 64-bit gram HASH (_h), never by gram text —
+    every exchange partitions on _h or on the doc id, and no Python
+    eval appears."""
+    import re
+
+    from titan_spark.plans.catalog import q_ngram_novelty
+
+    p = plan_of(q_ngram_novelty(spark, sf_dir))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "hashpartitioning(_h" in p
+    # no exchange may carry a string gram key: every hashpartitioning
+    # key is _h or doc_id
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", p):
+        first = keys.split(",")[0].strip()
+        assert first.startswith("_h") or first.startswith("doc_id"), keys

@@ -136,3 +136,70 @@ def bloom_decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_grams"))
     )
+
+
+def containment_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_broadcast_grams: int = 5_000_000,
+) -> DataFrame:
+    """Pair-wise n-gram CONTAINMENT decontamination — the GPT-3
+    App. C / The-Pile rule, one level stricter than the per-train-doc
+    gram counts of :func:`ngram_decontaminate`: a training doc is
+    contaminated BY a specific eval doc when it contains at least
+    ``threshold`` of that eval doc's distinct n-grams,
+    C(t, e) = |G_t ∩ G_e| / |G_e|. Containment is asymmetric (a short
+    benchmark question fully embedded in a long web page scores 1.0
+    where Jaccard would round to 0), which is exactly why eval-leakage
+    checks use it instead of the symmetric dedup similarity.
+
+    Returns one row per flagged (train, eval) pair:
+    (id, eval_doc_id, n_shared, n_eval_grams, containment ROUND 4).
+
+    Scale shape: the eval side is benchmark-sized regardless of corpus
+    size, so its exploded (gram, eval id) relation broadcasts (same
+    ``max_broadcast_grams`` guard as ngram_decontaminate — above it
+    the join falls back to a gram-keyed shuffle); the training side
+    stays a narrow scan → explode → broadcast hash join. The per-pair
+    intersection count groups on (train id, eval id) — both sides'
+    shingles are per-doc distinct, so plain count(*) IS |G_t ∩ G_e| —
+    and the tiny per-eval gram totals broadcast-join onto the flagged
+    pairs. Nothing is O(corpus²) and no shuffle carries document text.
+    """
+    ev = cut_lineage(
+        eval_df.select(
+            F.col(id_col).alias("_eid"),
+            F.explode(shingles(F.col(text_col), n)).alias("_g"),
+        ),
+        eager=True,
+    )
+    small = ev.count() <= max_broadcast_grams
+    right = F.broadcast(ev) if small else ev
+    evn = ev.groupBy("_eid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_grams")
+    )
+    pairs = (
+        train_df.select(
+            F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("_g")
+        )
+        .join(right, "_g")
+        .groupBy(id_col, "_eid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        pairs.join(F.broadcast(evn), "_eid")
+        .filter(F.col("n_shared") / F.col("n_eval_grams") >= threshold)
+        .select(
+            id_col,
+            F.col("_eid").alias("eval_doc_id"),
+            "n_shared",
+            "n_eval_grams",
+            F.round(F.col("n_shared") / F.col("n_eval_grams"), 4).alias(
+                "containment"
+            ),
+        )
+    )

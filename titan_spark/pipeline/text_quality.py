@@ -705,3 +705,62 @@ def kneser_ney_perplexity(
         "nll",
         F.round(F.exp(F.col("nll")), 2).alias("ppl"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Per-doc cross-corpus n-gram novelty — the memorization-analysis
+    statistic of Lee et al. 2022 §6 ("Deduplicating Training Data
+    Makes Language Models Better"): for each document, the fraction of
+    its DISTINCT word n-grams that occur in no other document.
+    Documents full of corpus-repeated passages (boilerplate, templated
+    spam, near-dups that slipped the dedup net) score near 0; genuinely
+    novel text scores near 1 — the standard diagnostic for residual
+    duplication and for ranking what a model is most likely to
+    memorize verbatim.
+
+    Returns (id, n_grams, novel_grams, novelty) with
+    novelty = novel_grams / n_grams rounded to 4.
+
+    Scale shape: shingles are hashed to 64-bit BEFORE the shuffle, so
+    the corpus-wide document-frequency groupBy and the join back to
+    per-doc grams both carry (hash, id) pairs — gram TEXT never leaves
+    its scan partition. Doc-frequency is count-per-hash over per-doc
+    distinct grams (one map-side-combinable agg); the join is
+    hash-keyed and skew-light (a gram shared by millions of docs
+    contributes one docfreq row). ``hash_fn='portable'`` (default)
+    makes every count bit-replayable by the DuckDB oracle;
+    ``'xxhash64'`` is the cheaper production hash.
+    """
+    from titan_spark.functions.hashing import resolve_hash_fn
+    from titan_spark.pipeline.dedup import shingles
+
+    h = resolve_hash_fn(hash_fn)
+    g = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("_g"),
+    ).select(F.col(id_col), h(F.col("_g")).alias("_h"))
+    docfreq = g.groupBy("_h").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    return (
+        g.join(docfreq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("novel_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "novel_grams",
+            F.round(F.col("novel_grams") / F.col("n_grams"), 4).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -6680,3 +6680,91 @@ ORACLE_SQL["local_clustering"] = f"""
     LEFT JOIN deg ON s.id = deg.id
     LEFT JOIN pertri ON s.id = pertri.id
 """
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Cross-corpus 8-gram novelty per document (r11 — Lee et al. 2022
+    §6 memorization diagnostic): the fraction of a doc's distinct
+    8-grams that occur in no other document. Grams are h60-hashed
+    before the doc-frequency shuffle, so the corpus-wide counting and
+    the join back carry (hash, id) pairs only — and the oracle replays
+    the same hashes bit-for-bit."""
+    from titan_spark.pipeline.text_quality import ngram_novelty
+
+    d = tables(spark, sf_dir)["documents"]
+    return ngram_novelty(d, n=8)
+
+
+QUERIES["ngram_novelty"] = q_ngram_novelty
+
+ORACLE_SQL["ngram_novelty"] = f"""
+    WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(CAST(len(toks) AS INT) - 7, 1)),
+                   i -> array_to_string(toks[i:i+7], ' ')
+               )) AS sh
+        FROM t
+    ),
+    g AS (
+        SELECT doc_id, {_h60_sql('c.g')} AS h
+        FROM s, LATERAL (SELECT unnest(sh) AS g) c
+    ),
+    dfreq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS dfq FROM g GROUP BY h)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (dfq = 1) AS BIGINT) AS novel_grams,
+           ROUND(COUNT(*) FILTER (dfq = 1) * 1.0 / COUNT(*), 4) + 0.0
+               AS novelty
+    FROM g JOIN dfreq USING (h)
+    GROUP BY g.doc_id
+"""
+
+
+def q_eval_containment(spark, sf_dir):
+    """Pair-wise containment decontamination (r11 — GPT-3 App. C /
+    The-Pile leakage rule): train docs holding ≥ 50% of a specific
+    eval doc's distinct 3-grams, on the same deterministic h60 % 20
+    train/eval split as ngram_decontaminate. Containment is the
+    asymmetric statistic (short benchmark inside long page → 1.0)
+    that symmetric dedup similarity cannot express."""
+    from titan_spark.pipeline.decontam import (
+        containment_decontaminate,
+        hash_eval_split,
+    )
+
+    d = tables(spark, sf_dir)["documents"]
+    train, eval_df = hash_eval_split(d)
+    return containment_decontaminate(train, eval_df, n=3, threshold=0.5)
+
+
+QUERIES["eval_containment"] = q_eval_containment
+
+ORACLE_SQL["eval_containment"] = f"""
+    WITH t AS (SELECT doc_id, {_toks()} AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               {_h60_sql("CAST(doc_id AS VARCHAR)")} % 20 = 0 AS is_eval,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(CAST(len(toks) AS INT) - 2, 1)),
+                   i -> array_to_string(toks[i:i+2], ' ')
+               )) AS sh
+        FROM t
+    ),
+    ev AS (SELECT doc_id AS eid, unnest(sh) AS g FROM s WHERE is_eval),
+    evn AS (
+        SELECT eid, CAST(COUNT(*) AS BIGINT) AS n_eval_grams
+        FROM ev GROUP BY eid
+    ),
+    tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE NOT is_eval),
+    p AS (
+        SELECT tr.doc_id, ev.eid, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM tr JOIN ev USING (g)
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_id, p.eid AS eval_doc_id, p.n_shared, evn.n_eval_grams,
+           ROUND(p.n_shared * 1.0 / evn.n_eval_grams, 4) + 0.0 AS containment
+    FROM p JOIN evn USING (eid)
+    WHERE p.n_shared * 1.0 / evn.n_eval_grams >= 0.5
+"""
