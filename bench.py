@@ -183,6 +183,7 @@ HEADLINE = [
     "local_clustering",
     "ngram_novelty",
     "eval_containment",
+    "secrets_scan",
 ]
 
 

@@ -256,3 +256,29 @@ def test_shard_assignment_seed_changes_layout(spark):
     a = {(r["doc_id"], r["shard"]) for r in shard_assignment(df, 4, seed=0).collect()}
     b = {(r["doc_id"], r["shard"]) for r in shard_assignment(df, 4, seed=7).collect()}
     assert a != b
+
+
+def test_secrets_scan_entropy_closed_form(spark):
+    """Closed-form entropy pins: a 20-char single-letter run has
+    entropy 0 (candidate, never flagged); a run of 16 distinct hex
+    chars repeated has entropy exactly 4.0; short runs are not
+    candidates at all."""
+    from titan_spark.pipeline.pii import secrets_scan
+
+    d = spark.createDataFrame(
+        [
+            (1, "prefix " + "a" * 20 + " suffix"),
+            (2, "key = " + "0123456789abcdef" * 2),   # 32 chars, H = 4.0
+            (3, "short run abc123 only"),
+            (4, "two runs " + "b" * 25 + " and " + "0123456789abcdef" * 2),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in secrets_scan(d).collect()}
+    assert rows[1]["n_candidates"] == 1 and rows[1]["n_high_entropy"] == 0
+    assert rows[1]["max_entropy"] == 0.0 and not rows[1]["has_secret"]
+    assert rows[2]["n_candidates"] == 1 and rows[2]["n_high_entropy"] == 1
+    assert rows[2]["max_entropy"] == 4.0 and rows[2]["has_secret"]
+    assert rows[3]["n_candidates"] == 0 and not rows[3]["has_secret"]
+    assert rows[4]["n_candidates"] == 2 and rows[4]["n_high_entropy"] == 1
+    assert rows[4]["max_entropy"] == 4.0

@@ -59,3 +59,74 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     for k in _ORDER:
         c = F.regexp_replace(c, PII_PATTERNS[k], REDACTION_TOKENS[k])
     return df.select(F.col(id_col), c.alias(text_col))
+
+
+def secrets_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+    entropy_bits: float = 3.5,
+) -> DataFrame:
+    """High-entropy credential detection — the Dolma / BigCode-style
+    secrets pass that PII regexes cannot express: API keys, tokens and
+    key material are format-free, but they are long runs of
+    base64-alphabet characters whose per-character Shannon entropy is
+    far above natural language (~4.x bits vs ~2-3 for English words,
+    ~0-1 for repeated filler). A doc is flagged when any candidate run
+    (≥ ``min_len`` chars of [A-Za-z0-9+/=_-]) has entropy ≥
+    ``entropy_bits``.
+
+    Returns (id, n_candidates, n_high_entropy, max_entropy ROUND 4,
+    has_secret).
+
+    Scale shape: a pure narrow map — ``regexp_extract_all`` (JVM,
+    codegen) pulls the candidate runs, and the entropy of each is
+    computed with array built-ins over the run's own characters
+    (O(len²) per candidate with len ≤ a few hundred — bounded,
+    in-row, no Python, no shuffle at all before the final per-doc
+    projection). The entropy is accumulated PER POSITION in string
+    order — H = Σ_i (1/n)·(−log2(cnt(cᵢ)/n)), algebraically the same
+    −Σ_c p log₂ p but with a deterministic left-to-right float
+    addition order that both engines share (a distinct-char sum would
+    depend on each engine's dedup order, and float addition does not
+    commute at the last ulp), so the oracle replays the value within
+    the ROUND 4 edge.
+    """
+    cand = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Za-z0-9+/=_-]{%d,}" % int(min_len)), 0
+    )
+
+    def _entropy(tok):
+        # cnt(c) = len − len(replace(tok, c, '')) — O(len) per position
+        # without materializing a char array in the lambda (which Spark
+        # would re-evaluate per element)
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: tok.substr(i, F.lit(1)),
+        )
+        n = F.length(tok).cast("double")
+        return F.aggregate(
+            chars,
+            F.lit(0.0),
+            lambda acc, c: acc
+            - F.log2(
+                (
+                    F.length(tok) - F.length(F.replace(tok, c, F.lit("")))
+                ).cast("double")
+                / n
+            )
+            / n,
+        )
+
+    ents = F.transform(cand, _entropy)
+    hi = F.filter(ents, lambda e: e >= F.lit(float(entropy_bits)))
+    return df.select(
+        F.col(id_col),
+        F.size(cand).cast("long").alias("n_candidates"),
+        F.size(hi).cast("long").alias("n_high_entropy"),
+        F.round(
+            F.coalesce(F.array_max(ents), F.lit(0.0)), 4
+        ).alias("max_entropy"),
+        (F.size(hi) > 0).alias("has_secret"),
+    )

@@ -6768,3 +6768,79 @@ ORACLE_SQL["eval_containment"] = f"""
     FROM p JOIN evn USING (eid)
     WHERE p.n_shared * 1.0 / evn.n_eval_grams >= 0.5
 """
+
+
+def q_secrets_scan(spark, sf_dir):
+    """High-entropy secrets detection (r11 — the Dolma / BigCode-style
+    credential pass PII regexes cannot express). The corpus has no
+    natural base64-ish runs, so the fixture injects deterministic ones
+    both engines synthesize identically: docs ≡ 0 (mod 7) get the
+    64-hex-char md5(id)||md5(id||'b') (per-run entropy ~3.7-4.0,
+    straddling the 3.5-bit threshold — finite-sample hex entropy dips
+    below it for some ids, so n_high_entropy < n_candidates and the
+    threshold branch is value-exercised), docs ≡ 0 (mod 11) get a
+    30-char single-letter run (entropy 0: candidate, never flagged)."""
+    from titan_spark.pipeline.pii import secrets_scan
+
+    d = tables(spark, sf_dir)["documents"]
+    ids = F.col("doc_id").cast("string")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" "), F.md5(ids), F.md5(F.concat(ids, F.lit("b")))
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" " + "a" * 30),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return secrets_scan(injected)
+
+
+QUERIES["secrets_scan"] = q_secrets_scan
+
+ORACLE_SQL["secrets_scan"] = """
+    WITH injected AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' ' || md5(CAST(doc_id AS VARCHAR))
+                            || md5(CAST(doc_id AS VARCHAR) || 'b')
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' ' || repeat('a', 30)
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '[A-Za-z0-9+/=_-]{20,}') AS cands
+        FROM injected
+    ),
+    e AS (
+        SELECT doc_id, cands,
+               list_transform(cands, s ->
+                   list_sum(list_transform(
+                       generate_series(1, length(s)),
+                       i -> -log2(
+                           CAST(length(s) - length(replace(s, s[i], ''))
+                                AS DOUBLE) / length(s)
+                       ) / length(s)
+                   ))
+               ) AS ents
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(len(cands) AS BIGINT) AS n_candidates,
+           CAST(len(list_filter(ents, x -> x >= 3.5)) AS BIGINT)
+               AS n_high_entropy,
+           ROUND(COALESCE(list_max(ents), 0.0), 4) + 0.0 AS max_entropy,
+           len(list_filter(ents, x -> x >= 3.5)) > 0 AS has_secret
+    FROM e
+"""
