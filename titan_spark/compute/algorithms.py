@@ -429,10 +429,13 @@ def label_propagation(
         .dropDuplicates(["u", "v"])
         .cache()
     )
+    n_und = und.count()  # materializes the cache; sizes the loop below
     state = graph.vertices.select("id", F.col("id").alias("community"))
     state = cut_lineage(state, eager=True)
     w = Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("community").asc())
-    for i in range(iterations):
+    from titan_spark.compute.checkpointing import scoped_range
+
+    for i in scoped_range(und.sparkSession, n_und, iterations):
         msgs = und.join(state.withColumnRenamed("id", "u"), "u").select(
             F.col("v").alias("id"), "community"
         )
@@ -524,22 +527,35 @@ def clustering_coefficient(
     e = graph.edges
     if edge_labels:
         e = e.filter(F.col("label").isin(list(edge_labels)))
+    # ONE deduplicated undirected edge set and ONE degree aggregation,
+    # shared between the coefficient denominator and the degree
+    # orientation (the previous composition with triangle_count built
+    # both a second time from the raw edges — a full scan + dedup
+    # shuffle and a degree shuffle computed twice per query)
     und = (
         e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
+        .cache()
     )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
+        .cache()
     )
-    tri = triangle_count(graph, edge_labels)
-    return (
+    oriented = degree_oriented_edges(und, deg).cache()
+    per_vertex = (
+        _enumerate_triangles(oriented)
+        .select(F.explode(F.array("v1", "v2", "v3")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = (
         graph.vertices.select("id")
         .join(deg, "id", "left")
-        .join(tri, "id", "left")
+        .join(per_vertex, "id", "left")
         .select(
             "id",
             F.when(
@@ -551,6 +567,12 @@ def clustering_coefficient(
             .alias("coefficient"),
         )
     )
+    # materialize before releasing the cached relations
+    out = cut_lineage(out, eager=True)
+    oriented.unpersist(blocking=False)
+    deg.unpersist(blocking=False)
+    und.unpersist(blocking=False)
+    return out
 
 
 def _edge_support(und: DataFrame) -> DataFrame:
@@ -732,25 +754,36 @@ def _landmark_distances(
         .dropDuplicates(["u", "v"])
         .cache()
     )
-    ue.count()
+    n_ue = ue.count()
     state = (
         graph.vertices.filter(F.col("id").isin([int(x) for x in landmark_ids]))
         .select(F.col("id"), F.col("id").alias("lm"), F.lit(0).cast("long").alias("d"))
     )
     state = cut_lineage(state, eager=True)
     frontier = state
-    for _ in range(max_iterations):
-        cand = (
-            frontier.join(ue, frontier["id"] == ue["u"])
-            .select(F.col("v").alias("id"), "lm", (F.col("d") + 1).alias("d"))
-            .groupBy("id", "lm")
-            .agg(F.min("d").alias("d"))
-        )
-        new = cut_lineage(cand.join(state, ["id", "lm"], "left_anti"), eager=True)
-        if new.limit(1).count() == 0:
-            break
-        state = cut_lineage(state.unionByName(new), eager=True)
-        frontier = new
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
+    # frontier/state relations are landmark-pair-sized; size shuffle
+    # parallelism to the cached edge set for the loop's duration
+    with scoped_shuffle_partitions(ue.sparkSession, n_ue):
+        for _i in range(max_iterations):
+            cand = (
+                frontier.join(ue, frontier["id"] == ue["u"])
+                .select(F.col("v").alias("id"), "lm", (F.col("d") + 1).alias("d"))
+                .groupBy("id", "lm")
+                .agg(F.min("d").alias("d"))
+            )
+            # lazy cut + full count: one job materializes the checkpoint
+            # and answers the frontier-empty test
+            new = cut_lineage(
+                cand.join(state, ["id", "lm"], "left_anti"),
+                eager=False,
+                round_idx=_i,
+            )
+            if new.count() == 0:
+                break
+            state = cut_lineage(state.unionByName(new), eager=False)
+            frontier = new
     ue.unpersist()
     return state
 
@@ -839,41 +872,54 @@ def maximal_independent_set(
         .dropDuplicates(["u", "v"])
         .cache()
     )
-    ue.count()
+    n_ue = ue.count()
     remaining = cut_lineage(graph.vertices.select("id"), eager=True)
+    n_rem = remaining.count()
     winners_acc: DataFrame | None = None
-    for r in range(max_iterations):
-        if remaining.limit(1).count() == 0:
-            break
-        pr = portable_hash64(
-            F.concat(F.lit(f"mis{seed}:{r}:"), F.col("id").cast("string"))
-        )
-        ap = remaining.select("id", pr.alias("p"))
-        nbr_max = (
-            ue.join(ap.select(F.col("id").alias("v"), F.struct("p", "id").alias("vs")), "v")
-            .join(ap.select(F.col("id").alias("u")), "u")
-            .groupBy("u")
-            .agg(F.max("vs").alias("mx"))
-            .withColumnRenamed("u", "id")
-        )
-        winners = (
-            ap.join(nbr_max, "id", "left")
-            .filter(F.col("mx").isNull() | (F.struct("p", "id") > F.col("mx")))
-            .select("id")
-        )
-        winners = cut_lineage(winners, eager=True)
-        losers = (
-            ue.join(winners.withColumnRenamed("id", "u"), "u")
-            .select(F.col("v").alias("id"))
-            .distinct()
-            .join(remaining, "id", "left_semi")
-        )
-        retired = winners.unionByName(losers)
-        remaining = cut_lineage(remaining.join(retired, "id", "left_anti"), eager=True)
-        winners_acc = (
-            winners if winners_acc is None else winners_acc.unionByName(winners)
-        )
-        winners_acc = cut_lineage(winners_acc, eager=True)
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
+    # active-set relations only shrink; size shuffle parallelism to the
+    # cached symmetric edge set for the loop's duration
+    with scoped_shuffle_partitions(ue.sparkSession, n_ue):
+        for r in range(max_iterations):
+            if n_rem == 0:
+                break
+            pr = portable_hash64(
+                F.concat(F.lit(f"mis{seed}:{r}:"), F.col("id").cast("string"))
+            )
+            ap = remaining.select("id", pr.alias("p"))
+            nbr_max = (
+                ue.join(ap.select(F.col("id").alias("v"), F.struct("p", "id").alias("vs")), "v")
+                .join(ap.select(F.col("id").alias("u")), "u")
+                .groupBy("u")
+                .agg(F.max("vs").alias("mx"))
+                .withColumnRenamed("u", "id")
+            )
+            winners = (
+                ap.join(nbr_max, "id", "left")
+                .filter(F.col("mx").isNull() | (F.struct("p", "id") > F.col("mx")))
+                .select("id")
+            )
+            winners = cut_lineage(winners, eager=True)
+            losers = (
+                ue.join(winners.withColumnRenamed("id", "u"), "u")
+                .select(F.col("v").alias("id"))
+                .distinct()
+                .join(remaining, "id", "left_semi")
+            )
+            retired = winners.unionByName(losers)
+            # lazy cut + full count: one job materializes the next
+            # active set and answers the loop's emptiness test
+            remaining = cut_lineage(
+                remaining.join(retired, "id", "left_anti"),
+                eager=False,
+                round_idx=r,
+            )
+            n_rem = remaining.count()
+            winners_acc = (
+                winners if winners_acc is None else winners_acc.unionByName(winners)
+            )
+            winners_acc = cut_lineage(winners_acc, eager=False)
     ue.unpersist()
     mis = winners_acc if winners_acc is not None else remaining.limit(0)
     return graph.vertices.select("id").join(
@@ -903,30 +949,35 @@ def topological_levels(
     if edge_labels:
         e = e.filter(F.col("label").isin(list(edge_labels)))
     ed = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).dropDuplicates().cache()
-    ed.count()
+    n_ed = ed.count()
     lvl = cut_lineage(
         graph.vertices.select("id", F.lit(0).cast("long").alias("level")), eager=True
     )
     frontier = lvl
-    for i in range(max_iterations):
-        cand = (
-            ed.join(frontier.withColumnRenamed("id", "u"), "u")
-            .groupBy(F.col("v").alias("id"))
-            .agg((F.max("level") + 1).alias("_nl"))
-        )
-        bumped = (
-            cand.join(lvl, "id")
-            .filter(F.col("_nl") > F.col("level"))
-            .select("id", F.col("_nl").alias("level"))
-        )
-        bumped = cut_lineage(bumped, eager=True, round_idx=i)
-        if bumped.limit(1).count() == 0:
-            ed.unpersist()
-            return lvl
-        lvl = cut_lineage(
-            lvl.join(bumped, "id", "left_anti").unionByName(bumped), eager=True
-        )
-        frontier = bumped
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(ed.sparkSession, n_ed):
+        for i in range(max_iterations):
+            cand = (
+                ed.join(frontier.withColumnRenamed("id", "u"), "u")
+                .groupBy(F.col("v").alias("id"))
+                .agg((F.max("level") + 1).alias("_nl"))
+            )
+            bumped = (
+                cand.join(lvl, "id")
+                .filter(F.col("_nl") > F.col("level"))
+                .select("id", F.col("_nl").alias("level"))
+            )
+            # lazy cut + full count: one job per round instead of two
+            bumped = cut_lineage(bumped, eager=False, round_idx=i)
+            if bumped.count() == 0:
+                ed.unpersist()
+                return lvl
+            lvl = cut_lineage(
+                lvl.join(bumped, "id", "left_anti").unionByName(bumped),
+                eager=False,
+            )
+            frontier = bumped
     ed.unpersist()
     raise ValueError(
         f"topological_levels did not converge in {max_iterations} rounds — "
@@ -984,7 +1035,7 @@ def betweenness_centrality(
         .dropDuplicates(["u", "v"])
         .cache()
     )
-    ue.count()
+    n_ue = ue.count()
     sources = [int(x) for x in source_ids]
     visited = cut_lineage(
         graph.vertices.filter(F.col("id").isin(sources)).select(
@@ -997,59 +1048,66 @@ def betweenness_centrality(
     )
     frontier = visited
     depth = 0
-    for r in range(max_iterations):
-        cand = (
-            frontier.join(ue, frontier["id"] == ue["u"])
-            .groupBy(F.col("v").alias("id"), "lm")
-            .agg(F.sum("sigma").alias("sigma"))
-        )
-        new = cut_lineage(
-            cand.join(visited.select("id", "lm"), ["id", "lm"], "left_anti")
-            .withColumn("dist", F.lit(r + 1).cast("long")),
-            eager=True,
-        )
-        if new.limit(1).count() == 0:
-            break
-        depth = r + 1
-        visited = cut_lineage(
-            visited.unionByName(new.select("id", "lm", "dist", "sigma")), eager=True
-        )
-        frontier = new.select("id", "lm", "dist", "sigma")
-    # backward: delta per (id, lm), accumulated from depth down to 1
-    delta = visited.select("id", "lm", F.lit(0.0).alias("delta"))
-    delta = cut_lineage(delta, eager=True)
-    for d in range(depth, 0, -1):
-        w_nodes = (
-            visited.filter(F.col("dist") == d)
-            .join(delta, ["id", "lm"])
-            .select(
-                F.col("id").alias("_w"), "lm",
-                F.col("sigma").alias("_sw"), F.col("delta").alias("_dw"),
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
+    # (vertex, source) state is sample-pair-sized; size shuffle
+    # parallelism to the cached symmetric edge set for both phases
+    with scoped_shuffle_partitions(ue.sparkSession, n_ue):
+        for r in range(max_iterations):
+            cand = (
+                frontier.join(ue, frontier["id"] == ue["u"])
+                .groupBy(F.col("v").alias("id"), "lm")
+                .agg(F.sum("sigma").alias("sigma"))
             )
-        )
-        preds = visited.filter(F.col("dist") == d - 1).select(
-            F.col("id").alias("_u"), "lm", F.col("sigma").alias("_su")
-        )
-        contrib = (
-            ue.join(w_nodes, ue["v"] == w_nodes["_w"])
-            .join(preds, (F.col("u") == F.col("_u")) & (w_nodes["lm"] == preds["lm"]))
-            .select(
-                F.col("_u").alias("id"),
-                w_nodes["lm"].alias("lm"),
-                (F.col("_su") / F.col("_sw") * (1.0 + F.col("_dw"))).alias("_c"),
+            # lazy cut + full count: one job per round instead of two
+            new = cut_lineage(
+                cand.join(visited.select("id", "lm"), ["id", "lm"], "left_anti")
+                .withColumn("dist", F.lit(r + 1).cast("long")),
+                eager=False,
+                round_idx=r,
             )
-            .groupBy("id", "lm")
-            .agg(F.sum("_c").alias("_add"))
-        )
-        delta = cut_lineage(
-            delta.join(contrib, ["id", "lm"], "left")
-            .select(
-                "id", "lm",
-                (F.col("delta") + F.coalesce(F.col("_add"), F.lit(0.0))).alias("delta"),
-            ),
-            eager=True,
-            round_idx=d,
-        )
+            if new.count() == 0:
+                break
+            depth = r + 1
+            visited = cut_lineage(
+                visited.unionByName(new.select("id", "lm", "dist", "sigma")), eager=False
+            )
+            frontier = new.select("id", "lm", "dist", "sigma")
+        # backward: delta per (id, lm), accumulated from depth down to 1
+        delta = visited.select("id", "lm", F.lit(0.0).alias("delta"))
+        delta = cut_lineage(delta, eager=True)
+        for d in range(depth, 0, -1):
+            w_nodes = (
+                visited.filter(F.col("dist") == d)
+                .join(delta, ["id", "lm"])
+                .select(
+                    F.col("id").alias("_w"), "lm",
+                    F.col("sigma").alias("_sw"), F.col("delta").alias("_dw"),
+                )
+            )
+            preds = visited.filter(F.col("dist") == d - 1).select(
+                F.col("id").alias("_u"), "lm", F.col("sigma").alias("_su")
+            )
+            contrib = (
+                ue.join(w_nodes, ue["v"] == w_nodes["_w"])
+                .join(preds, (F.col("u") == F.col("_u")) & (w_nodes["lm"] == preds["lm"]))
+                .select(
+                    F.col("_u").alias("id"),
+                    w_nodes["lm"].alias("lm"),
+                    (F.col("_su") / F.col("_sw") * (1.0 + F.col("_dw"))).alias("_c"),
+                )
+                .groupBy("id", "lm")
+                .agg(F.sum("_c").alias("_add"))
+            )
+            delta = cut_lineage(
+                delta.join(contrib, ["id", "lm"], "left")
+                .select(
+                    "id", "lm",
+                    (F.col("delta") + F.coalesce(F.col("_add"), F.lit(0.0))).alias("delta"),
+                ),
+                eager=True,
+                round_idx=d,
+            )
     ue.unpersist()
     bc = (
         delta.filter(F.col("id") != F.col("lm"))  # a source's own BFS contributes no self-dependency
@@ -1193,7 +1251,7 @@ def random_walks(
             .drop("_rn")
         )
     nbrs = ad.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("_ns")).cache()
-    nbrs.count()
+    n_nbrs = nbrs.count()
 
     starts = graph.vertices.select("id")
     if start_ids is not None:
@@ -1209,28 +1267,33 @@ def random_walks(
     acc = frontier.select(
         "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("id")
     )
-    for t in range(length):
-        draw = portable_hash64(
-            F.concat(F.lit(f"rw{seed}:"), F.col("walk_id").cast("string"), F.lit(f":{t}"))
-        )
-        idx = (F.pmod(draw, F.size("_ns")) + F.lit(1)).cast("int")
-        nxt = frontier.join(nbrs, frontier["cur"] == nbrs["u"]).select(
-            "walk_id", F.element_at("_ns", idx).alias("cur")
-        )
-        # periodic cut, not per-step: a short walk's plan is a bounded
-        # join chain over the cached neighbor table, and each eager cut
-        # is a full job — cutting every step made fixed overhead, not
-        # data, the dominant cost (measured ~2.5x on the sf0.1 row)
-        if (t + 1) % cut_every == 0:
-            frontier = cut_lineage(nxt, eager=True, round_idx=t)
-        else:
-            frontier = nxt
-        acc = acc.unionByName(
-            frontier.select(
-                "walk_id", F.lit(t + 1).cast("int").alias("step"), F.col("cur").alias("id")
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
+    # per-step shuffles move walk-frontier-sized relations; size
+    # shuffle parallelism to the cached neighbor table for the loop
+    with scoped_shuffle_partitions(nbrs.sparkSession, n_nbrs):
+        for t in range(length):
+            draw = portable_hash64(
+                F.concat(F.lit(f"rw{seed}:"), F.col("walk_id").cast("string"), F.lit(f":{t}"))
             )
-        )
-    acc = cut_lineage(acc, eager=True)
+            idx = (F.pmod(draw, F.size("_ns")) + F.lit(1)).cast("int")
+            nxt = frontier.join(nbrs, frontier["cur"] == nbrs["u"]).select(
+                "walk_id", F.element_at("_ns", idx).alias("cur")
+            )
+            # periodic cut, not per-step: a short walk's plan is a bounded
+            # join chain over the cached neighbor table, and each eager cut
+            # is a full job — cutting every step made fixed overhead, not
+            # data, the dominant cost (measured ~2.5x on the sf0.1 row)
+            if (t + 1) % cut_every == 0:
+                frontier = cut_lineage(nxt, eager=True, round_idx=t)
+            else:
+                frontier = nxt
+            acc = acc.unionByName(
+                frontier.select(
+                    "walk_id", F.lit(t + 1).cast("int").alias("step"), F.col("cur").alias("id")
+                )
+            )
+        acc = cut_lineage(acc, eager=True)
     nbrs.unpersist()
     return acc
 
@@ -1296,59 +1359,75 @@ def strongly_connected_components(
             .join(remaining.withColumnRenamed("id", "v"), "v", "left_semi")
             .cache()
         )
-        sub_e.count()
-        # 1. forward max-color fixpoint (changed-frontier expansion)
-        color = cut_lineage(remaining.select("id", F.col("id").alias("color")), eager=True)
-        frontier = color
-        for _i in range(max_inner):
-            cand = (
-                sub_e.join(
-                    frontier.select(F.col("id").alias("u"), "color"), "u"
+        n_sub = sub_e.count()
+        # inner fixpoints shuffle frontier/remaining-subgraph-sized
+        # relations dozens of rounds; size shuffle parallelism to the
+        # materialized subgraph (guide SS2.2/2.4 - never raises above
+        # the session setting)
+        from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
+        with scoped_shuffle_partitions(graph.vertices.sparkSession, n_sub):
+            # 1. forward max-color fixpoint (changed-frontier expansion)
+            color = cut_lineage(remaining.select("id", F.col("id").alias("color")), eager=True)
+            frontier = color
+            for _i in range(max_inner):
+                cand = (
+                    sub_e.join(
+                        frontier.select(F.col("id").alias("u"), "color"), "u"
+                    )
+                    .groupBy(F.col("v").alias("id"))
+                    .agg(F.max("color").alias("_nc"))
                 )
-                .groupBy(F.col("v").alias("id"))
-                .agg(F.max("color").alias("_nc"))
+                bumped = (
+                    cand.join(color, "id")
+                    .filter(F.col("_nc") > F.col("color"))
+                    .select("id", F.col("_nc").alias("color"))
+                )
+                # lazy cut + full count: ONE job materializes the
+                # checkpoint and answers the empty-frontier test
+                # (limit(1).count() after an eager cut was a second
+                # job per round — ~2 jobs x rounds saved)
+                bumped = cut_lineage(bumped, eager=False, round_idx=_i)
+                if bumped.count() == 0:
+                    break
+                color = cut_lineage(
+                    color.join(bumped, "id", "left_anti").unionByName(bumped),
+                    eager=False,
+                )
+                frontier = bumped
+            # 2. backward collection from roots within each color class
+            members = cut_lineage(
+                color.filter(F.col("color") == F.col("id")).select("id", "color"),
+                eager=True,
             )
-            bumped = (
-                cand.join(color, "id")
-                .filter(F.col("_nc") > F.col("color"))
-                .select("id", F.col("_nc").alias("color"))
+            bfront = members
+            for _i in range(max_inner):
+                # predecessors u of collected v, same color class, not yet in
+                cand = (
+                    sub_e.join(bfront.select(F.col("id").alias("v"), "color"), "v")
+                    .select(F.col("u").alias("id"), "color")
+                    .join(color.withColumnRenamed("color", "_uc"), "id")
+                    .filter(F.col("_uc") == F.col("color"))
+                    .select("id", "color")
+                    .dropDuplicates(["id"])
+                )
+                new = cut_lineage(
+                    cand.join(members, "id", "left_anti"),
+                    eager=False,
+                    round_idx=_i,
+                )
+                if new.count() == 0:
+                    break
+                members = cut_lineage(members.unionByName(new), eager=False)
+                bfront = new
+            # 3. retire: rep = min id of each collected SCC
+            rep = members.groupBy("color").agg(F.min("id").alias("component"))
+            assigned = members.join(rep, "color").select("id", "component")
+            done = assigned if done is None else done.unionByName(assigned)
+            done = cut_lineage(done, eager=True)
+            remaining = cut_lineage(
+                remaining.join(members.select("id"), "id", "left_anti"), eager=True
             )
-            bumped = cut_lineage(bumped, eager=True, round_idx=_i)
-            if bumped.limit(1).count() == 0:
-                break
-            color = cut_lineage(
-                color.join(bumped, "id", "left_anti").unionByName(bumped), eager=True
-            )
-            frontier = bumped
-        # 2. backward collection from roots within each color class
-        members = cut_lineage(
-            color.filter(F.col("color") == F.col("id")).select("id", "color"),
-            eager=True,
-        )
-        bfront = members
-        for _i in range(max_inner):
-            # predecessors u of collected v, same color class, not yet in
-            cand = (
-                sub_e.join(bfront.select(F.col("id").alias("v"), "color"), "v")
-                .select(F.col("u").alias("id"), "color")
-                .join(color.withColumnRenamed("color", "_uc"), "id")
-                .filter(F.col("_uc") == F.col("color"))
-                .select("id", "color")
-                .dropDuplicates(["id"])
-            )
-            new = cut_lineage(cand.join(members, "id", "left_anti"), eager=True, round_idx=_i)
-            if new.limit(1).count() == 0:
-                break
-            members = cut_lineage(members.unionByName(new), eager=True)
-            bfront = new
-        # 3. retire: rep = min id of each collected SCC
-        rep = members.groupBy("color").agg(F.min("id").alias("component"))
-        assigned = members.join(rep, "color").select("id", "component")
-        done = assigned if done is None else done.unionByName(assigned)
-        done = cut_lineage(done, eager=True)
-        remaining = cut_lineage(
-            remaining.join(members.select("id"), "id", "left_anti"), eager=True
-        )
         sub_e.unpersist()
     else:
         if remaining.limit(1).count() > 0:
@@ -1443,34 +1522,42 @@ def bidirectional_distance(
         s["frontier_n"] = 1
     best: int | None = None
     converged = False
-    for _i in range(max_iterations):
-        lf, lb = sides["f"]["level"], sides["b"]["level"]
-        if best is not None and lf + lb >= best:
-            converged = True
-            break
-        side = sides["f"] if sides["f"]["frontier_n"] <= sides["b"]["frontier_n"] else sides["b"]
-        other = sides["b"] if side is sides["f"] else sides["f"]
-        nxt = (
-            side["frontier"].join(side["edges"], side["frontier"]["id"] == side["edges"]["u"])
-            .select(F.col("v").alias("id"), (F.col("d") + 1).alias("d"))
-            .groupBy("id").agg(F.min("d").alias("d"))
-            .join(side["visited"].select("id"), "id", "left_anti")
-        )
-        nxt = cut_lineage(nxt, eager=True, round_idx=_i)
-        n = nxt.count()
-        side["level"] += 1
-        side["frontier"], side["frontier_n"] = nxt, n
-        if n == 0:
-            converged = True
-            break  # side exhausted: no shorter path remains
-        side["visited"] = cut_lineage(side["visited"].unionByName(nxt), eager=True)
-        meet = (
-            nxt.join(other["visited"].withColumnRenamed("d", "d2"), "id")
-            .agg(F.min(F.col("d") + F.col("d2")).alias("m"))
-            .collect()[0]["m"]
-        )
-        if meet is not None:
-            best = int(meet) if best is None else min(best, int(meet))
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
+    # frontier relations are ball-sized; size shuffle parallelism to
+    # the cached directed edge set for the loop's duration
+    n_fb = fwd_e.count() + (0 if bwd_e is fwd_e else bwd_e.count())
+    with scoped_shuffle_partitions(spark, n_fb):
+        for _i in range(max_iterations):
+            lf, lb = sides["f"]["level"], sides["b"]["level"]
+            if best is not None and lf + lb >= best:
+                converged = True
+                break
+            side = sides["f"] if sides["f"]["frontier_n"] <= sides["b"]["frontier_n"] else sides["b"]
+            other = sides["b"] if side is sides["f"] else sides["f"]
+            nxt = (
+                side["frontier"].join(side["edges"], side["frontier"]["id"] == side["edges"]["u"])
+                .select(F.col("v").alias("id"), (F.col("d") + 1).alias("d"))
+                .groupBy("id").agg(F.min("d").alias("d"))
+                .join(side["visited"].select("id"), "id", "left_anti")
+            )
+            # lazy cut + full count: one job materializes the frontier
+            # and answers the exhaustion test
+            nxt = cut_lineage(nxt, eager=False, round_idx=_i)
+            n = nxt.count()
+            side["level"] += 1
+            side["frontier"], side["frontier_n"] = nxt, n
+            if n == 0:
+                converged = True
+                break  # side exhausted: no shorter path remains
+            side["visited"] = cut_lineage(side["visited"].unionByName(nxt), eager=False)
+            meet = (
+                nxt.join(other["visited"].withColumnRenamed("d", "d2"), "id")
+                .agg(F.min(F.col("d") + F.col("d2")).alias("m"))
+                .collect()[0]["m"]
+            )
+            if meet is not None:
+                best = int(meet) if best is None else min(best, int(meet))
     if not converged and not (
         best is not None
         and sides["f"]["level"] + sides["b"]["level"] >= best
@@ -1529,12 +1616,16 @@ def feature_propagation(
         ad = ad.unionByName(p)
     # message flows v -> u (u aggregates its neighbors' values)
     ad = ad.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"]).cache()
-    ad.count()
+    n_ad = ad.count()
     state = graph.vertices.select(
         "id", F.col(feature_col).cast("double").alias("f0")
     )
     state = cut_lineage(state, eager=True)
-    for t in range(hops):
+    from titan_spark.compute.checkpointing import scoped_range
+
+    # hop shuffles move vertex-feature/edge-sized relations; scope
+    # shuffle parallelism to the cached adjacency (fixed-round loop)
+    for t in scoped_range(ad.sparkSession, n_ad, hops):
         prev, nxt = f"f{t}", f"f{t + 1}"
         msgs = (
             ad.join(state.select(F.col("id").alias("v"), F.col(prev).alias("_x")), "v")
@@ -1749,24 +1840,28 @@ def k_hop_subgraph(
     for p in parts[1:]:
         ad = ad.unionByName(p)
     ad = ad.dropDuplicates(["u", "v"]).cache()
-    ad.count()
+    n_ad = ad.count()
     spark = graph.vertices.sparkSession
     seen = cut_lineage(
         spark.createDataFrame([(int(s),) for s in seed_ids], "id bigint"), eager=True
     )
     frontier = seen
-    for i in range(k):
-        nxt = (
-            frontier.join(ad, frontier["id"] == ad["u"])
-            .select(F.col("v").alias("id"))
-            .dropDuplicates()
-            .join(seen, "id", "left_anti")
-        )
-        nxt = cut_lineage(nxt, eager=True, round_idx=i)
-        if nxt.limit(1).count() == 0:
-            break
-        seen = cut_lineage(seen.unionByName(nxt), eager=True)
-        frontier = nxt
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, n_ad):
+        for i in range(k):
+            nxt = (
+                frontier.join(ad, frontier["id"] == ad["u"])
+                .select(F.col("v").alias("id"))
+                .dropDuplicates()
+                .join(seen, "id", "left_anti")
+            )
+            # lazy cut + full count: one job per round instead of two
+            nxt = cut_lineage(nxt, eager=False, round_idx=i)
+            if nxt.count() == 0:
+                break
+            seen = cut_lineage(seen.unionByName(nxt), eager=False)
+            frontier = nxt
     ad.unpersist()
     v = graph.vertices.join(seen, "id", "left_semi")
     ee = graph.edges.join(
@@ -1804,7 +1899,7 @@ def hits(
     if edge_labels:
         e = e.filter(F.col("label").isin(list(edge_labels)))
     ed = e.select("src", "dst").dropDuplicates().cache()
-    ed.count()
+    n_ed = ed.count()
 
     def _l2_normalize(raw: DataFrame, col: str) -> DataFrame:
         norm = raw.agg(
@@ -1822,20 +1917,24 @@ def hits(
     hub = graph.vertices.select("id", F.lit(1.0).alias("h"))
     hub = cut_lineage(hub, eager=True)
     auth = None
-    for t in range(iterations):
+    from titan_spark.compute.checkpointing import scoped_range
+
+    for t in scoped_range(ed.sparkSession, n_ed, iterations):
         araw = (
             ed.join(hub.select(F.col("id").alias("src"), "h"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("h").alias("a"))
         )
-        araw = cut_lineage(araw, eager=True, round_idx=t)
+        # half-step cuts are lazy: the round's single eager hub cut
+        # materializes the whole round (3 jobs/round -> 1)
+        araw = cut_lineage(araw, eager=False, round_idx=t)
         auth = _l2_normalize(araw, "a")
         hraw = (
             ed.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("a").alias("h"))
         )
-        hraw = cut_lineage(hraw, eager=True, round_idx=t)
+        hraw = cut_lineage(hraw, eager=False, round_idx=t)
         hub = cut_lineage(_l2_normalize(hraw, "h"), eager=True)
     ed.unpersist()
     return (
@@ -2167,150 +2266,156 @@ def louvain(
     # mapping from original vertex id to current-level supervertex
     mapping = graph.vertices.select(F.col("id"), F.col("id").alias("node"))
 
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
     for _level in range(levels):
         cur = cut_lineage(cur, eager=True)
-        m_row = cur.agg(F.sum("w")).first()[0]
-        if not m_row:
+        # one combined scalar pass: total weight for m2 plus the edge
+        # count that sizes the level's shuffle parallelism
+        m_row = cur.agg(F.sum("w"), F.count(F.lit(1))).first()
+        if not m_row[0]:
             break
-        m2 = 2.0 * float(m_row)
+        m2 = 2.0 * float(m_row[0])
+        n_cur = int(m_row[1])
 
-        nodes = (
-            cur.select(F.col("a").alias("node"))
-            .unionByName(cur.select(F.col("b").alias("node")))
-            .dropDuplicates(["node"])
-        )
-        # weighted degree: proper edges count at both ends; a self-loop
-        # (the contracted intra-community weight) counts TWICE, so a
-        # supervertex's k equals the d_c of the community it replaced
-        # and Q is preserved across levels
-        proper = cur.filter(F.col("a") != F.col("b"))
-        loops = cur.filter(F.col("a") == F.col("b"))
-        k = (
-            proper.select(F.col("a").alias("node"), "w")
-            .unionAll(proper.select(F.col("b").alias("node"), "w"))
-            .unionAll(loops.select(F.col("a").alias("node"), (2.0 * F.col("w")).alias("w")))
-            .groupBy("node")
-            .agg(F.sum("w").alias("k"))
-        )
-        comm = nodes.select("node", F.col("node").alias("community"))
+        with scoped_shuffle_partitions(cur.sparkSession, n_cur):
+            nodes = (
+                cur.select(F.col("a").alias("node"))
+                .unionByName(cur.select(F.col("b").alias("node")))
+                .dropDuplicates(["node"])
+            )
+            # weighted degree: proper edges count at both ends; a self-loop
+            # (the contracted intra-community weight) counts TWICE, so a
+            # supervertex's k equals the d_c of the community it replaced
+            # and Q is preserved across levels
+            proper = cur.filter(F.col("a") != F.col("b"))
+            loops = cur.filter(F.col("a") == F.col("b"))
+            k = (
+                proper.select(F.col("a").alias("node"), "w")
+                .unionAll(proper.select(F.col("b").alias("node"), "w"))
+                .unionAll(loops.select(F.col("a").alias("node"), (2.0 * F.col("w")).alias("w")))
+                .groupBy("node")
+                .agg(F.sum("w").alias("k"))
+            )
+            comm = nodes.select("node", F.col("node").alias("community"))
 
-        for _round in range(rounds_per_level):
-            comm = cut_lineage(comm, eager=True)
-            sig_tot = (
-                k.join(comm, "node")
-                .groupBy("community")
-                .agg(F.sum("k").alias("sig"))
-            )
-            # k_in(v, c): weight from v to neighbors currently in c
-            half = proper.select("a", "b", "w").unionAll(
-                proper.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-            )
-            kin = (
-                half.join(
-                    comm.select(F.col("node").alias("b"), F.col("community").alias("c")),
-                    "b",
+            for _round in range(rounds_per_level):
+                comm = cut_lineage(comm, eager=True)
+                sig_tot = (
+                    k.join(comm, "node")
+                    .groupBy("community")
+                    .agg(F.sum("k").alias("sig"))
                 )
-                .groupBy(F.col("a").alias("node"), "c")
-                .agg(F.sum("w").alias("kin"))
-            )
-            # every vertex must have its OWN community as a candidate
-            # even when it has no intra-community edges (kin 0) —
-            # without the explicit stay row a vertex with only
-            # cross-community neighbors is forced into its best
-            # neighbor at NEGATIVE gain (observed: contracted
-            # supervertices pairwise-merging across bridges)
-            stay = comm.select(
-                "node", F.col("community").alias("c"), F.lit(0.0).alias("kin")
-            )
-            kin = (
-                kin.unionByName(stay)
-                .groupBy("node", "c")
-                .agg(F.max("kin").alias("kin"))
-            )
-            csize = comm.groupBy("community").agg(
-                F.count(F.lit(1)).alias("csize")
-            )
-            cand = (
-                kin.join(comm, "node")
-                .join(k, "node")
-                .join(sig_tot.select(F.col("community").alias("c"), "sig"), "c")
-                .join(csize.select(F.col("community").alias("c"), F.col("csize").alias("size_c")), "c")
-                .join(csize.withColumnRenamed("csize", "size_own"), "community")
-                .select(
-                    "node",
-                    "community",
-                    "c",
-                    # gain of v sitting in c, with v's own mass removed
-                    (
-                        F.col("kin")
-                        - F.col("k")
-                        * (F.col("sig") - F.when(F.col("c") == F.col("community"), F.col("k")).otherwise(F.lit(0.0)))
-                        / F.lit(m2)
-                    ).alias("gain"),
-                    "size_c",
-                    "size_own",
+                # k_in(v, c): weight from v to neighbors currently in c
+                half = proper.select("a", "b", "w").unionAll(
+                    proper.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
                 )
-                # Grappolo's singleton minimum-label heuristic: two
-                # singleton vertices whose best moves target each other
-                # would swap communities every synchronous round forever;
-                # allowing only the smaller-id direction breaks the
-                # symmetry (the larger id joins, the smaller stays)
-                .filter(
-                    (F.col("c") == F.col("community"))
-                    | ~(
-                        (F.col("size_own") == 1)
-                        & (F.col("size_c") == 1)
-                        & (F.col("c") > F.col("community"))
+                kin = (
+                    half.join(
+                        comm.select(F.col("node").alias("b"), F.col("community").alias("c")),
+                        "b",
+                    )
+                    .groupBy(F.col("a").alias("node"), "c")
+                    .agg(F.sum("w").alias("kin"))
+                )
+                # every vertex must have its OWN community as a candidate
+                # even when it has no intra-community edges (kin 0) —
+                # without the explicit stay row a vertex with only
+                # cross-community neighbors is forced into its best
+                # neighbor at NEGATIVE gain (observed: contracted
+                # supervertices pairwise-merging across bridges)
+                stay = comm.select(
+                    "node", F.col("community").alias("c"), F.lit(0.0).alias("kin")
+                )
+                kin = (
+                    kin.unionByName(stay)
+                    .groupBy("node", "c")
+                    .agg(F.max("kin").alias("kin"))
+                )
+                csize = comm.groupBy("community").agg(
+                    F.count(F.lit(1)).alias("csize")
+                )
+                cand = (
+                    kin.join(comm, "node")
+                    .join(k, "node")
+                    .join(sig_tot.select(F.col("community").alias("c"), "sig"), "c")
+                    .join(csize.select(F.col("community").alias("c"), F.col("csize").alias("size_c")), "c")
+                    .join(csize.withColumnRenamed("csize", "size_own"), "community")
+                    .select(
+                        "node",
+                        "community",
+                        "c",
+                        # gain of v sitting in c, with v's own mass removed
+                        (
+                            F.col("kin")
+                            - F.col("k")
+                            * (F.col("sig") - F.when(F.col("c") == F.col("community"), F.col("k")).otherwise(F.lit(0.0)))
+                            / F.lit(m2)
+                        ).alias("gain"),
+                        "size_c",
+                        "size_own",
+                    )
+                    # Grappolo's singleton minimum-label heuristic: two
+                    # singleton vertices whose best moves target each other
+                    # would swap communities every synchronous round forever;
+                    # allowing only the smaller-id direction breaks the
+                    # symmetry (the larger id joins, the smaller stays)
+                    .filter(
+                        (F.col("c") == F.col("community"))
+                        | ~(
+                            (F.col("size_own") == 1)
+                            & (F.col("size_c") == 1)
+                            & (F.col("c") > F.col("community"))
+                        )
                     )
                 )
-            )
-            # ties: prefer staying put (damps synchronous churn), then
-            # the smaller community id for determinism
-            wnd = Window.partitionBy("node").orderBy(
-                F.col("gain").desc(),
-                (F.col("c") != F.col("community")).asc(),
-                F.col("c").asc(),
-            )
-            best = (
-                cand.withColumn("rn", F.row_number().over(wnd))
-                .filter(F.col("rn") == 1)
-                .select("node", F.col("c").alias("new_community"))
-            )
-            comm = (
-                comm.join(best, "node", "left")
-                .select(
-                    "node",
-                    F.coalesce("new_community", "community").alias("community"),
+                # ties: prefer staying put (damps synchronous churn), then
+                # the smaller community id for determinism
+                wnd = Window.partitionBy("node").orderBy(
+                    F.col("gain").desc(),
+                    (F.col("c") != F.col("community")).asc(),
+                    F.col("c").asc(),
                 )
-            )
+                best = (
+                    cand.withColumn("rn", F.row_number().over(wnd))
+                    .filter(F.col("rn") == 1)
+                    .select("node", F.col("c").alias("new_community"))
+                )
+                comm = (
+                    comm.join(best, "node", "left")
+                    .select(
+                        "node",
+                        F.coalesce("new_community", "community").alias("community"),
+                    )
+                )
 
-        # canonical community id = min member node id at this level
-        canon = comm.groupBy("community").agg(F.min("node").alias("canon"))
-        comm = comm.join(canon, "community").select("node", F.col("canon").alias("community"))
-        # LEFT join: comm only covers edge endpoints, so a vertex with
-        # no (label-filtered) edges would vanish under an inner join —
-        # isolated vertices stay as their own singleton community,
-        # matching standard community-detection output contracts
-        mapping = (
-            mapping.join(
-                comm.withColumnRenamed("node", "_n"),
-                mapping.node == F.col("_n"),
-                "left",
+            # canonical community id = min member node id at this level
+            canon = comm.groupBy("community").agg(F.min("node").alias("canon"))
+            comm = comm.join(canon, "community").select("node", F.col("canon").alias("community"))
+            # LEFT join: comm only covers edge endpoints, so a vertex with
+            # no (label-filtered) edges would vanish under an inner join —
+            # isolated vertices stay as their own singleton community,
+            # matching standard community-detection output contracts
+            mapping = (
+                mapping.join(
+                    comm.withColumnRenamed("node", "_n"),
+                    mapping.node == F.col("_n"),
+                    "left",
+                )
+                .select("id", F.coalesce("community", "node").alias("node"))
             )
-            .select("id", F.coalesce("community", "node").alias("node"))
-        )
-        # contract: communities become vertices, edge weights sum
-        cur = (
-            cur.join(comm.select(F.col("node").alias("a"), F.col("community").alias("ca")), "a")
-            .join(comm.select(F.col("node").alias("b"), F.col("community").alias("cb")), "b")
-            .select(
-                F.least("ca", "cb").alias("a"),
-                F.greatest("ca", "cb").alias("b"),
-                "w",
+            # contract: communities become vertices, edge weights sum
+            cur = (
+                cur.join(comm.select(F.col("node").alias("a"), F.col("community").alias("ca")), "a")
+                .join(comm.select(F.col("node").alias("b"), F.col("community").alias("cb")), "b")
+                .select(
+                    F.least("ca", "cb").alias("a"),
+                    F.greatest("ca", "cb").alias("b"),
+                    "w",
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("w").alias("w"))
             )
-            .groupBy("a", "b")
-            .agg(F.sum("w").alias("w"))
-        )
 
     return mapping.select("id", F.col("node").alias("community"))
 
@@ -2526,7 +2631,7 @@ def node2vec_walks(
     weight_out: int = 1,
     start_ids: list[int] | None = None,
     max_neighbors: int | None = None,
-    cut_every: int = 4,
+    cut_every: int = 1,
     trials: int = 16,
 ) -> DataFrame:
     """Deterministic node2vec walks → (walk_id, step, id): the
@@ -2634,7 +2739,7 @@ def node2vec_walks(
         "rn",
         F.row_number().over(Window.partitionBy("u").orderBy(F.col("v").asc())),
     ).cache()
-    adr.count()
+    n_adj = adr.count()
     degs = adr.groupBy("u").agg(F.max("rn").cast("long").alias("_deg")).cache()
 
     starts = graph.vertices.select("id")
@@ -2647,175 +2752,183 @@ def node2vec_walks(
     acc = frontier.select(
         "walk_id", F.lit(0).cast("int").alias("step"), F.col("cur").alias("id")
     )
-    for t in range(length):
-        adx = adr.select(
-            F.col("u").alias("_xu"),
-            F.col("rn").alias("_xrn"),
-            F.col("v").alias("_xv"),
-        )
-        prs = adr.select(F.col("u").alias("_pu"), F.col("v").alias("_pv"))
-        base_draw = portable_hash64(
-            F.concat(
-                F.lit(f"n2v{seed}:"),
-                F.col("walk_id").cast("string"),
-                F.lit(f":{t}"),
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
+
+    # per-step shuffles move walk-frontier/adjacency-sized relations;
+    # size shuffle parallelism to the materialized adjacency instead of
+    # paying rounds x session-partitions near-empty task launches
+    # (guide SS2.2/2.4 - never raises above the session setting, so
+    # corpus-scale graphs keep full parallelism)
+    with scoped_shuffle_partitions(graph.vertices.sparkSession, n_adj):
+        for t in range(length):
+            adx = adr.select(
+                F.col("u").alias("_xu"),
+                F.col("rn").alias("_xrn"),
+                F.col("v").alias("_xv"),
             )
-        )
-        if t == 0:
-            # uniform first step: one indexed lookup, no arrays
-            f1 = frontier.join(degs, frontier["cur"] == degs["u"]).select(
-                "walk_id", "cur", "_deg"
-            )
-            idx = (F.pmod(base_draw, F.col("_deg")) + F.lit(1)).cast("int")
-            nxt = (
-                f1.withColumn("_idx", idx)
-                .join(
-                    adx,
-                    (F.col("cur") == F.col("_xu"))
-                    & (F.col("_idx") == F.col("_xrn")),
+            prs = adr.select(F.col("u").alias("_pu"), F.col("v").alias("_pv"))
+            base_draw = portable_hash64(
+                F.concat(
+                    F.lit(f"n2v{seed}:"),
+                    F.col("walk_id").cast("string"),
+                    F.lit(f":{t}"),
                 )
-                .select(
+            )
+            if t == 0:
+                # uniform first step: one indexed lookup, no arrays
+                f1 = frontier.join(degs, frontier["cur"] == degs["u"]).select(
+                    "walk_id", "cur", "_deg"
+                )
+                idx = (F.pmod(base_draw, F.col("_deg")) + F.lit(1)).cast("int")
+                nxt = (
+                    f1.withColumn("_idx", idx)
+                    .join(
+                        adx,
+                        (F.col("cur") == F.col("_xu"))
+                        & (F.col("_idx") == F.col("_xrn")),
+                    )
+                    .select(
+                        "walk_id",
+                        F.col("cur").alias("_p"),
+                        F.col("_xv").alias("_c"),
+                    )
+                    .select(
+                        "walk_id",
+                        F.col("_p").alias("prev"),
+                        F.col("_c").alias("cur"),
+                    )
+                )
+            else:
+                f1 = frontier.join(degs, frontier["cur"] == degs["u"]).select(
+                    "walk_id", "prev", "cur", "_deg"
+                )
+                # --- rejection trials: `trials` constant-width rows per
+                # walk; candidate by composite-key (u, rn) lookup,
+                # acceptance by an independent hash vs the weight class
+                tr = f1.select(
+                    "walk_id",
+                    "prev",
+                    "cur",
+                    "_deg",
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(int(trials) - 1))
+                    ).alias("_j"),
+                )
+                h_pick = portable_hash64(
+                    F.concat(
+                        F.lit(f"n2v{seed}:"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(f":{t}:"),
+                        F.col("_j").cast("string"),
+                    )
+                )
+                h_acc = portable_hash64(
+                    F.concat(
+                        F.lit(f"n2va{seed}:"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(f":{t}:"),
+                        F.col("_j").cast("string"),
+                    )
+                )
+                tr = tr.withColumn(
+                    "_idx", (F.pmod(h_pick, F.col("_deg")) + F.lit(1)).cast("int")
+                ).withColumn("_u", F.pmod(h_acc, F.lit(wmax).cast("long")))
+                cand = tr.join(
+                    adx,
+                    (tr["cur"] == adx["_xu"]) & (tr["_idx"] == adx["_xrn"]),
+                ).select(
+                    "walk_id", "prev", "cur", "_j", "_u",
+                    F.col("_xv").alias("_x"),
+                )
+                cand = cand.join(
+                    prs,
+                    (cand["prev"] == prs["_pu"]) & (cand["_x"] == prs["_pv"]),
+                    "left",
+                ).select(
+                    "walk_id", "prev", "cur", "_j", "_u", "_x",
+                    F.col("_pv").isNotNull().alias("_inp"),
+                )
+                w_x = (
+                    F.when(F.col("_x") == F.col("prev"), wr_l)
+                    .when(F.col("_inp"), wi_l)
+                    .otherwise(wo_l)
+                )
+                accepted = (
+                    cand.filter(F.col("_u") < w_x)
+                    .groupBy("walk_id", "cur")
+                    .agg(F.min(F.struct("_j", "_x")).alias("_w"))
+                    .select(
+                        "walk_id",
+                        F.col("cur").alias("_p"),
+                        F.col("_w._x").alias("_c"),
+                    )
+                )
+                # --- exact bounded escape for walks whose every trial
+                # rejected (probability ≤ (1 − wmin/wmax)^trials per
+                # step): class-ordered cumulative pick, replayed as ROWS
+                # (explode N(cur), classify each candidate by one pair
+                # join, rank by (class, id), take the candidate whose
+                # cumulative-weight window brackets r) — exact ∝ w(x), no
+                # neighbor arrays anywhere.
+                fb = f1.join(
+                    accepted.select("walk_id"), "walk_id", "left_anti"
+                )
+                fbc = fb.join(adx, fb["cur"] == adx["_xu"]).select(
+                    "walk_id", "prev", "cur",
+                    F.col("_xv").alias("_x"),
+                )
+                fbc = fbc.join(
+                    prs,
+                    (fbc["prev"] == prs["_pu"]) & (fbc["_x"] == prs["_pv"]),
+                    "left",
+                ).select(
+                    "walk_id", "prev", "cur", "_x",
+                    F.col("_pv").isNotNull().alias("_inp"),
+                )
+                fbc = fbc.withColumn(
+                    "_cls",
+                    F.when(F.col("_x") == F.col("prev"), F.lit(0))
+                    .when(F.col("_inp"), F.lit(1))
+                    .otherwise(F.lit(2)),
+                ).withColumn(
+                    "_w",
+                    F.when(F.col("_cls") == 0, wr_l)
+                    .when(F.col("_cls") == 1, wi_l)
+                    .otherwise(wo_l),
+                )
+                w_ord = Window.partitionBy("walk_id").orderBy("_cls", "_x")
+                w_all = Window.partitionBy("walk_id")
+                fbc = fbc.withColumn(
+                    "_cum",
+                    F.sum("_w").over(
+                        w_ord.rowsBetween(Window.unboundedPreceding, 0)
+                    ),
+                ).withColumn("_tot", F.sum("_w").over(w_all))
+                r = F.pmod(base_draw, F.col("_tot"))
+                fallback = fbc.filter(
+                    (r >= F.col("_cum") - F.col("_w")) & (r < F.col("_cum"))
+                ).select(
                     "walk_id",
                     F.col("cur").alias("_p"),
-                    F.col("_xv").alias("_c"),
+                    F.col("_x").alias("_c"),
                 )
-                .select(
+                nxt = accepted.unionByName(fallback).select(
                     "walk_id",
                     F.col("_p").alias("prev"),
                     F.col("_c").alias("cur"),
                 )
-            )
-        else:
-            f1 = frontier.join(degs, frontier["cur"] == degs["u"]).select(
-                "walk_id", "prev", "cur", "_deg"
-            )
-            # --- rejection trials: `trials` constant-width rows per
-            # walk; candidate by composite-key (u, rn) lookup,
-            # acceptance by an independent hash vs the weight class
-            tr = f1.select(
-                "walk_id",
-                "prev",
-                "cur",
-                "_deg",
-                F.explode(
-                    F.sequence(F.lit(0), F.lit(int(trials) - 1))
-                ).alias("_j"),
-            )
-            h_pick = portable_hash64(
-                F.concat(
-                    F.lit(f"n2v{seed}:"),
-                    F.col("walk_id").cast("string"),
-                    F.lit(f":{t}:"),
-                    F.col("_j").cast("string"),
-                )
-            )
-            h_acc = portable_hash64(
-                F.concat(
-                    F.lit(f"n2va{seed}:"),
-                    F.col("walk_id").cast("string"),
-                    F.lit(f":{t}:"),
-                    F.col("_j").cast("string"),
-                )
-            )
-            tr = tr.withColumn(
-                "_idx", (F.pmod(h_pick, F.col("_deg")) + F.lit(1)).cast("int")
-            ).withColumn("_u", F.pmod(h_acc, F.lit(wmax).cast("long")))
-            cand = tr.join(
-                adx,
-                (tr["cur"] == adx["_xu"]) & (tr["_idx"] == adx["_xrn"]),
-            ).select(
-                "walk_id", "prev", "cur", "_j", "_u",
-                F.col("_xv").alias("_x"),
-            )
-            cand = cand.join(
-                prs,
-                (cand["prev"] == prs["_pu"]) & (cand["_x"] == prs["_pv"]),
-                "left",
-            ).select(
-                "walk_id", "prev", "cur", "_j", "_u", "_x",
-                F.col("_pv").isNotNull().alias("_inp"),
-            )
-            w_x = (
-                F.when(F.col("_x") == F.col("prev"), wr_l)
-                .when(F.col("_inp"), wi_l)
-                .otherwise(wo_l)
-            )
-            accepted = (
-                cand.filter(F.col("_u") < w_x)
-                .groupBy("walk_id", "cur")
-                .agg(F.min(F.struct("_j", "_x")).alias("_w"))
-                .select(
+            if (t + 1) % cut_every == 0:
+                frontier = cut_lineage(nxt, eager=True, round_idx=t)
+            else:
+                frontier = nxt
+            acc = acc.unionByName(
+                frontier.select(
                     "walk_id",
-                    F.col("cur").alias("_p"),
-                    F.col("_w._x").alias("_c"),
+                    F.lit(t + 1).cast("int").alias("step"),
+                    F.col("cur").alias("id"),
                 )
             )
-            # --- exact bounded escape for walks whose every trial
-            # rejected (probability ≤ (1 − wmin/wmax)^trials per
-            # step): class-ordered cumulative pick, replayed as ROWS
-            # (explode N(cur), classify each candidate by one pair
-            # join, rank by (class, id), take the candidate whose
-            # cumulative-weight window brackets r) — exact ∝ w(x), no
-            # neighbor arrays anywhere.
-            fb = f1.join(
-                accepted.select("walk_id"), "walk_id", "left_anti"
-            )
-            fbc = fb.join(adx, fb["cur"] == adx["_xu"]).select(
-                "walk_id", "prev", "cur",
-                F.col("_xv").alias("_x"),
-            )
-            fbc = fbc.join(
-                prs,
-                (fbc["prev"] == prs["_pu"]) & (fbc["_x"] == prs["_pv"]),
-                "left",
-            ).select(
-                "walk_id", "prev", "cur", "_x",
-                F.col("_pv").isNotNull().alias("_inp"),
-            )
-            fbc = fbc.withColumn(
-                "_cls",
-                F.when(F.col("_x") == F.col("prev"), F.lit(0))
-                .when(F.col("_inp"), F.lit(1))
-                .otherwise(F.lit(2)),
-            ).withColumn(
-                "_w",
-                F.when(F.col("_cls") == 0, wr_l)
-                .when(F.col("_cls") == 1, wi_l)
-                .otherwise(wo_l),
-            )
-            w_ord = Window.partitionBy("walk_id").orderBy("_cls", "_x")
-            w_all = Window.partitionBy("walk_id")
-            fbc = fbc.withColumn(
-                "_cum",
-                F.sum("_w").over(
-                    w_ord.rowsBetween(Window.unboundedPreceding, 0)
-                ),
-            ).withColumn("_tot", F.sum("_w").over(w_all))
-            r = F.pmod(base_draw, F.col("_tot"))
-            fallback = fbc.filter(
-                (r >= F.col("_cum") - F.col("_w")) & (r < F.col("_cum"))
-            ).select(
-                "walk_id",
-                F.col("cur").alias("_p"),
-                F.col("_x").alias("_c"),
-            )
-            nxt = accepted.unionByName(fallback).select(
-                "walk_id",
-                F.col("_p").alias("prev"),
-                F.col("_c").alias("cur"),
-            )
-        if (t + 1) % cut_every == 0:
-            frontier = cut_lineage(nxt, eager=True, round_idx=t)
-        else:
-            frontier = nxt
-        acc = acc.unionByName(
-            frontier.select(
-                "walk_id",
-                F.lit(t + 1).cast("int").alias("step"),
-                F.col("cur").alias("id"),
-            )
-        )
-    acc = cut_lineage(acc, eager=True)
+        acc = cut_lineage(acc, eager=True)
     adr.unpersist()
     degs.unpersist()
     return acc

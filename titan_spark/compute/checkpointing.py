@@ -162,3 +162,13 @@ def scoped_shuffle_partitions(spark, rows: int, rows_per_partition: int = 50_000
         yield target
     finally:
         spark.conf.set(conf, old)
+
+
+def scoped_range(spark, rows: int, n: int, rows_per_partition: int = 50_000):
+    """``range(n)`` under :func:`scoped_shuffle_partitions` — for
+    FIXED-round loops with no early ``break`` (the scope exits when the
+    range is exhausted; breaking out would defer the conf restore to
+    generator finalization, so loops with data-dependent exits should
+    use the context manager directly)."""
+    with scoped_shuffle_partitions(spark, rows, rows_per_partition):
+        yield from range(n)
