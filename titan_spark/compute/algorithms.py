@@ -1367,7 +1367,13 @@ def strongly_connected_components(
         from titan_spark.compute.checkpointing import scoped_shuffle_partitions
 
         with scoped_shuffle_partitions(graph.vertices.sparkSession, n_sub):
-            # 1. forward max-color fixpoint (changed-frontier expansion)
+            # 1. forward max-color fixpoint (changed-frontier
+            # expansion). Pointer jumping on colors (the WCC loop's
+            # O(log diameter) doubling) was tried here and measured
+            # SLOWER on the bench fixture (13.1 s vs 9.0 s warm): on
+            # cycle blocks most vertices re-color every round, so the
+            # two extra frontier-sized joins per round cost more than
+            # the saved rounds — reverted, noted so it is not re-tried.
             color = cut_lineage(remaining.select("id", F.col("id").alias("color")), eager=True)
             frontier = color
             for _i in range(max_inner):

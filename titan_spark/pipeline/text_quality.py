@@ -644,10 +644,20 @@ def kneser_ney_perplexity(
         F.col("g.w2").alias("w2"),
         F.col("g.w3").alias("w3"),
     )
-    # ONE type table; every KN statistic below is an agg over it
+    from titan_spark.compute.checkpointing import cut_lineage
+
+    # the tokenize -> zip_with trigram explode is the corpus-scan
+    # stage; materialize it ONCE — without the cut the type-table agg
+    # and the scoring join each recompute it, and the type table's
+    # seven consumers multiply that out to ~8 corpus passes
+    pos = cut_lineage(pos, eager=False)
+    # ONE type table; every KN statistic below is an agg over it —
+    # materialized once (bounded by distinct-trigram count) so its
+    # seven consumers read instead of re-aggregating
     types = pos.groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c3")
     )
+    types = cut_lineage(types, eager=False)
     ctx2 = types.groupBy("w1", "w2").agg(
         F.sum("c3").cast("double").alias("cc2"),
         F.count(F.lit(1)).cast("double").alias("t12"),  # N1+(w1 w2 ·)
@@ -658,22 +668,17 @@ def kneser_ney_perplexity(
     mid = types.groupBy("w2").agg(
         F.count(F.lit(1)).cast("double").alias("n_mid")  # N1+(· w2 ·)
     )
-    fwd2 = (
-        types.select("w2", "w3")
-        .distinct()
-        .groupBy("w2")
-        .agg(F.count(F.lit(1)).cast("double").alias("t2"))  # N1+(w2 ·)
+    # the distinct (w2, w3) type-pair relation feeds three statistics —
+    # computed once instead of three distinct passes over the type table
+    bt = cut_lineage(types.select("w2", "w3").distinct(), eager=False)
+    fwd2 = bt.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("t2")  # N1+(w2 ·)
     )
-    cont1 = (
-        types.select("w2", "w3")
-        .distinct()
-        .groupBy("w3")
-        .agg(F.count(F.lit(1)).cast("double").alias("n_r"))  # N1+(· w3)
+    cont1 = bt.groupBy("w3").agg(
+        F.count(F.lit(1)).cast("double").alias("n_r")  # N1+(· w3)
     )
-    total_b = (
-        types.select("w2", "w3")
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("double").alias("n_bb"))  # N1+(· ·)
+    total_b = bt.agg(
+        F.count(F.lit(1)).cast("double").alias("n_bb")  # N1+(· ·)
     )
     p1 = F.col("n_r") / F.col("n_bb")
     p2 = (
@@ -740,11 +745,19 @@ def ngram_novelty(
     from titan_spark.functions.hashing import resolve_hash_fn
     from titan_spark.pipeline.dedup import shingles
 
+    from titan_spark.compute.checkpointing import cut_lineage
+
     h = resolve_hash_fn(hash_fn)
     g = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), n)).alias("_g"),
     ).select(F.col(id_col), h(F.col("_g")).alias("_h"))
+    # materialized ONCE: the (id, hash) gram stream feeds both the
+    # doc-frequency aggregate and the join back — without the cut the
+    # tokenize -> n-gram explode -> hash pass (the expensive stage)
+    # runs twice per query (the two consumers' exchanges differ, so
+    # ReuseExchange cannot dedupe them)
+    g = cut_lineage(g, eager=True)
     docfreq = g.groupBy("_h").agg(
         F.count(F.lit(1)).cast("long").alias("_df")
     )
