@@ -102,9 +102,16 @@ def nb_train(
     # negative class): an unlabeled row is missing data, and silently
     # counting it as negative would skew both the bucket counts and
     # the fitted prior
+    from titan_spark.compute.checkpointing import cut_lineage
+
     labeled = docs.select(
         F.col(id_col).alias("_id"), lbl.cast("boolean").alias("_pos")
     ).filter(F.col("_pos").isNotNull())
+    # (id, bool) per doc, referenced three times (feature join, prior
+    # aggregate, calibration join) — materialized once so a label
+    # expression that is itself a corpus pass (e.g. the doc_quality
+    # composite) is not recomputed per consumer
+    labeled = cut_lineage(labeled, eager=True)
     rows = hashed_gram_rows(
         docs, text_col, id_col, n_buckets, use_bigrams, hash_fn
     ).join(labeled, "_id")
@@ -112,6 +119,11 @@ def nb_train(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("n_neg"),
     )
+    # bucket counts are bounded by n_buckets; materialized once — the
+    # totals collect below, the calibration pass, and every later
+    # consumer of `weights` would otherwise re-run the train-corpus
+    # gram explode + groupBy per reference (measured 3x per query)
+    counts = cut_lineage(counts, eager=True)
     tot = counts.agg(
         F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
     ).collect()[0]
@@ -263,11 +275,17 @@ def dsir_importance(
     collect, one broadcast weight join — and the whole computation
     replays in ANSI SQL. Returns (id_col, n_grams, log_importance)
     for every raw document; zero-gram docs score 0."""
+    from titan_spark.compute.checkpointing import cut_lineage
+
     rows_t = hashed_gram_rows(
         target, text_col, id_col, n_buckets, use_bigrams, hash_fn
     )
-    rows_r = hashed_gram_rows(
-        raw, text_col, id_col, n_buckets, use_bigrams, hash_fn
+    # raw-corpus gram rows feed both the distribution estimate and the
+    # per-doc scoring join — materialized once instead of re-running
+    # the tokenize -> explode -> hash pass per consumer
+    rows_r = cut_lineage(
+        hashed_gram_rows(raw, text_col, id_col, n_buckets, use_bigrams, hash_fn),
+        eager=True,
     )
     counts = (
         rows_t.select("bucket", F.lit(1).alias("_t"), F.lit(0).alias("_r"))
@@ -277,6 +295,9 @@ def dsir_importance(
         .groupBy("bucket")
         .agg(F.sum("_t").alias("n_t"), F.sum("_r").alias("n_r"))
     )
+    # bounded by n_buckets; the totals collect and the weights join
+    # both read it
+    counts = cut_lineage(counts, eager=True)
     tot = counts.agg(
         F.sum("n_t").alias("tt"), F.sum("n_r").alias("tr")
     ).collect()[0]

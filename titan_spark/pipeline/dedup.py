@@ -653,8 +653,14 @@ def line_dedup(
     cost of rewriting the corpus, and the same passes a C4-style
     map-reduce implementation pays.
     """
+    from titan_spark.compute.checkpointing import cut_lineage
+
     seg = segment_lines(df, text_col, id_col, mode, delimiter, tokens_per_line)
-    hashed = seg.select("id", "pos", "line", F.md5("line").alias("_h"))
+    # segmentation + md5 feeds the election and the keep semi-join —
+    # materialized once instead of running the corpus pass twice
+    hashed = cut_lineage(
+        seg.select("id", "pos", "line", F.md5("line").alias("_h")), eager=True
+    )
     winners = hashed.groupBy("_h").agg(
         F.min(F.struct("id", "pos")).alias("_first")
     ).select("_h", F.col("_first.id").alias("id"), F.col("_first.pos").alias("pos"))
@@ -786,21 +792,33 @@ def exact_substring_removal(
     """
     from pyspark.sql import Window
 
-    base = (
+    from titan_spark.compute.checkpointing import cut_lineage
+
+    # tokenized corpus is read by the position explode, the window
+    # pass, and the length table — materialized once (three tokenize
+    # scans otherwise)
+    base = cut_lineage(
         df.select(
             F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("_toks")
         )
-        .filter(F.size("_toks") > 0)
+        .filter(F.size("_toks") > 0),
+        eager=True,
     )
     toks = base.select("id", F.posexplode("_toks").alias("pos", "tok"))
-    wins = base.filter(F.size("_toks") >= k).select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - k),
-                lambda s: F.md5(F.concat_ws(" ", F.slice("_toks", s + 1, k))),
-            )
-        ).alias("start", "_h"),
+    # the rolling-window md5 pass is O(k) per token position — the
+    # single most expensive stage; it feeds both the duplicate count
+    # and the occurrence join, so materialize it once
+    wins = cut_lineage(
+        base.filter(F.size("_toks") >= k).select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - k),
+                    lambda s: F.md5(F.concat_ws(" ", F.slice("_toks", s + 1, k))),
+                )
+            ).alias("start", "_h"),
+        ),
+        eager=True,
     )
     dup = (
         wins.groupBy("_h")
@@ -808,7 +826,9 @@ def exact_substring_removal(
         .filter(F.col("_n") >= 2)
         .select("_h")
     )
-    occ = wins.join(dup, "_h", "left_semi")
+    # duplicated occurrences only (small next to the corpus): the
+    # winner election and the loser anti-join both read it
+    occ = cut_lineage(wins.join(dup, "_h", "left_semi"), eager=True)
     winners = (
         occ.groupBy("_h")
         .agg(F.min(F.struct("id", "start")).alias("_first"))
@@ -898,8 +918,16 @@ def boilerplate_passage_removal(
     reassembly shuffles surviving text once on id — the irreducible
     cost of rewriting the corpus, identical to line_dedup's.
     """
+    from titan_spark.compute.checkpointing import cut_lineage
+
     seg = segment_lines(df, text_col, id_col, mode, delimiter, window)
-    hashed = seg.select("id", "pos", "line", F.md5("line").alias("_h"))
+    # segmentation + md5 feeds FOUR consumers (boilerplate count,
+    # winner election, both kept branches) plus the passage count —
+    # materialized once instead of re-running the corpus pass per
+    # consumer
+    hashed = cut_lineage(
+        seg.select("id", "pos", "line", F.md5("line").alias("_h")), eager=True
+    )
     boiler = (
         hashed.groupBy("_h")
         .agg(F.count_distinct("id").alias("_nd"))
@@ -919,7 +947,7 @@ def boilerplate_passage_removal(
     kept = hashed.join(boiler, "_h", "left_anti").unionByName(
         hashed.join(winners, ["_h", "id", "pos"], "left_semi")
     )
-    n_passages = seg.groupBy("id").agg(F.count(F.lit(1)).alias("n_passages"))
+    n_passages = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n_passages"))
     sep = delimiter if mode == "delimiter" else " "
     return (
         kept.groupBy("id")
