@@ -483,71 +483,94 @@ def k_core(
     the cheap way — when a round removes no edges the remaining rounds
     are no-ops in both engines.
 
-    Scale shape: per round one degree aggregation plus two semi-joins,
-    all keyed on vertex id over the *surviving* edge set, which only
-    shrinks; lineage is cut per round (periodic storage spill — see
+    Scale shape: the loop holds the NORMALIZED (a < b) undirected edge
+    set — half the rows of the symmetric form it previously carried, so
+    the build dedup shuffles half the pairs and every per-round storage
+    spill writes half the bytes (sf10 A/B, tools/prof_kcore2.py: build
+    32.6 → 20.5 s, peel 7.7 → 5.8 s). Degrees come from the endpoint
+    union (each undirected edge credits both ends exactly once —
+    identical to the symmetric groupBy, hence identical drops, rounds
+    and output). Per round one degree aggregation plus the peel joins;
+    lineage is cut per round (periodic storage spill — see
     checkpointing.SPILL_PERIOD).
     """
     e = graph.edges
     if edge_labels:
         e = e.filter(F.col("label").isin(list(edge_labels)))
-    sym = (
-        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
     )
     # initial state spills to storage too: one less edge-set-sized
     # localCheckpoint living in executor memory for the whole loop
-    sym = cut_lineage(sym, eager=True, round_idx=0, spill_period=1)
-    n_edges = sym.count()
+    und = cut_lineage(und, eager=True, round_idx=0, spill_period=1)
+    n_und = und.count()
     from titan_spark.compute.checkpointing import scoped_shuffle_partitions
 
-    with scoped_shuffle_partitions(sym.sparkSession, n_edges):
+    final_deg: DataFrame | None = None
+    # scope to endpoint rows (2 per edge) — the loop's widest shuffle
+    with scoped_shuffle_partitions(und.sparkSession, 2 * n_und):
         for i in range(rounds):
-            deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            deg = (
+                und.select(F.col("a").alias("id"))
+                .unionAll(und.select(F.col("b").alias("id")))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            # materialize the (vertex-sized) degree table: the drop
+            # count below computes it anyway, and on the convergence
+            # round it IS the answer — reusing it makes the old
+            # post-loop degree recount (a full edge-set scan + agg,
+            # 6.6-8.1 s at sf10) free
+            deg = cut_lineage(deg, eager=False)
             # Convergence is decided on the DROPPED-vertex set (tiny)
             # BEFORE any edge work: the old form rewrote the full
             # surviving edge set to parquet and counted it just to
             # discover a round removed nothing (sf1: a no-op round
             # cost 4.6 s of pure write+read). "No vertex below k" ⇔
-            # "no edge removed": every u in sym has deg ≥ 1, so a drop
+            # "no edge removed": every id in deg has d ≥ 1, so a drop
             # always removes edges and an unchanged edge set means an
             # empty drop set — the fixed-round oracle prefix replays
             # identically.
-            dropped = cut_lineage(
-                deg.filter(F.col("d") < k).select(F.col("u").alias("id")),
-                eager=False,
-            )
+            dropped = deg.filter(F.col("d") < k).select("id")
             n_drop = dropped.count()
             if n_drop == 0:
+                final_deg = deg
                 break
             if n_drop <= _PEEL_BROADCAST_MAX_ROWS:
                 # Peel by broadcast ANTI-join on the dropped set instead
                 # of shuffle SEMI-joins on the (much larger) keep set:
-                # sym is symmetric, so "endpoint not dropped" ⇔
-                # "endpoint kept", and the surviving edge relation never
-                # shuffles at all (sf1 round: 3.9 s → scan+write only).
+                # "endpoint not dropped" ⇔ "endpoint kept", so the
+                # surviving edge relation never shuffles at all (sf1
+                # round: 3.9 s → scan+write only).
                 d = F.broadcast(dropped)
-                new_sym = (
-                    sym.join(d.withColumnRenamed("id", "u"), "u", "left_anti")
-                    .join(d.withColumnRenamed("id", "v"), "v", "left_anti")
-                    .select("u", "v")
+                new_und = (
+                    und.join(d.withColumnRenamed("id", "a"), "a", "left_anti")
+                    .join(d.withColumnRenamed("id", "b"), "b", "left_anti")
+                    .select("a", "b")
                 )
             else:
                 # dropped too big to broadcast (adversarial k): the old
                 # shuffle semi-join on survivors stays correct
-                keep = deg.filter(F.col("d") >= k).select(F.col("u").alias("id"))
-                new_sym = (
-                    sym.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
-                    .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
-                    .select("u", "v")
+                keep = deg.filter(F.col("d") >= k).select("id")
+                new_und = (
+                    und.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+                    .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+                    .select("a", "b")
                 )
-            sym = cut_lineage(new_sym, eager=True, round_idx=i, spill_period=1)
-    return (
-        sym.groupBy(F.col("u").alias("id"))
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .filter(F.col("core_degree") >= k)
+            und = cut_lineage(new_und, eager=True, round_idx=i, spill_period=1)
+    if final_deg is None:
+        # rounds exhausted without convergence: the contract is the
+        # degree table of the fixed-round surviving set
+        final_deg = (
+            und.select(F.col("a").alias("id"))
+            .unionAll(und.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+    return final_deg.filter(F.col("d") >= k).select(
+        "id", F.col("d").alias("core_degree")
     )
 
 
