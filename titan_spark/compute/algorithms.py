@@ -1859,7 +1859,13 @@ def condensation(
     ``components`` defaults to running
     :func:`strongly_connected_components`; pass a precomputed
     (id, component) frame to reuse one. Edge contraction is two
-    broadcast-or-shuffle joins + a distinct — |E|-proportional.
+    broadcast-or-shuffle joins + a distinct — |E|-proportional. The
+    contracted edge relation is materialized before returning:
+    condensation consumers typically probe it several times (out/in
+    DAG degrees), and a lazy plan would re-run the |E|-sized
+    contraction per consumer (it also pins ``edge_id``, which
+    ``monotonically_increasing_id`` would otherwise re-draw on every
+    recomputation).
     """
     if components is None:
         components = strongly_connected_components(graph, edge_labels=edge_labels)
@@ -1888,7 +1894,7 @@ def condensation(
             F.lit("link").alias("label"),
         )
     )
-    return PropertyGraph(verts, ce)
+    return PropertyGraph(verts, cut_lineage(ce, eager=True))
 
 
 def k_hop_subgraph(
