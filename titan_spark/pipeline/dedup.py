@@ -197,6 +197,19 @@ def prefix_filter_candidates(
     lead the order, so hot templated shingles stay out of the prefixes
     and the join key distribution is anti-skewed by construction.
 
+    Postings carry the shingle's xxhash64 long, not the ~30-byte
+    trigram string: the frequency agg, the per-doc window sort and the
+    prefix self-join all key on the shingle, so bytes-per-posting is
+    this stage's shuffle cost (measured at sf10: the string-keyed
+    candidate stage was 56 s of the 500 k-doc pipeline). The recall
+    guarantee is order-agnostic — any GLOBAL canonical order gives
+    recall 1.0; (frequency asc, hash asc) keeps the anti-skew property.
+    The emitted candidate SET can differ from the string-ordered
+    variant (different prefixes), but downstream exact verification
+    (:func:`jaccard_pairs`, which hashes with the same xxhash64) makes
+    the threshold-filtered result identical — the same ~n²/2⁶⁵
+    collision caveat documented there applies.
+
     ``shingle_df``: optional precomputed ``(_id, _sh, _sz)`` table
     (avoids re-shingling when the caller verifies afterwards).
     """
@@ -207,10 +220,13 @@ def prefix_filter_candidates(
         sh = df.select(
             F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
         ).withColumn("_sz", F.size("_sh"))
-    # (doc, shingle, set size) postings — materialized once; both the
-    # frequency agg and the ranked prefix read from it
+    # (doc, shingle-hash, set size) postings — materialized once; both
+    # the frequency agg and the ranked prefix read from it
     posts = cut_lineage(
-        sh.select("_id", "_sz", F.explode("_sh").alias("_g")), eager=True
+        sh.select("_id", "_sz", F.explode("_sh").alias("_gs")).select(
+            "_id", "_sz", F.xxhash64("_gs").alias("_g")
+        ),
+        eager=True,
     )
     freq = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
     ranked = (
