@@ -2621,7 +2621,10 @@ def minimum_spanning_forest(
                     F.col("e.other").alias("parent"),
                 )
             )
-            elected = cut_lineage(elected, eager=True, round_idx=rounds)
+            # lazy cut: the rooting pass's first jump-probe count
+            # materializes it — one fewer job per Borůvka round
+            # (Change-1 pattern; the spill path stays eager by nature)
+            elected = cut_lineage(elected, eager=False, round_idx=rounds)
             forest_rounds.append(
                 elected.select("oa", "ob", "w").dropDuplicates(["oa", "ob"])
             )
@@ -2646,7 +2649,11 @@ def minimum_spanning_forest(
                 j = par
                 for _k in range(4):
                     j = _jump(j, par)
-                j = cut_lineage(j, eager=True, round_idx=rounds)
+                # lazy cut + one count that BOTH materializes the
+                # jumped table and answers the convergence probe —
+                # the old eager cut + separate limit(1).count() was
+                # two jobs per pass (Change-1 pattern)
+                j = cut_lineage(j, eager=False, round_idx=rounds)
                 moved = (
                     j.alias("x")
                     .join(
