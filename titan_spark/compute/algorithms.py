@@ -159,13 +159,18 @@ def connected_components(
     e = graph.edges
     if edge_labels:
         e = e.filter(F.col("label").isin(list(edge_labels)))
-    und = (
-        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .unionByName(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .dropDuplicates(["u", "v"])
-        .cache()
-    )
-    n_und = und.count()  # materializes the cache; sizes the loop below
+    # r11: the DIRECTED edge relation feeds the loop — the old
+    # symmetrize + dropDuplicates materialized a 2|E| relation and paid
+    # a full-width dedup shuffle that, on dedup pair graphs (pairs
+    # already unique with id_a < id_b), removed exactly zero rows.
+    # Duplicates and direction cannot change any result: the round-0
+    # neighbor-min aggregates BOTH endpoint directions (duplicate-
+    # insensitive), and the round-1 contraction symmetrizes AND dedups
+    # in label space, where the relation is already tiny. Parallel
+    # edges only linearly inflate the one contraction join they pass
+    # through.
+    de = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).cache()
+    n_de = de.count()  # materializes the cache; sizes the loop below
     state = graph.vertices.select("id", F.col("id").alias("component"))
     state = cut_lineage(state, eager=True)
     from titan_spark.compute.checkpointing import scoped_shuffle_partitions
@@ -175,10 +180,10 @@ def connected_components(
         # shrink shuffle parallelism to match (dedup pair graphs are
         # tiny even when the corpus is 100 TB; empty-task launch
         # overhead otherwise dominates every round)
-        with scoped_shuffle_partitions(und.sparkSession, n_und):
-            state = _cc_loop(state, und, max_iterations)
+        with scoped_shuffle_partitions(de.sparkSession, 2 * n_de):
+            state = _cc_loop(state, de, max_iterations)
     finally:
-        und.unpersist(blocking=False)
+        de.unpersist(blocking=False)
     return state
 
 
@@ -202,21 +207,98 @@ def _cc_loop(state, und, max_iterations):
     via the component-keyed join; (3) pointer jump — single for the
     cheap early rounds, CHAINED (label of label of label) from round 3
     on, so deep label chains compress ~4× per round once the tail is
-    pointer-depth bound."""
-    live = und.select("u", "v")
-    for i in range(max_iterations):
-        if i == 0:
-            # round 0: every label IS its vertex id, so the contraction
-            # relabel is the identity and the dedup finds nothing — skip
-            # two joins and a shuffle of the FULL (largest) edge set
-            pass
-        else:
-            lab_u = state.select(
-                F.col("id").alias("u"), F.col("component").alias("cu")
-            )
-            lab_v = state.select(
-                F.col("id").alias("v"), F.col("component").alias("cv")
-            )
+    pointer-depth bound.
+
+    r11: rounds ≥ 1 iterate on the LABEL MAP, not the vertex state.
+    Every term of the per-vertex update — nbr_min(label), jump(label)
+    — is a function of the vertex's CURRENT label alone, so all
+    vertices of a label class move identically and the whole iteration
+    factors through label space: iterate (label → label) against the
+    contracted edges, then compose onto the vertex state ONCE at the
+    end. The corpus-sized state relation is joined max twice total
+    (round 0 + final compose) instead of once per round — at sf10 the
+    semantic-dedup pair graph converged in 8 rounds with the quotient
+    at 8 k edges from round 1 on, while each extra round still paid a
+    200 k-row state join; at corpus scale those per-round joins are
+    billions of rows each."""
+    if max_iterations <= 0:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iterations} "
+            "rounds; components may be under-merged. Raise max_iterations "
+            "(rounds needed track the pair-graph diameter).",
+            RuntimeWarning,
+        )
+        return state
+    # ---- round 0 on the full graph: labels ARE vertex ids at entry,
+    # so contraction is the identity and the pointer jump is a no-op —
+    # the update reduces to min(id, min neighbor id). ``und`` is the
+    # DIRECTED edge relation; both endpoint directions feed one
+    # map-side-combinable aggregation (the union is narrow — two scans
+    # of the cached relation, no symmetrized materialization).
+    nbr = (
+        und.select("u", "v")
+        .unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy(F.col("u").alias("component"))
+        .agg(F.min("v").alias("nbr_min"))
+    )
+    state0 = (
+        state.join(nbr, "component", "left")
+        .select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_min"), F.col("component")),
+            ).alias("component"),
+            F.col("component").alias("_old"),
+        )
+    )
+    # lazy cut + FULL count: one job both materializes the checkpoint
+    # and answers the convergence test (the Change-1 pattern; the old
+    # eager cut + limit(1) probe paid two jobs per round)
+    state0 = cut_lineage(state0, eager=False, round_idx=0)
+    changed = state0.filter(F.col("component") < F.col("_old")).count()
+    state = state0.select("id", "component")
+    if changed == 0:
+        return state
+    # ---- label-space loop: lmap maps each round-0 label to its
+    # current component; live is the contracted edge set in that space.
+    # The directed relation contracts in ONE pass and symmetrizes in
+    # LABEL space (explode of both orientations), where the relation is
+    # already quotient-sized — never materializing 2|E| vertex-space
+    # rows. Relabeling commutes with the swap, so this equals
+    # contracting a symmetrized edge set exactly.
+    lab_u = state.select(F.col("id").alias("u"), F.col("component").alias("cu"))
+    lab_v = state.select(F.col("id").alias("v"), F.col("component").alias("cv"))
+    live = (
+        und.select("u", "v")
+        .join(lab_u, "u")
+        .join(lab_v, "v")
+        .filter(F.col("cu") != F.col("cv"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("cu").alias("u"), F.col("cv").alias("v")),
+                    F.struct(F.col("cv").alias("u"), F.col("cu").alias("v")),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .dropDuplicates(["u", "v"])
+    )
+    live = cut_lineage(live, eager=False, round_idx=1)
+    lmap = cut_lineage(
+        state.select(F.col("component").alias("id"))
+        .dropDuplicates(["id"])
+        .select("id", F.col("id").alias("component")),
+        eager=False,
+    )
+    converged = False
+    for i in range(1, max_iterations):
+        if i > 1:
+            lab_u = lmap.select(F.col("id").alias("u"), F.col("component").alias("cu"))
+            lab_v = lmap.select(F.col("id").alias("v"), F.col("component").alias("cv"))
             live = (
                 live.select("u", "v")
                 .join(lab_u, "u")
@@ -225,15 +307,15 @@ def _cc_loop(state, und, max_iterations):
                 .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
                 .dropDuplicates(["u", "v"])
             )
-            live = cut_lineage(live, eager=True, round_idx=i)
-        # neighbor min on the quotient graph, keyed by LABEL (und is
-        # symmetric, so contracted orientations are symmetric too and
-        # grouping on u covers both directions)
+            live = cut_lineage(live, eager=False, round_idx=i)
+        # neighbor min on the quotient graph, keyed by LABEL (live is
+        # symmetric in label space from round 1 on, so grouping on u
+        # covers both directions)
         nbr = live.groupBy(F.col("u").alias("component")).agg(
             F.min("v").alias("nbr_min")
         )
         # pointer jump: component of my component
-        ptr = state.select(
+        ptr = lmap.select(
             F.col("id").alias("component"), F.col("component").alias("jump")
         )
         if i >= 2:
@@ -245,8 +327,8 @@ def _cc_loop(state, und, max_iterations):
             ptr = ptr.join(hop, "jump", "left").select(
                 "component", F.coalesce("jump2", "jump").alias("jump")
             )
-        new_state = (
-            state.join(nbr, "component", "left")
+        new_lmap = (
+            lmap.join(nbr, "component", "left")
             .join(ptr, "component", "left")
             .select(
                 "id",
@@ -258,12 +340,25 @@ def _cc_loop(state, und, max_iterations):
                 F.col("component").alias("_old"),
             )
         )
-        new_state = cut_lineage(new_state, eager=True, round_idx=i)
-        changed = new_state.filter(F.col("component") < F.col("_old")).limit(1).count()
-        state = new_state.select("id", "component")
+        new_lmap = cut_lineage(new_lmap, eager=False, round_idx=i)
+        changed = new_lmap.filter(F.col("component") < F.col("_old")).count()
+        lmap = new_lmap.select("id", "component")
         if changed == 0:
+            converged = True
             break
-    else:
+    # ---- compose once: vertex label → its label's final component.
+    # Every round-0 label is an lmap key by construction, so the inner
+    # join is total; lmap is label-sized (small), typically broadcast.
+    state = (
+        state.join(
+            lmap.select(
+                F.col("id").alias("component"), F.col("component").alias("_final")
+            ),
+            "component",
+        )
+        .select("id", F.col("_final").alias("component"))
+    )
+    if not converged:
         # labels were still moving when the cap hit: the returned
         # components are an UNDER-merged partition of the true ones.
         # Silent truncation here poisons every dedup-cluster consumer
