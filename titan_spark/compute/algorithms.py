@@ -2992,17 +2992,49 @@ def node2vec_walks(
                 f1 = frontier.join(degs, frontier["cur"] == degs["u"]).select(
                     "walk_id", "prev", "cur", "_deg"
                 )
-                # --- rejection trials: `trials` constant-width rows per
-                # walk; candidate by composite-key (u, rn) lookup,
-                # acceptance by an independent hash vs the weight class
-                tr = f1.select(
+                # --- rejection trials: constant-width rows per walk;
+                # candidate by composite-key (u, rn) lookup, acceptance
+                # by an independent hash vs the weight class. r11 prune:
+                # a trial whose acceptance draw falls under wmin accepts
+                # ANY candidate class (every class weight is >= wmin), so
+                # the first such trial j0 — computable from hashes alone,
+                # before any join — always wins over later trials in the
+                # min-j pick. Explode only j <= j0: expected wmax/wmin
+                # rows per walk (2 at the 2:2:1 defaults) instead of
+                # `trials` (16), an 8x cut in both per-step join volumes.
+                # Picks are bit-identical: discarded trials provably
+                # cannot win; walks with no auto-accepting trial keep all
+                # `trials` rows, so the fallback arm is reached exactly
+                # as before.
+                wmin = min(wr, wi, wo)
+                acc_mods = F.array(
+                    *[
+                        F.pmod(
+                            portable_hash64(
+                                F.concat(
+                                    F.lit(f"n2va{seed}:"),
+                                    F.col("walk_id").cast("string"),
+                                    F.lit(f":{t}:{j}"),
+                                )
+                            ),
+                            F.lit(wmax).cast("long"),
+                        )
+                        for j in range(int(trials))
+                    ]
+                )
+                j0 = F.array_position(
+                    F.transform(acc_mods, lambda x: x < F.lit(wmin).cast("long")),
+                    True,
+                )
+                j_hi = F.when(j0 > 0, (j0 - 1).cast("int")).otherwise(
+                    F.lit(int(trials) - 1)
+                )
+                tr = f1.withColumn("_jhi", j_hi).select(
                     "walk_id",
                     "prev",
                     "cur",
                     "_deg",
-                    F.explode(
-                        F.sequence(F.lit(0), F.lit(int(trials) - 1))
-                    ).alias("_j"),
+                    F.explode(F.sequence(F.lit(0), F.col("_jhi"))).alias("_j"),
                 )
                 h_pick = portable_hash64(
                     F.concat(
