@@ -1537,6 +1537,21 @@ def strongly_connected_components(
         # the session setting)
         from titan_spark.compute.checkpointing import scoped_shuffle_partitions
 
+        # r11: big-state rounds route EVERY lineage cut through the
+        # parquet spill. The per-round localCheckpoint blocks of the two
+        # fixpoints are reclaimed only after driver GC (ContextCleaner),
+        # so at the sf10 960k-block fixture one SCC run leaves ~26
+        # persistent RDDs (~GBs) in the block manager and a SECOND
+        # SCC-family query in the same JVM measured +36% from the
+        # residue alone (67.7 s fresh -> 92.3 s following; clearing the
+        # leaked blocks restored 60.9 s). Same executor-memory reasoning
+        # as the k_core/Boruvka spill_period=1. Small graphs keep the
+        # historical localCheckpoint cadence (the spill write is an
+        # extra eager job per round that tiny rounds should not pay).
+        big_state = n_sub > 2_000_000
+        spill = 1 if big_state else 5
+        ridx0 = 0 if big_state else None
+
         with scoped_shuffle_partitions(graph.vertices.sparkSession, n_sub):
             # 1. forward max-color fixpoint (changed-frontier
             # expansion). Pointer jumping on colors (the WCC loop's
@@ -1545,7 +1560,12 @@ def strongly_connected_components(
             # cycle blocks most vertices re-color every round, so the
             # two extra frontier-sized joins per round cost more than
             # the saved rounds — reverted, noted so it is not re-tried.
-            color = cut_lineage(remaining.select("id", F.col("id").alias("color")), eager=True)
+            color = cut_lineage(
+                remaining.select("id", F.col("id").alias("color")),
+                eager=True,
+                round_idx=ridx0,
+                spill_period=spill,
+            )
             frontier = color
             for _i in range(max_inner):
                 cand = (
@@ -1564,18 +1584,24 @@ def strongly_connected_components(
                 # checkpoint and answers the empty-frontier test
                 # (limit(1).count() after an eager cut was a second
                 # job per round — ~2 jobs x rounds saved)
-                bumped = cut_lineage(bumped, eager=False, round_idx=_i)
+                bumped = cut_lineage(
+                    bumped, eager=False, round_idx=_i, spill_period=spill
+                )
                 if bumped.count() == 0:
                     break
                 color = cut_lineage(
                     color.join(bumped, "id", "left_anti").unionByName(bumped),
                     eager=False,
+                    round_idx=(_i if big_state else None),
+                    spill_period=spill,
                 )
                 frontier = bumped
             # 2. backward collection from roots within each color class
             members = cut_lineage(
                 color.filter(F.col("color") == F.col("id")).select("id", "color"),
                 eager=True,
+                round_idx=ridx0,
+                spill_period=spill,
             )
             bfront = members
             for _i in range(max_inner):
@@ -1592,18 +1618,27 @@ def strongly_connected_components(
                     cand.join(members, "id", "left_anti"),
                     eager=False,
                     round_idx=_i,
+                    spill_period=spill,
                 )
                 if new.count() == 0:
                     break
-                members = cut_lineage(members.unionByName(new), eager=False)
+                members = cut_lineage(
+                    members.unionByName(new),
+                    eager=False,
+                    round_idx=(_i if big_state else None),
+                    spill_period=spill,
+                )
                 bfront = new
             # 3. retire: rep = min id of each collected SCC
             rep = members.groupBy("color").agg(F.min("id").alias("component"))
             assigned = members.join(rep, "color").select("id", "component")
             done = assigned if done is None else done.unionByName(assigned)
-            done = cut_lineage(done, eager=True)
+            done = cut_lineage(done, eager=True, round_idx=ridx0, spill_period=spill)
             remaining = cut_lineage(
-                remaining.join(members.select("id"), "id", "left_anti"), eager=True
+                remaining.join(members.select("id"), "id", "left_anti"),
+                eager=True,
+                round_idx=ridx0,
+                spill_period=spill,
             )
         sub_e.unpersist()
     else:
