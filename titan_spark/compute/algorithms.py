@@ -1244,17 +1244,25 @@ def betweenness_centrality(
                 visited.unionByName(new.select("id", "lm", "dist", "sigma")), eager=False
             )
             frontier = new.select("id", "lm", "dist", "sigma")
-        # backward: delta per (id, lm), accumulated from depth down to 1
-        delta = visited.select("id", "lm", F.lit(0.0).alias("delta"))
-        delta = cut_lineage(delta, eager=True)
+        # backward: delta per (id, lm), accumulated from depth down to 1.
+        # In the level-synchronous BFS DAG every (vertex, source) pair's
+        # dependency is finalized in exactly ONE round — the round that
+        # processes its depth+1 successors — so each round touches only
+        # the two adjacent LEVELS instead of rewriting the full
+        # O(|V|·k) delta state (the old loop eagerly re-materialized
+        # every pair every round; at sf10 that was depth × 8 M-row
+        # rewrites for the same arithmetic). Finalized levels stack up
+        # in ``parts`` and union once at the end — same additions, same
+        # values, depth× less rewrite volume.
+        dprev = visited.filter(F.col("dist") == depth).select(
+            "id", "lm", "sigma", F.lit(0.0).alias("delta")
+        )
+        dprev = cut_lineage(dprev, eager=True)
+        parts = [dprev.select("id", "lm", "delta")]
         for d in range(depth, 0, -1):
-            w_nodes = (
-                visited.filter(F.col("dist") == d)
-                .join(delta, ["id", "lm"])
-                .select(
-                    F.col("id").alias("_w"), "lm",
-                    F.col("sigma").alias("_sw"), F.col("delta").alias("_dw"),
-                )
+            w_nodes = dprev.select(
+                F.col("id").alias("_w"), "lm",
+                F.col("sigma").alias("_sw"), F.col("delta").alias("_dw"),
             )
             preds = visited.filter(F.col("dist") == d - 1).select(
                 F.col("id").alias("_u"), "lm", F.col("sigma").alias("_su")
@@ -1270,15 +1278,21 @@ def betweenness_centrality(
                 .groupBy("id", "lm")
                 .agg(F.sum("_c").alias("_add"))
             )
-            delta = cut_lineage(
-                delta.join(contrib, ["id", "lm"], "left")
+            dprev = cut_lineage(
+                visited.filter(F.col("dist") == d - 1)
+                .select("id", "lm", "sigma")
+                .join(contrib, ["id", "lm"], "left")
                 .select(
-                    "id", "lm",
-                    (F.col("delta") + F.coalesce(F.col("_add"), F.lit(0.0))).alias("delta"),
+                    "id", "lm", "sigma",
+                    F.coalesce(F.col("_add"), F.lit(0.0)).alias("delta"),
                 ),
                 eager=True,
                 round_idx=d,
             )
+            parts.append(dprev.select("id", "lm", "delta"))
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
     ue.unpersist()
     bc = (
         delta.filter(F.col("id") != F.col("lm"))  # a source's own BFS contributes no self-dependency
