@@ -364,6 +364,11 @@ def run_suite() -> dict:
         "sf": sf_num,
         "n_vertices": nv,
         "n_edges": ne,
+        # parallelism contract (VERDICT r11 #2): report what the JVM
+        # actually ran with, so a core-count comparison can verify the
+        # $SPARK_GRAFT_CPUS pass-through instead of inferring it
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     if degree_profile is not None:
         out["degree_profile"] = degree_profile
@@ -610,6 +615,90 @@ SF10_FLAGSHIPS = [
     # armed the r10 in-row quadratic
     "node2vec_corpus",
 ]
+
+
+CORE_SCALING_QUERIES = [
+    # the sf1 heavy subset (each ≥ ~5 s at sf1 in the committed r11
+    # runs — compute-dominated, so the low-core/full-core ratio carries
+    # a real parallelism signal; at sf0.1 the whole suite is overhead-
+    # bound and every ratio lands ≈1, which is what tripped the r11
+    # suspect_cpus_ignored flag)
+    "condensation_dag",
+    "scc_blocks",
+    "local_clustering",
+    "transitivity",
+    "dedup_weights",
+    "dedup_clusters",
+    "node2vec_corpus",
+    "minimum_spanning_tree",
+    "pagerank_full_graph",
+    "graph_diameter",
+]
+
+
+def _core_scaling_block(sf1_queries: dict[str, float] | None) -> dict | None:
+    """Core-count scaling proof (VERDICT r11 #1 item 2): re-run the sf1
+    HEAVY subset in a fresh JVM at a LOW core count and report the
+    per-query low/full wall ratio. The r11 probe ran the full sf0.1
+    suite at 8 cores and it finished FASTER than at 32 — at that scale
+    the suite is JVM/scheduler-overhead-bound and core ratios carry no
+    parallelism signal. The sf1 heavy queries are compute-dominated, so
+    a healthy engine shows ratios well above 1 (approaching the core
+    ratio for CPU-bound stages; shuffle/IO-bound stages land lower).
+    Disable with SPARK_GRAFT_CORE_CHECK=0; low core count via
+    SPARK_GRAFT_LOWCORE (default 8)."""
+    if os.environ.get("SPARK_GRAFT_CORE_CHECK", "1") == "0" or not sf1_queries:
+        return None
+    full_cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    low_cpus = os.environ.get("SPARK_GRAFT_LOWCORE", "8")
+    if low_cpus == full_cpus:
+        return None
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", os.path.join(repo, "data", "sf1")
+    )
+    subset = [q for q in CORE_SCALING_QUERIES if q in sf1_queries]
+    if not subset:
+        return None
+    res = _run_single(
+        {
+            "SPARK_GRAFT_SF_DIR": scale_dir,
+            "SPARK_GRAFT_CPUS": low_cpus,
+            "SPARK_GRAFT_BENCH_REPS": "1",
+            "SPARK_GRAFT_BENCH_ONLY": ",".join(subset),
+        }
+    )
+    if res is None:
+        return None
+    low_q = {q: t for q, t in res["queries"].items() if q in set(subset) | {"graph_build_count"}}
+    ratios = {
+        q: round(t / sf1_queries[q], 2)
+        for q, t in low_q.items()
+        if sf1_queries.get(q)
+    }
+    core_ratio = None
+    try:
+        core_ratio = round(int(full_cpus) / int(low_cpus), 2)
+    except ValueError:
+        pass
+    return {
+        "sf": 1.0,
+        "low_cores": low_cpus,
+        "full_cores": full_cpus,
+        "core_ratio": core_ratio,
+        "low_master": res.get("master"),
+        "low_default_parallelism": res.get("default_parallelism"),
+        "queries_low": low_q,
+        "queries_full": {q: sf1_queries[q] for q in low_q if q in sf1_queries},
+        "ratio_low_over_full": ratios,
+        "note": "sf1 heavy subset, one fresh JVM at local[low_cores] vs "
+        "the sf1 scaling pass at local[full_cores] (same data, same "
+        "methodology; full-side numbers are the sf1 block's, adaptive "
+        "reps). Ratios > 1 mean fewer cores run slower — the "
+        "parallelism signal the sf0.1 suite cannot show because it is "
+        "overhead-bound (r11: the 8-core sf0.1 suite beat the 32-core "
+        "one outright).",
+    }
 
 
 def _sf10_block(sf1_queries: dict[str, float] | None) -> dict | None:
@@ -1049,11 +1138,18 @@ def main() -> None:
 
     if scaling is None:
         if "scaling_sf1" in skipped:
+            skipped.append("core_scaling")
             skipped.append("scaling_sf10")
-    elif not over_budget("scaling_sf10"):
-        sf10 = _sf10_block(scaling.get("queries"))
-        if sf10 is not None:
-            merged["scaling_sf10"] = sf10
+    else:
+        if not over_budget("core_scaling"):
+            core = _core_scaling_block(scaling.get("queries"))
+            if core is not None:
+                merged["core_scaling"] = core
+            emit()
+        if not over_budget("scaling_sf10"):
+            sf10 = _sf10_block(scaling.get("queries"))
+            if sf10 is not None:
+                merged["scaling_sf10"] = sf10
     emit()
 
 

@@ -1516,6 +1516,23 @@ def strongly_connected_components(
     standard per-round lineage cuts. Every join is frontier- or
     remaining-subgraph-sized; nothing is quadratic in |V|.
 
+    r12 state representation (guide §2.3/§2.4 — identical rounds,
+    delta-sized state): the color table is never carried whole.
+    color(v) = id(v) until first bump, so the forward fixpoint carries
+    only the CHANGED colors — per-round bump parts, each checkpointed,
+    resolved once after convergence to cmap = (id, max color over
+    accepted bumps; colors only increase, so the max IS the converged
+    color). r11's form rewrote and re-shuffled the full |V|-row color
+    relation every inner round of both fixpoints. The backward phase
+    keeps the same delta discipline: candidates inner-join a SHRINKING
+    ``uncolmap`` (uncollected id→color; roots and singletons start
+    collected, so uncollected ≡ cmap minus collected), which replaces
+    the old cmap-lookup + growing-members anti-join pair, and whatever
+    is left of it at convergence IS the next outer round's remaining
+    set — no |V|-sized retire anti-join. Measured on the 960k-block
+    sf10 bench fixture: 67.9 s (r11 form, same JVM/protocol) → 36.2 s
+    warm, bit-identical assignments (tools/prof_scc2.py).
+
     ``strict=True`` (default) raises ``ValueError`` if ``max_outer``
     rounds run out before every vertex is assigned — a partial
     assignment would turn leftover vertices into fake singleton SCCs,
@@ -1566,34 +1583,53 @@ def strongly_connected_components(
         spill = 1 if big_state else 5
         ridx0 = 0 if big_state else None
 
+        # count-known relations at or under this many rows get an
+        # explicit broadcast hint: the steady frontier (640 k rows ×
+        # 16 B at the sf10 fixture) sits EXACTLY at AQE's 10 MB
+        # threshold boundary, and a missed broadcast re-shuffles the
+        # cached edge relation every round
+        bcast_cap = 4_000_000
         with scoped_shuffle_partitions(graph.vertices.sparkSession, n_sub):
             # 1. forward max-color fixpoint (changed-frontier
-            # expansion). Pointer jumping on colors (the WCC loop's
-            # O(log diameter) doubling) was tried here and measured
-            # SLOWER on the bench fixture (13.1 s vs 9.0 s warm): on
-            # cycle blocks most vertices re-color every round, so the
-            # two extra frontier-sized joins per round cost more than
-            # the saved rounds — reverted, noted so it is not re-tried.
-            color = cut_lineage(
-                remaining.select("id", F.col("id").alias("color")),
-                eager=True,
-                round_idx=ridx0,
-                spill_period=spill,
-            )
-            frontier = color
+            # expansion), delta state only. Pointer jumping on colors
+            # (the WCC loop's O(log diameter) doubling) was tried here
+            # and measured SLOWER on the bench fixture (13.1 s vs
+            # 9.0 s warm): on cycle blocks most vertices re-color
+            # every round, so the two extra frontier-sized joins per
+            # round cost more than the saved rounds — reverted, noted
+            # so it is not re-tried.
+            parts: list[DataFrame] = []
+            cmap_u: DataFrame | None = None
+            frontier = remaining.select("id", F.col("id").alias("color"))
+            n_front: int | None = None
             for _i in range(max_inner):
+                fr = frontier.select(F.col("id").alias("u"), "color")
+                if n_front is not None and n_front <= bcast_cap:
+                    fr = F.broadcast(fr)
                 cand = (
-                    sub_e.join(
-                        frontier.select(F.col("id").alias("u"), "color"), "u"
-                    )
+                    sub_e.join(fr, "u")
                     .groupBy(F.col("v").alias("id"))
                     .agg(F.max("color").alias("_nc"))
                 )
-                bumped = (
-                    cand.join(color, "id")
-                    .filter(F.col("_nc") > F.col("color"))
-                    .select("id", F.col("_nc").alias("color"))
-                )
+                if cmap_u is None:
+                    # round 0: every color is still the implicit id
+                    bumped = cand.filter(F.col("_nc") > F.col("id")).select(
+                        "id", F.col("_nc").alias("color")
+                    )
+                else:
+                    # current color = max over accepted bumps (colors
+                    # only increase), default id — the union of
+                    # checkpointed bump parts needs no per-round
+                    # dedup/rewrite
+                    bumped = (
+                        cand.join(cmap_u, "id", "left")
+                        .groupBy("id", "_nc")
+                        .agg(F.max("color").alias("_cur"))
+                        .filter(
+                            F.col("_nc") > F.coalesce(F.col("_cur"), F.col("id"))
+                        )
+                        .select("id", F.col("_nc").alias("color"))
+                    )
                 # lazy cut + full count: ONE job materializes the
                 # checkpoint and answers the empty-frontier test
                 # (limit(1).count() after an eager cut was a second
@@ -1601,55 +1637,77 @@ def strongly_connected_components(
                 bumped = cut_lineage(
                     bumped, eager=False, round_idx=_i, spill_period=spill
                 )
-                if bumped.count() == 0:
+                n_front = bumped.count()
+                if n_front == 0:
                     break
-                color = cut_lineage(
-                    color.join(bumped, "id", "left_anti").unionByName(bumped),
-                    eager=False,
-                    round_idx=(_i if big_state else None),
-                    spill_period=spill,
-                )
+                parts.append(bumped)
+                cmap_u = bumped if cmap_u is None else cmap_u.unionByName(bumped)
                 frontier = bumped
-            # 2. backward collection from roots within each color class
-            members = cut_lineage(
-                color.filter(F.col("color") == F.col("id")).select("id", "color"),
+            # converged colors, resolved ONCE: cmap holds only vertices
+            # whose color exceeds their id; everyone else's color is
+            # their id (those are the roots and the singletons)
+            if cmap_u is None:
+                cmap = remaining.select("id", F.col("id").alias("color")).limit(0)
+            else:
+                cmap = cmap_u.groupBy("id").agg(F.max("color").alias("color"))
+            cmap = cut_lineage(cmap, eager=True, round_idx=ridx0, spill_period=spill)
+            # 2. backward collection from roots within each color
+            # class. members starts as every vertex whose color == id
+            # (root of its class or trivial class); the uncollected
+            # rest is exactly cmap, carried as the shrinking uncolmap
+            members0 = cut_lineage(
+                remaining.join(cmap, "id", "left_anti").select(
+                    "id", F.col("id").alias("color")
+                ),
                 eager=True,
                 round_idx=ridx0,
                 spill_period=spill,
             )
-            bfront = members
+            uncolmap = cmap
+            bparts: list[DataFrame] = [members0]
+            bfront = members0
+            n_new: int | None = None
             for _i in range(max_inner):
-                # predecessors u of collected v, same color class, not yet in
+                # predecessors u of collected v, same color class, not
+                # yet collected — "u uncollected AND color(u) == class"
+                # is ONE inner join against uncolmap
                 cand = (
                     sub_e.join(bfront.select(F.col("id").alias("v"), "color"), "v")
                     .select(F.col("u").alias("id"), "color")
-                    .join(color.withColumnRenamed("color", "_uc"), "id")
+                    .join(uncolmap.withColumnRenamed("color", "_uc"), "id")
                     .filter(F.col("_uc") == F.col("color"))
                     .select("id", "color")
                     .dropDuplicates(["id"])
                 )
                 new = cut_lineage(
-                    cand.join(members, "id", "left_anti"),
-                    eager=False,
-                    round_idx=_i,
-                    spill_period=spill,
+                    cand, eager=False, round_idx=_i, spill_period=spill
                 )
-                if new.count() == 0:
+                n_new = new.count()
+                if n_new == 0:
                     break
-                members = cut_lineage(
-                    members.unionByName(new),
+                bparts.append(new)
+                gone = new.select("id")
+                if n_new <= bcast_cap:
+                    gone = F.broadcast(gone)
+                uncolmap = cut_lineage(
+                    uncolmap.join(gone, "id", "left_anti"),
                     eager=False,
                     round_idx=(_i if big_state else None),
                     spill_period=spill,
                 )
                 bfront = new
-            # 3. retire: rep = min id of each collected SCC
+            members = bparts[0]
+            for p in bparts[1:]:
+                members = members.unionByName(p)
+            # 3. retire: rep = min id of each collected SCC; the
+            # still-uncollected leftover of uncolmap IS the next
+            # round's remaining set (remaining = members ⊎ uncolmap)
             rep = members.groupBy("color").agg(F.min("id").alias("component"))
             assigned = members.join(rep, "color").select("id", "component")
             done = assigned if done is None else done.unionByName(assigned)
             done = cut_lineage(done, eager=True, round_idx=ridx0, spill_period=spill)
             remaining = cut_lineage(
-                remaining.join(members.select("id"), "id", "left_anti"),
+                uncolmap.select("id"),
                 eager=True,
                 round_idx=ridx0,
                 spill_period=spill,
@@ -1928,7 +1986,16 @@ def link_prediction(
         .cache()
     )
     ad.count()
-    deg = ad.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    # the degree table feeds four consumers (center cap, the common-
+    # neighbor weight, and both endpoint joins) and the generated pair
+    # relation two (scoring + the left-join spine) — materialize each
+    # once instead of re-running the aggregation / wedge self-join per
+    # consumer (guide §2.4; the wedge join is the operator's most
+    # expensive stage)
+    deg = cut_lineage(
+        ad.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("deg")),
+        eager=True,
+    )
     if pairs is None:
         centers = ad.select(F.col("v").alias("w"), F.col("u").alias("n"))
         if max_center_degree is not None:
@@ -1944,6 +2011,7 @@ def link_prediction(
             .select("id_a", "id_b")
             .dropDuplicates()
         )
+    pairs = cut_lineage(pairs, eager=True)
     # common neighbors w of (a, b) with their degree-derived weights
     na = ad.select(F.col("u").alias("id_a"), F.col("v").alias("w"))
     nb = ad.select(F.col("u").alias("id_b"), F.col("v").alias("w"))
