@@ -580,14 +580,25 @@ def k_core(
 
     Scale shape: the loop holds the NORMALIZED (a < b) undirected edge
     set — half the rows of the symmetric form it previously carried, so
-    the build dedup shuffles half the pairs and every per-round storage
-    spill writes half the bytes (sf10 A/B, tools/prof_kcore2.py: build
-    32.6 → 20.5 s, peel 7.7 → 5.8 s). Degrees come from the endpoint
-    union (each undirected edge credits both ends exactly once —
-    identical to the symmetric groupBy, hence identical drops, rounds
-    and output). Per round one degree aggregation plus the peel joins;
-    lineage is cut per round (periodic storage spill — see
-    checkpointing.SPILL_PERIOD).
+    the build dedup shuffles half the pairs (sf10 A/B,
+    tools/prof_kcore2.py: build 32.6 → 20.5 s). Degrees come from ONE
+    endpoint-union aggregation at build time (each undirected edge
+    credits both ends exactly once — identical to the symmetric
+    groupBy) and are then maintained INCREMENTALLY (r12, guide §2.1):
+    a peel round subtracts the dropped endpoints' credits — computable
+    from the tiny dropped set × the edge relation with broadcast joins
+    — instead of re-aggregating the 2|E|-row endpoint union, and the
+    edge relation itself is never rewritten: each round's loss scan
+    filters by the cumulative dropped set (broadcast), so after the
+    build there is no edge-set-sized shuffle OR write at all. The
+    subtraction is exact (d_new(v) = d_old(v) − #removed edges
+    incident to v; vertices reaching d=0 leave the table exactly as
+    the endpoint-union form forgets them), so drops, rounds and output
+    replay identically — sf10 A/B (tools/prof_kcore3.py): 53.1 →
+    35.5 s with 0 row mismatches. An adversarial k whose drop set
+    outgrows the broadcast cap falls back to the r11 shuffle
+    semi-join peel + full re-aggregation, which stays correct at any
+    drop size.
     """
     e = graph.edges
     if edge_labels:
@@ -597,74 +608,105 @@ def k_core(
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )
-    # initial state spills to storage too: one less edge-set-sized
-    # localCheckpoint living in executor memory for the whole loop
+    # the edge relation spills to storage once at build; rounds only
+    # SCAN it (broadcast-filtered), never rewrite it
     und = cut_lineage(und, eager=True, round_idx=0, spill_period=1)
     n_und = und.count()
     from titan_spark.compute.checkpointing import scoped_shuffle_partitions
 
-    final_deg: DataFrame | None = None
-    # scope to endpoint rows (2 per edge) — the loop's widest shuffle
+    # scope to endpoint rows (2 per edge) — the build aggregation's
+    # widest shuffle; steady-state rounds are vertex- or drop-sized
     with scoped_shuffle_partitions(und.sparkSession, 2 * n_und):
-        for i in range(rounds):
-            deg = (
-                und.select(F.col("a").alias("id"))
-                .unionAll(und.select(F.col("b").alias("id")))
-                .groupBy("id")
-                .agg(F.count(F.lit(1)).alias("d"))
-            )
-            # materialize the (vertex-sized) degree table: the drop
-            # count below computes it anyway, and on the convergence
-            # round it IS the answer — reusing it makes the old
-            # post-loop degree recount (a full edge-set scan + agg,
-            # 6.6-8.1 s at sf10) free
-            deg = cut_lineage(deg, eager=False)
-            # Convergence is decided on the DROPPED-vertex set (tiny)
-            # BEFORE any edge work: the old form rewrote the full
-            # surviving edge set to parquet and counted it just to
-            # discover a round removed nothing (sf1: a no-op round
-            # cost 4.6 s of pure write+read). "No vertex below k" ⇔
-            # "no edge removed": every id in deg has d ≥ 1, so a drop
-            # always removes edges and an unchanged edge set means an
-            # empty drop set — the fixed-round oracle prefix replays
-            # identically.
-            dropped = deg.filter(F.col("d") < k).select("id")
-            n_drop = dropped.count()
-            if n_drop == 0:
-                final_deg = deg
-                break
-            if n_drop <= _PEEL_BROADCAST_MAX_ROWS:
-                # Peel by broadcast ANTI-join on the dropped set instead
-                # of shuffle SEMI-joins on the (much larger) keep set:
-                # "endpoint not dropped" ⇔ "endpoint kept", so the
-                # surviving edge relation never shuffles at all (sf1
-                # round: 3.9 s → scan+write only).
-                d = F.broadcast(dropped)
-                new_und = (
-                    und.join(d.withColumnRenamed("id", "a"), "a", "left_anti")
-                    .join(d.withColumnRenamed("id", "b"), "b", "left_anti")
-                    .select("a", "b")
-                )
-            else:
-                # dropped too big to broadcast (adversarial k): the old
-                # shuffle semi-join on survivors stays correct
-                keep = deg.filter(F.col("d") >= k).select("id")
-                new_und = (
-                    und.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
-                    .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
-                    .select("a", "b")
-                )
-            und = cut_lineage(new_und, eager=True, round_idx=i, spill_period=1)
-    if final_deg is None:
-        # rounds exhausted without convergence: the contract is the
-        # degree table of the fixed-round surviving set
-        final_deg = (
+        deg = (
             und.select(F.col("a").alias("id"))
             .unionAll(und.select(F.col("b").alias("id")))
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-    return final_deg.filter(F.col("d") >= k).select(
+        deg = cut_lineage(deg, eager=False)
+        dropped_all: DataFrame | None = None
+        for i in range(rounds):
+            # Convergence is decided on the DROPPED-vertex set (tiny)
+            # BEFORE any edge work: "no vertex below k" ⇔ "no edge
+            # removed" — every id in deg has d ≥ 1, so a drop always
+            # removes edges and an unchanged edge set means an empty
+            # drop set; the fixed-round oracle prefix replays
+            # identically. On the convergence round deg IS the answer.
+            dropped = deg.filter(F.col("d") < k).select("id")
+            n_drop = dropped.count()
+            if n_drop == 0:
+                break
+            small = n_drop <= _PEEL_BROADCAST_MAX_ROWS
+            if small and dropped_all is not None:
+                dropped_all = cut_lineage(
+                    dropped_all.unionByName(dropped),
+                    eager=True,
+                    round_idx=i,
+                    spill_period=1,
+                )
+                small = dropped_all.count() <= _PEEL_BROADCAST_MAX_ROWS
+            elif small:
+                dropped_all = dropped
+            if small:
+                # incremental degree update: each removed edge had at
+                # least one endpoint in this round's drop set; credit
+                # the loss to the OTHER endpoint when it survives.
+                # und still holds long-dead edges, but an edge with a
+                # previously-dropped endpoint was already subtracted —
+                # the cumulative anti-join excludes it (its other end
+                # is in dropped_all)
+                d = F.broadcast(dropped)
+                dall = F.broadcast(dropped_all)
+                gone_a = d.withColumnRenamed("id", "a")
+                gone_b = d.withColumnRenamed("id", "b")
+                all_a = dall.withColumnRenamed("id", "a")
+                all_b = dall.withColumnRenamed("id", "b")
+                loss = (
+                    und.join(gone_a, "a", "left_semi")
+                    .join(all_b, "b", "left_anti")
+                    .select(F.col("b").alias("id"))
+                    .unionAll(
+                        und.join(gone_b, "b", "left_semi")
+                        .join(all_a, "a", "left_anti")
+                        .select(F.col("a").alias("id"))
+                    )
+                    .groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("_l"))
+                )
+                new_deg = (
+                    deg.filter(F.col("d") >= k)
+                    .join(F.broadcast(loss), "id", "left")
+                    .select(
+                        "id",
+                        (F.col("d") - F.coalesce("_l", F.lit(0))).alias("d"),
+                    )
+                    .filter(F.col("d") > 0)
+                )
+                deg = cut_lineage(new_deg, eager=False, round_idx=i)
+            else:
+                # drop set outgrew the broadcast budget (adversarial
+                # k): materialize the restricted edge set with the old
+                # shuffle semi-join peel and re-aggregate degrees in
+                # full — correct at any size; later rounds resume the
+                # incremental path against the rewritten relation
+                keep = deg.filter(F.col("d") >= k).select("id")
+                und = cut_lineage(
+                    und.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+                    .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+                    .select("a", "b"),
+                    eager=True,
+                    round_idx=i,
+                    spill_period=1,
+                )
+                deg = cut_lineage(
+                    und.select(F.col("a").alias("id"))
+                    .unionAll(und.select(F.col("b").alias("id")))
+                    .groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("d")),
+                    eager=False,
+                )
+                dropped_all = None
+    return deg.filter(F.col("d") >= k).select(
         "id", F.col("d").alias("core_degree")
     )
 
