@@ -184,6 +184,11 @@ HEADLINE = [
     "ngram_novelty",
     "eval_containment",
     "secrets_scan",
+    # round 12 (VERDICT r11 #8): the two r11 rotations that fell out of
+    # BOTH the driver slots and the bench regain bench coverage here
+    # (additions only — nothing removed or renamed)
+    "group_by_nation",
+    "multimodal_features",
 ]
 
 

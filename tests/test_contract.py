@@ -29,7 +29,6 @@ def test_registry_shape():
         "local_top3_sum",
         "map_nation_counts",
         "feature_smooth",
-        "transitivity",
         # tenth wave (r8)
         "louvain_cliques",
         "graph_diameter",
@@ -40,20 +39,27 @@ def test_registry_shape():
         # eleventh wave (r9)
         "pagerank_traversal_top",
         "value_quantiles_sketch",
-        "bloom_decontaminate",
         # twelfth wave (r10)
         "quality_classifier",
-        "boilerplate_removal",
         "dsir_select",
-        "temperature_mix",
         # thirteenth wave (r11)
         "exact_substring_dedup",
         "phash_dup_pairs",
-        "bigram_perplexity",
         "ccnet_buckets",
         "minimum_spanning_tree",
         "kmv_user_days",
         "node2vec_corpus",
+        # fourteenth wave (r12) — displaced: bigram_perplexity,
+        # text_contains, temperature_mix, transitivity,
+        # bloom_decontaminate, boilerplate_removal, pii_redact (each
+        # keeps a family sibling in slots 1-50 per COVERAGE.md)
+        "kn_perplexity",
+        "url_dedup_groups",
+        "domain_quota",
+        "local_clustering",
+        "ngram_novelty",
+        "eval_containment",
+        "secrets_scan",
     ):
         assert k in first50
 

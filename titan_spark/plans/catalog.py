@@ -6844,3 +6844,53 @@ ORACLE_SQL["secrets_scan"] = """
            len(list_filter(ents, x -> x >= 3.5)) > 0 AS has_secret
     FROM e
 """
+
+
+# ---------------------------------------------------------------------------
+# Driver-slot curation, fourteenth wave (r12, VERDICT r11 #8): the seven
+# r11 overflow flagships into the driver prefix. Each demotion keeps a
+# family sibling in slots 1-50:
+# - bigram_perplexity out for kn_perplexity: the LM family is kept by
+#   KN itself — strictly richer (interpolated Kneser-Ney trigram with
+#   continuation counts; Jelinek-Mercer bigram is its lower-order
+#   degenerate shape), and bigram_perplexity remains exercised inside
+#   ccnet_buckets' scorer, which stays in slots;
+# - text_contains out for url_dedup_groups: the string-predicate scan
+#   family stays triple-covered by scan_filter_order_limit +
+#   pred_interval + prop_meta_filter, while URL canonicalization adds
+#   the RefinedWeb front-door shape to the checked region;
+# - temperature_mix out for domain_quota: the sampling/curation family
+#   is kept by dsir_select + domain_quota itself (the per-source cap is
+#   the quota side of the same curation surface);
+# - transitivity out for local_clustering: the triangle family is kept
+#   by local_clustering itself — strictly richer (per-vertex
+#   coefficients over the same degree-ordered triangle machinery whose
+#   global ratio is transitivity's output);
+# - bloom_decontaminate out for ngram_novelty: decontamination stays
+#   driver-covered by eval_containment (rotating in this wave) while
+#   the gram-hash inverted-index machinery is ngram_novelty's core;
+# - boilerplate_removal out for eval_containment: the passage-dedup
+#   family is kept by exact_substring_dedup (the strictly richer
+#   token-granular transform of the same window-hash election);
+# - pii_redact out for secrets_scan: the regex-scrubbing family is
+#   kept by secrets_scan itself (same JVM-regex scan surface plus the
+#   per-run entropy accumulation pii_redact has no analog of).
+# All demoted queries stay green under the local 150/150 gate
+# (slots 51+). group_by_nation and multimodal_features (rotated out in
+# r11 and absent from the 107-query bench) re-enter the BENCH headline
+# set this round (bench.py), restoring their driver-side coverage.
+_SLOT_SWAPS_R12 = [
+    ("kn_perplexity", "bigram_perplexity"),
+    ("url_dedup_groups", "text_contains"),
+    ("domain_quota", "temperature_mix"),
+    ("local_clustering", "transitivity"),
+    ("ngram_novelty", "bloom_decontaminate"),
+    ("eval_containment", "boilerplate_removal"),
+    ("secrets_scan", "pii_redact"),
+]
+_order_r12 = list(QUERIES)
+for _new, _old in _SLOT_SWAPS_R12:
+    _order_r12.remove(_new)
+    _order_r12[_order_r12.index(_old)] = _new
+    _order_r12.append(_old)
+QUERIES = {k: QUERIES[k] for k in _order_r12}
