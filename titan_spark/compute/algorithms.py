@@ -16,6 +16,8 @@ against the same closed-form oracles:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,7 +32,14 @@ from titan_spark.compute.checkpointing import cut_lineage
 # in round 0 and ~0 after), and small enough that the alternative — two
 # shuffle semi-joins moving the FULL surviving edge set — is strictly
 # worse. Above the cap the loop falls back to that semi-join form.
-_PEEL_BROADCAST_MAX_ROWS = 8_000_000
+# The cap is a BYTE budget expressed in rows (ids are 8-byte longs, so
+# rows × 8 B bounds the serialized relation; the built hash side is
+# ~2-3× that). Memory-constrained deployments can lower it via
+# $TITAN_SPARK_PEEL_BROADCAST_MAX_ROWS without touching code (r12,
+# ADVICE r11).
+_PEEL_BROADCAST_MAX_ROWS = int(
+    os.environ.get("TITAN_SPARK_PEEL_BROADCAST_MAX_ROWS", 8_000_000)
+)
 
 
 def pagerank(
@@ -537,24 +546,25 @@ def label_propagation(
     state = graph.vertices.select("id", F.col("id").alias("community"))
     state = cut_lineage(state, eager=True)
     w = Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("community").asc())
-    from titan_spark.compute.checkpointing import scoped_range
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
 
-    for i in scoped_range(und.sparkSession, n_und, iterations):
-        msgs = und.join(state.withColumnRenamed("id", "u"), "u").select(
-            F.col("v").alias("id"), "community"
-        )
-        modal = (
-            msgs.groupBy("id", "community")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", F.col("community").alias("_new"))
-        )
-        state = (
-            state.join(modal, "id", "left")
-            .select("id", F.coalesce("_new", "community").alias("community"))
-        )
-        state = cut_lineage(state, eager=True, round_idx=i)
+    with scoped_shuffle_partitions(und.sparkSession, n_und):
+        for i in range(iterations):
+            msgs = und.join(state.withColumnRenamed("id", "u"), "u").select(
+                F.col("v").alias("id"), "community"
+            )
+            modal = (
+                msgs.groupBy("id", "community")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("id", F.col("community").alias("_new"))
+            )
+            state = (
+                state.join(modal, "id", "left")
+                .select("id", F.coalesce("_new", "community").alias("community"))
+            )
+            state = cut_lineage(state, eager=True, round_idx=i)
     und.unpersist(blocking=False)
     return state
 
@@ -1947,51 +1957,52 @@ def feature_propagation(
         "id", F.col(feature_col).cast("double").alias("f0")
     )
     state = cut_lineage(state, eager=True)
-    from titan_spark.compute.checkpointing import scoped_range
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
 
     # hop shuffles move vertex-feature/edge-sized relations; scope
     # shuffle parallelism to the cached adjacency (fixed-round loop)
-    for t in scoped_range(ad.sparkSession, n_ad, hops):
-        prev, nxt = f"f{t}", f"f{t + 1}"
-        msgs = (
-            ad.join(state.select(F.col("id").alias("v"), F.col(prev).alias("_x")), "v")
-            .groupBy(F.col("u").alias("id"))
-            .agg(aggs[agg]("_x").alias("_agg"), F.count("_x").alias("_n"))
-        )
-        if not include_self:
-            with_self = F.col("_agg")
-        elif agg == "mean":
-            with_self = (F.col("_agg") * F.col("_n") + F.col(prev)) / (F.col("_n") + 1)
-        elif agg == "sum":
-            with_self = F.col("_agg") + F.col(prev)
-        elif agg == "min":
-            with_self = F.least("_agg", prev)
-        else:
-            with_self = F.greatest("_agg", prev)
-        # NULL handling: no neighbor signal carries the own value
-        # forward; a NULL own value (e.g. a label without the feature)
-        # takes the neighbor aggregate alone instead of poisoning it
-        mixed = (
-            F.when(F.col("_agg").isNull(), F.col(prev))
-            .when(F.col(prev).isNull(), F.col("_agg"))
-            .otherwise(with_self)
-        )
-        state = cut_lineage(
-            state.join(msgs, "id", "left")
-            .select(
-                "id",
-                *[f"f{j}" for j in range(t + 1)],
-                # floor-based cent rounding, NOT F.round: Spark rounds
-                # via the decimal string (HALF_UP) while SQL engines
-                # round the binary double, and self-mix averages land
-                # exactly on half-cents — floor(x*100+0.5)/100 is pure
-                # double arithmetic, bit-identical on identical inputs
-                (F.floor(mixed * 100.0 + F.lit(0.5)) / 100.0).alias(nxt),
+    with scoped_shuffle_partitions(ad.sparkSession, n_ad):
+        for t in range(hops):
+            prev, nxt = f"f{t}", f"f{t + 1}"
+            msgs = (
+                ad.join(state.select(F.col("id").alias("v"), F.col(prev).alias("_x")), "v")
+                .groupBy(F.col("u").alias("id"))
+                .agg(aggs[agg]("_x").alias("_agg"), F.count("_x").alias("_n"))
             )
-            ,
-            eager=True,
-            round_idx=t,
-        )
+            if not include_self:
+                with_self = F.col("_agg")
+            elif agg == "mean":
+                with_self = (F.col("_agg") * F.col("_n") + F.col(prev)) / (F.col("_n") + 1)
+            elif agg == "sum":
+                with_self = F.col("_agg") + F.col(prev)
+            elif agg == "min":
+                with_self = F.least("_agg", prev)
+            else:
+                with_self = F.greatest("_agg", prev)
+            # NULL handling: no neighbor signal carries the own value
+            # forward; a NULL own value (e.g. a label without the feature)
+            # takes the neighbor aggregate alone instead of poisoning it
+            mixed = (
+                F.when(F.col("_agg").isNull(), F.col(prev))
+                .when(F.col(prev).isNull(), F.col("_agg"))
+                .otherwise(with_self)
+            )
+            state = cut_lineage(
+                state.join(msgs, "id", "left")
+                .select(
+                    "id",
+                    *[f"f{j}" for j in range(t + 1)],
+                    # floor-based cent rounding, NOT F.round: Spark rounds
+                    # via the decimal string (HALF_UP) while SQL engines
+                    # round the binary double, and self-mix averages land
+                    # exactly on half-cents — floor(x*100+0.5)/100 is pure
+                    # double arithmetic, bit-identical on identical inputs
+                    (F.floor(mixed * 100.0 + F.lit(0.5)) / 100.0).alias(nxt),
+                )
+                ,
+                eager=True,
+                round_idx=t,
+            )
     ad.unpersist()
     return state
 
@@ -2259,25 +2270,26 @@ def hits(
     hub = graph.vertices.select("id", F.lit(1.0).alias("h"))
     hub = cut_lineage(hub, eager=True)
     auth = None
-    from titan_spark.compute.checkpointing import scoped_range
+    from titan_spark.compute.checkpointing import scoped_shuffle_partitions
 
-    for t in scoped_range(ed.sparkSession, n_ed, iterations):
-        araw = (
-            ed.join(hub.select(F.col("id").alias("src"), "h"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("h").alias("a"))
-        )
-        # half-step cuts are lazy: the round's single eager hub cut
-        # materializes the whole round (3 jobs/round -> 1)
-        araw = cut_lineage(araw, eager=False, round_idx=t)
-        auth = _l2_normalize(araw, "a")
-        hraw = (
-            ed.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("a").alias("h"))
-        )
-        hraw = cut_lineage(hraw, eager=False, round_idx=t)
-        hub = cut_lineage(_l2_normalize(hraw, "h"), eager=True)
+    with scoped_shuffle_partitions(ed.sparkSession, n_ed):
+        for t in range(iterations):
+            araw = (
+                ed.join(hub.select(F.col("id").alias("src"), "h"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("h").alias("a"))
+            )
+            # half-step cuts are lazy: the round's single eager hub cut
+            # materializes the whole round (3 jobs/round -> 1)
+            araw = cut_lineage(araw, eager=False, round_idx=t)
+            auth = _l2_normalize(araw, "a")
+            hraw = (
+                ed.join(auth.select(F.col("id").alias("dst"), "a"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("a").alias("h"))
+            )
+            hraw = cut_lineage(hraw, eager=False, round_idx=t)
+            hub = cut_lineage(_l2_normalize(hraw, "h"), eager=True)
     ed.unpersist()
     return (
         graph.vertices.select("id")

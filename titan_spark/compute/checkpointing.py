@@ -164,11 +164,8 @@ def scoped_shuffle_partitions(spark, rows: int, rows_per_partition: int = 50_000
         spark.conf.set(conf, old)
 
 
-def scoped_range(spark, rows: int, n: int, rows_per_partition: int = 50_000):
-    """``range(n)`` under :func:`scoped_shuffle_partitions` — for
-    FIXED-round loops with no early ``break`` (the scope exits when the
-    range is exhausted; breaking out would defer the conf restore to
-    generator finalization, so loops with data-dependent exits should
-    use the context manager directly)."""
-    with scoped_shuffle_partitions(spark, rows, rows_per_partition):
-        yield from range(n)
+# scoped_range (a generator wrapping scoped_shuffle_partitions around
+# range(n)) was removed in r12: a caller breaking or raising inside the
+# loop would leave the session-global shuffle-partition override in
+# place until generator finalization. Every loop now uses the explicit
+# context manager, whose conf restore is guaranteed by `finally`.

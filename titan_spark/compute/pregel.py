@@ -157,15 +157,19 @@ def pregel(
     edges.cache()
     n_e = edges.count()  # materializes the cache; sizes the loop shuffles
     v = cut_lineage(v, eager=True)
+    n_v = v.count()  # cheap: v was just eagerly checkpointed
 
     from titan_spark.compute.checkpointing import scoped_shuffle_partitions
 
     # per-round shuffles move vertex-state/edge-sized relations many
-    # rounds; size shuffle parallelism to the cached edge set instead
-    # of paying rounds x session-partitions near-empty task launches
-    # (never raises above the session setting, so corpus-scale graphs
-    # keep full parallelism)
-    with scoped_shuffle_partitions(edges.sparkSession, n_e):
+    # rounds; size shuffle parallelism to the LARGER of the cached edge
+    # set and the vertex state (r12, ADVICE r11: on sparse or
+    # label-filtered graphs |V| can far exceed |E|, and an edge-only
+    # scope would run every vertex-state join at a handful of
+    # partitions) instead of paying rounds x session-partitions
+    # near-empty task launches (never raises above the session setting,
+    # so corpus-scale graphs keep full parallelism)
+    with scoped_shuffle_partitions(edges.sparkSession, max(n_e, n_v)):
         for i in range(max_iterations):
             sender_ids = None
             if active_col is not None:

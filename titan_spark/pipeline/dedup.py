@@ -176,6 +176,7 @@ def prefix_filter_candidates(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     shingle_df: DataFrame | None = None,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """EXACT candidate generation for a Jaccard-threshold join without
     the O(n²) cross product — prefix filtering over an inverted index
@@ -212,6 +213,13 @@ def prefix_filter_candidates(
 
     ``shingle_df``: optional precomputed ``(_id, _sh, _sz)`` table
     (avoids re-shingling when the caller verifies afterwards).
+
+    ``hash_shingles`` (default on, r12 — mirrors :func:`jaccard_pairs`
+    so a caller wanting the bit-exact string path end-to-end can
+    disable hashing in BOTH stages): ``False`` keys the postings on the
+    shingle strings themselves, restoring the pre-hashing (frequency
+    asc, shingle asc) canonical order with zero collision caveat, at
+    ~4× the posting bytes.
     """
     from pyspark.sql import Window
 
@@ -220,11 +228,12 @@ def prefix_filter_candidates(
         sh = df.select(
             F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
         ).withColumn("_sz", F.size("_sh"))
-    # (doc, shingle-hash, set size) postings — materialized once; both
+    # (doc, shingle-key, set size) postings — materialized once; both
     # the frequency agg and the ranked prefix read from it
+    gkey = F.xxhash64("_gs") if hash_shingles else F.col("_gs")
     posts = cut_lineage(
         sh.select("_id", "_sz", F.explode("_sh").alias("_gs")).select(
-            "_id", "_sz", F.xxhash64("_gs").alias("_g")
+            "_id", "_sz", gkey.alias("_g")
         ),
         eager=True,
     )
@@ -823,7 +832,15 @@ def exact_substring_removal(
     toks = base.select("id", F.posexplode("_toks").alias("pos", "tok"))
     # the rolling-window md5 pass is O(k) per token position — the
     # single most expensive stage; it feeds both the duplicate count
-    # and the occurrence join, so materialize it once
+    # and the occurrence join, so materialize it once. It is also the
+    # pipeline's WIDEST intermediate (one md5 string per token
+    # position); above ~30M positions the one-shot cut routes through
+    # the parquet spill instead of pinning gigabytes of
+    # MEMORY_AND_DISK localCheckpoint blocks in the executors (r12,
+    # ADVICE r11 — the count is one agg over the already-checkpointed
+    # base, not a second tokenize pass)
+    n_positions = base.agg(F.sum(F.size("_toks"))).first()[0] or 0
+    big = n_positions > 30_000_000
     wins = cut_lineage(
         base.filter(F.size("_toks") >= k).select(
             "id",
@@ -835,6 +852,8 @@ def exact_substring_removal(
             ).alias("start", "_h"),
         ),
         eager=True,
+        round_idx=(0 if big else None),
+        spill_period=1,
     )
     dup = (
         wins.groupBy("_h")
