@@ -903,30 +903,49 @@ def pq_encode(
         raise ValueError(f"kernel must be fold|arrow, got {kernel!r}")
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    codes, errs = [], []
+    # ONE multi-lane fold per subspace gives all k centroid dots
+    # (lane i sums strictly left-to-right, bit-identical to
+    # _dot(subv, c_i) — see _plane_dots_fold); distances come from one
+    # zip_with over that array and argmin from array_min +
+    # array_position (first match = lowest code, the same tie rule as
+    # the oracle's (d, code) ordering). The earlier k-struct sort_array
+    # form compiled a k× larger expression tree — Catalyst analysis,
+    # not row work, dominated the encode pass (measured 2.2× at k=16,
+    # m=8). r12: the folds, norms and distance arrays are LET-BOUND to
+    # intermediate columns in separate projections — the single-select
+    # form re-evaluated each subspace's interpreted HOF fold through
+    # every downstream reference (argmin + position + error), and HOFs
+    # are CodegenFallback so codegen-level subexpression elimination
+    # never sees them; measured 9.4 → 4.0 s on the 116 k-row sf10
+    # IVF-PQ candidate set, output bit-identical.
+    tmp = df
     for s in range(m):
         subv = F.transform(
             F.slice(F.col(vec_col), s * sub + 1, sub), lambda x: x.cast("double")
         )
-        norm2 = _dot(subv, subv)
-        # ONE multi-lane fold gives all k centroid dots (lane i sums
-        # strictly left-to-right, bit-identical to _dot(subv, c_i) — see
-        # _plane_dots_fold); distances come from one zip_with over that
-        # array and argmin from array_min + array_position (first match
-        # = lowest code, the same tie rule as the oracle's (d, code)
-        # ordering). The earlier k-struct sort_array form compiled a k×
-        # larger expression tree — Catalyst analysis, not row work,
-        # dominated the encode pass (measured 2.2× at k=16, m=8).
-        dots = _plane_dots_fold(subv, codebooks[s])
+        tmp = tmp.withColumn(f"_pqdots{s}", _plane_dots_fold(subv, codebooks[s]))
+    for s in range(m):
+        subv = F.transform(
+            F.slice(F.col(vec_col), s * sub + 1, sub), lambda x: x.cast("double")
+        )
+        tmp = tmp.withColumn(f"_pqn{s}", _dot(subv, subv))
+    for s in range(m):
         cc = F.array(*[F.lit(float(sum(x * x for x in c))) for c in codebooks[s]])
-        d2 = F.zip_with(dots, cc, lambda d, c: norm2 - 2.0 * d + c)
-        best = F.array_min(d2)
-        codes.append((F.array_position(d2, best) - 1).cast("int"))
-        errs.append(best)
-    err = errs[0]
-    for e in errs[1:]:
-        err = err + e
-    return df.select(
+        tmp = tmp.withColumn(
+            f"_pqd2{s}",
+            F.zip_with(
+                F.col(f"_pqdots{s}"), cc, lambda d, c: F.col(f"_pqn{s}") - 2.0 * d + c
+            ),
+        )
+        tmp = tmp.withColumn(f"_pqb{s}", F.array_min(F.col(f"_pqd2{s}")))
+    codes = [
+        (F.array_position(F.col(f"_pqd2{s}"), F.col(f"_pqb{s}")) - 1).cast("int")
+        for s in range(m)
+    ]
+    err = F.col("_pqb0")
+    for s in range(1, m):
+        err = err + F.col(f"_pqb{s}")
+    return tmp.select(
         F.col(id_col),
         F.array(*codes).alias("codes"),
         (F.round(err, 6) + F.lit(0.0)).alias("recon_err"),
