@@ -92,3 +92,22 @@ def test_simhash_dup_pairs_equals_brute_force(spark):
     }
     assert got == want
     assert want  # corpus contains in-radius pairs
+
+
+def test_jaccard_pairs_broadcast_and_shuffle_arms_agree(spark):
+    # the verify join picks broadcast vs shuffle by a byte budget;
+    # both arms must produce identical jaccard values
+    docs = _corpus(spark)
+    cands = prefix_filter_candidates(docs, threshold=0.5)
+    bc = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in jaccard_pairs(
+            docs, cands, broadcast_budget_mb=1e9
+        ).collect()
+    }
+    sh = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in jaccard_pairs(docs, cands, broadcast_budget_mb=0).collect()
+    }
+    assert bc == sh
+    assert bc  # non-empty: the corpus has qualifying pairs

@@ -289,6 +289,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     shingle_df: DataFrame | None = None,
     hash_shingles: bool = True,
+    broadcast_budget_mb: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage).
 
@@ -309,6 +310,20 @@ def jaccard_pairs(
     hence the Jaccard value — are identical unless two distinct
     shingles collide in 64 bits (p ≈ n²/2⁶⁵; ~3e-6 for 10 M distinct
     shingles). Pass ``False`` for the bit-exact string path.
+
+    Join strategy: the per-doc shingle relation is ~pairs-per-doc times
+    SMALLER than the pair-attached intermediate (each doc's array would
+    otherwise ship once per partner through the second join's shuffle —
+    at sf10 that wide shuffle alone measured 77 s of the 92 s verify,
+    vs 2.7 s for the first join whose output never re-shuffles). When
+    its estimated size fits a byte budget (default 512 MB, conf
+    ``spark.titan.verifyBroadcastMb`` / env SPARK_GRAFT_VERIFY_BC_MB),
+    both joins broadcast the shingle side and the pair relation never
+    shuffles at all; above the budget the shuffle path with pair-volume
+    partition sizing is kept unchanged.
+
+    ``broadcast_budget_mb``: explicit override of that budget (0 forces
+    the shuffle path; tests A/B the two arms with it).
     """
     # (id_a, id_b) pairs only — materialized once because the plan
     # references the candidate set four times (id union + two joins)
@@ -331,32 +346,59 @@ def jaccard_pairs(
         sh = sh.select(
             "_jid", F.transform("_sh", lambda g: F.xxhash64(g)).alias("_sh")
         )
-    # Size the verify-join parallelism to the PAIR volume, not the
-    # session default: each joined row carries two full shingle arrays,
-    # so at the corpus-tuned partition count a 15 M-candidate verify
-    # packs ~GB payloads per task and spills (measured at sf10).
-    # Repartitioning the SMALL shingle side on each join key makes the
-    # join co-partition the pair side to the same count — no extra
-    # shuffle of the wide intermediate. Never lowers the session
-    # setting; capped so a huge candidate set cannot explode the task
-    # count past scheduler sanity.
-    n_cand = candidates.count()  # cheap: candidates materialized above
+    # materialize the per-doc shingle relation once: both join sides
+    # read it (the un-cut form re-ran the semi-join + hash transform
+    # per side), and the byte estimate below needs one cheap agg on it
+    sh = cut_lineage(sh, eager=True)
+    n_docs_c, n_elems = sh.agg(
+        F.count(F.lit(1)), F.sum(F.size("_sh"))
+    ).first()
+    elem_bytes = 8 if hash_shingles else 40
+    est_mb = ((n_elems or 0) * elem_bytes + (n_docs_c or 0) * 24) / 1e6
     sess = candidates.sparkSession
-    try:
-        # the conf may be non-numeric on some platforms (e.g. "auto"
-        # under AQE-managed shuffles) — fall back to the cluster's
-        # default parallelism rather than crashing the verify stage
-        base_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        base_part = sess.sparkContext.defaultParallelism or 200
-    n_part = max(base_part, min(2048, n_cand // 50_000 + 1))
-    sh_a = sh.withColumnRenamed("_jid", "id_a").withColumnRenamed(
-        "_sh", "sh_a"
-    ).repartition(n_part, "id_a")
-    sh_b = sh.withColumnRenamed("_jid", "id_b").withColumnRenamed(
-        "_sh", "sh_b"
-    ).repartition(n_part, "id_b")
-    j = candidates.join(sh_a, "id_a").join(sh_b, "id_b")
+    if broadcast_budget_mb is None:
+        import os
+
+        broadcast_budget_mb = float(
+            sess.conf.get(
+                "spark.titan.verifyBroadcastMb",
+                os.environ.get("SPARK_GRAFT_VERIFY_BC_MB", "512"),
+            )
+        )
+    sh_a = sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a")
+    sh_b = sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b")
+    if est_mb <= broadcast_budget_mb:
+        # broadcast arm: each doc's array ships once per executor, and
+        # the pair relation streams through two map-side hash joins
+        # with NO shuffle — the alternative re-shuffles the pair rows
+        # with the first side's array already attached (~pairs-per-doc
+        # × the relation size; 77 s of the 92 s sf10 verify)
+        j = candidates.join(F.broadcast(sh_a), "id_a").join(
+            F.broadcast(sh_b), "id_b"
+        )
+    else:
+        # Shuffle arm (above the broadcast budget — the 100 TB path).
+        # Size the verify-join parallelism to the PAIR volume, not the
+        # session default: each joined row carries two full shingle
+        # arrays, so at the corpus-tuned partition count a 15 M-pair
+        # verify packs ~GB payloads per task and spills (measured at
+        # sf10). Repartitioning the SMALL shingle side on each join key
+        # makes the join co-partition the pair side to the same count —
+        # no extra shuffle of the wide intermediate. Never lowers the
+        # session setting; capped so a huge candidate set cannot
+        # explode the task count past scheduler sanity.
+        n_cand = candidates.count()  # cheap: candidates materialized above
+        try:
+            # the conf may be non-numeric on some platforms (e.g.
+            # "auto" under AQE-managed shuffles) — fall back to the
+            # cluster's default parallelism rather than crashing
+            base_part = int(sess.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            base_part = sess.sparkContext.defaultParallelism or 200
+        n_part = max(base_part, min(2048, n_cand // 50_000 + 1))
+        j = candidates.join(sh_a.repartition(n_part, "id_a"), "id_a").join(
+            sh_b.repartition(n_part, "id_b"), "id_b"
+        )
     # shingle arrays are sets (array_distinct upstream), so the union
     # size derives from the sizes: |A∪B| = |A|+|B|−|A∩B| — skipping the
     # array_union walk halves the per-pair array work (measured −27%
