@@ -249,6 +249,19 @@ def prefix_filter_candidates(
         .select("_id", "_sz", "_g", "_r")
     )
     ranked = cut_lineage(ranked, eager=True)
+    # SHUFFLE_HASH above the broadcast regime: the prefix self-join is
+    # a collision join on the shingle key whose sort order is never
+    # reused downstream (the output feeds a pair-dedup hash aggregate),
+    # so SMJ's two full sorts of the posting relation are pure overhead
+    # (sf10 A/B: 7.1-8.4 s SMJ vs 4.4-5.9 s hash, identical pairs).
+    # Size-gated because a join hint SUPPRESSES the optimizer's
+    # broadcast selection — at small scale the planner broadcasts this
+    # join and must keep doing so; the hint only fires where the
+    # relation is far past any broadcast threshold and SMJ was the
+    # alternative. Per-partition build size stays bounded: the posting
+    # relation shuffles at the session's corpus-scaled partition count.
+    if ranked.count() > 2_000_000:  # cheap: ranked materialized above
+        ranked = ranked.hint("SHUFFLE_HASH")
     a, b = ranked.alias("a"), ranked.alias("b")
     # positional filter (PPJoin): a collision at prefix ranks (ra, rb)
     # bounds the overlap by 1 + min(|A|-ra, |B|-rb); J >= t needs
