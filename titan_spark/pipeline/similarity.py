@@ -17,6 +17,8 @@ consumed — go through an Arrow-batched numpy matmul instead (see
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window, functions as F
 from titan_spark.compute.checkpointing import cut_lineage
 
@@ -219,6 +221,40 @@ def _resolve_planes(df: DataFrame, n_planes: int | None) -> int:
     return adaptive_planes(df.count())
 
 
+def _pair_vector_join(
+    cand: DataFrame,
+    va: DataFrame,
+    vb: DataFrame,
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Attach both endpoints' vectors to candidate pairs.
+
+    Same join-strategy choice as the Jaccard verify
+    (pipeline/dedup.py::jaccard_pairs, guide §3): the per-vector
+    relation is ~pairs-per-vector times smaller than the pair-attached
+    intermediate that the shuffle form re-shuffles for the second join,
+    so when its estimated bytes fit the shared verify byte budget
+    (default 512 MB, conf ``spark.titan.verifyBroadcastMb`` / env
+    SPARK_GRAFT_VERIFY_BC_MB) both joins broadcast it and the pair
+    relation never shuffles (sf10, 20.2 M candidates × 64-dim: 27.9 s
+    shuffle vs 8.8 s broadcast, identical rows). Above the budget the
+    shuffle form is kept — the 100 TB path.
+    """
+    sess = cand.sparkSession
+    budget_mb = float(
+        sess.conf.get(
+            "spark.titan.verifyBroadcastMb",
+            os.environ.get("SPARK_GRAFT_VERIFY_BC_MB", "512"),
+        )
+    )
+    est_mb = df.count() * (dim * 8 + 24) / 1e6
+    if est_mb <= budget_mb:
+        return cand.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
+    return cand.join(va, "id_a").join(vb, "id_b")
+
+
 def lsh_topk_pairs(
     df: DataFrame,
     k: int = 20,
@@ -243,6 +279,8 @@ def lsh_topk_pairs(
     lsh_ann/ivf_ann).
     """
     n_planes = _resolve_planes(df, n_planes)
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
     cand = _lsh_candidates(df, n_tables, n_planes, vec_col, id_col, dim)
     # norms are per-vector: compute once on the (small) vector side of
     # the join instead of once per candidate pair
@@ -257,8 +295,7 @@ def lsh_topk_pairs(
         _norm(F.col(vec_col)).alias("_nb"),
     )
     scored = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        _pair_vector_join(cand, va, vb, df, vec_col, dim)
         .select(
             "id_a",
             "id_b",
@@ -345,6 +382,8 @@ def semantic_dedup_clusters(
     (:func:`adaptive_planes`) so candidate volume stays linear.
     """
     n_planes = _resolve_planes(df, n_planes)
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
     cand = _lsh_candidates(df, n_tables, n_planes, vec_col, id_col, dim)
     va = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), _norm(F.col(vec_col)).alias("_na")
@@ -353,8 +392,7 @@ def semantic_dedup_clusters(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), _norm(F.col(vec_col)).alias("_nb")
     )
     pairs = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        _pair_vector_join(cand, va, vb, df, vec_col, dim)
         .select(
             "id_a",
             "id_b",
